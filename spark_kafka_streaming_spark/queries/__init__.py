@@ -1,0 +1,24 @@
+"""Query catalog: every operator from SURVEY.md §2 as a named query.
+
+Importing this package registers all queries. ``REGISTRY`` maps
+name → :class:`Query` (Spark builder + optional DuckDB oracle SQL).
+"""
+
+from .registry import REGISTRY, Query, register  # noqa: F401
+
+# Import for side effect: each module registers its queries.
+from . import tpch  # noqa: F401,E402
+from . import relational  # noqa: F401,E402
+from . import windows  # noqa: F401,E402
+from . import events  # noqa: F401,E402
+from . import llm  # noqa: F401,E402
+
+
+def queries():
+    """Driver contract: name → callable(spark, sf_dir) -> DataFrame."""
+    return {name: q.builder for name, q in REGISTRY.items()}
+
+
+def oracle_sql():
+    """Driver contract: name → ANSI SQL for DuckDB (oracle-able only)."""
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle}

@@ -1,0 +1,42 @@
+"""Batch file sources.
+
+The reference has no batch file source at all (it only ever reads
+Kafka; ``KafkaUtils.scala:163-240``): every relational capability in
+this engine rests on Spark's columnar Parquet scan instead — predicate
+pushdown, column pruning and partition pruning come free from Catalyst,
+which is what makes the same queries viable at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated star schema + stream-shaped tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any scale factor the
+#: engine targets (region/nation are bounded by geography; supplier and
+#: part scale slowly relative to the fact tables).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one table; Catalyst prunes columns/predicates."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every table as a temp view for the SQL API."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

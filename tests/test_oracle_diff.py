@@ -1,0 +1,84 @@
+"""Differential gate: every oracle-checked query must match DuckDB
+exactly (row count, column names, and values) — a local mirror of the
+driver's order-insensitive value-hash comparison at sf 0.01.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import math
+
+import duckdb
+import pytest
+
+from spark_kafka_streaming_spark.queries import REGISTRY
+from spark_kafka_streaming_spark.sources.batch import TABLES
+
+ORACLE_QUERIES = sorted(n for n, q in REGISTRY.items() if q.oracle)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm(v):
+    """Normalize a cell the way a hash-compare would see it."""
+    if isinstance(v, decimal.Decimal):
+        return float(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None)
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    if isinstance(v, list):
+        return tuple(_norm(x) for x in v)
+    return v
+
+
+def _key(row):
+    return tuple(
+        (x is None, x if not isinstance(x, (int, float)) else float(x))
+        if not isinstance(x, tuple)
+        else (False, x)
+        for x in (_norm(v) for v in row)
+    )
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_matches_duckdb(name, spark, sf_dir, duck):
+    q = REGISTRY[name]
+    sdf = q.builder(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(q.oracle)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
+    )
+
+    # Order-insensitive compare on name-sorted columns (driver semantics).
+    s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    s_set = sorted(
+        (_key(tuple(r[i] for i in s_order)) for r in spark_rows), key=repr
+    )
+    d_set = sorted(
+        (_key(tuple(r[i] for i in d_order)) for r in duck_rows), key=repr
+    )
+    mism = [
+        (a, b) for a, b in zip(s_set, d_set) if a != b
+    ]
+    assert not mism, f"{name}: first value mismatches: {mism[:5]}"
