@@ -45,6 +45,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The driver's events table stores TIMESTAMP(NANOS) parquet, which
+        # Spark's vectorized reader rejects; read as raw nanos and convert
+        # in the loader (sources/batch.py) — DuckDB equivalently truncates
+        # nanos to micros on read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # At 100 TB: bound per-task input so scans parallelize evenly.
         .config("spark.sql.files.maxPartitionBytes", "128m")
         # Streaming state at scale: RocksDB provider (spills to disk,

@@ -10,6 +10,7 @@ which is what makes the same queries viable at 100 TB.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 #: The driver-generated star schema + stream-shaped tables (TESTDATA.md).
 TABLES = (
@@ -32,8 +33,17 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Columnar scan of one table; Catalyst prunes columns/predicates."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Columnar scan of one table; Catalyst prunes columns/predicates.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long that
+    we floor-divide to microseconds — the same truncation DuckDB applies
+    when reading nanosecond timestamps into its µs TIMESTAMP.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:

@@ -33,8 +33,11 @@ def _norm(v):
     """Normalize a cell the way a hash-compare would see it."""
     if isinstance(v, decimal.Decimal):
         return float(v)
-    if isinstance(v, dt.datetime):
-        return v.replace(tzinfo=None)
+    # NOTE: tz-aware vs naive timestamps are deliberately NOT normalized —
+    # a DuckDB TIMESTAMPTZ vs Spark naive TIMESTAMP is an oracle bug the
+    # driver's hash would see; keep the mismatch visible here.
+    if isinstance(v, dt.datetime) and v.tzinfo is not None:
+        return v
     if isinstance(v, float) and math.isnan(v):
         return "NaN"
     if isinstance(v, list):
