@@ -1,0 +1,50 @@
+"""Custom keyed-state streaming operator tests (§2b 'stateful streaming')."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from spark_kafka_streaming_spark.streaming.pipeline import file_stream, start_sink
+from spark_kafka_streaming_spark.streaming.state import running_totals_with_state
+
+
+def test_running_totals_with_state(spark, tmp_path):
+    """Per-user totals accumulate across micro-batches via GroupState."""
+    src = str(tmp_path / "state_src")
+    os.makedirs(src)
+
+    def emit(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    emit("b1.json", [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00.000000Z", "user_id": 7,
+         "event_type": "click", "value": 1.5, "props": "{}"},
+        {"event_id": 2, "ts": "2024-01-01T10:01:00.000000Z", "user_id": 7,
+         "event_type": "view", "value": 2.5, "props": "{}"},
+        {"event_id": 3, "ts": "2024-01-01T10:02:00.000000Z", "user_id": 9,
+         "event_type": "click", "value": 10.0, "props": "{}"},
+    ])
+    stream = file_stream(spark, src, max_files_per_trigger=1)
+    totals = running_totals_with_state(stream)
+    q = start_sink(totals, "memory", query_name="totals", output_mode="update",
+                   checkpoint=str(tmp_path / "ck_state"))
+    q.processAllAvailable()
+    emit("b2.json", [
+        {"event_id": 4, "ts": "2024-01-01T10:03:00.000000Z", "user_id": 7,
+         "event_type": "click", "value": 6.0, "props": "{}"},
+    ])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    # update mode: take the latest row per user
+    rows = spark.sql(
+        "SELECT user_id, n_events, total_value FROM totals"
+    ).collect()
+    latest = {}
+    for r in rows:  # memory sink appends updates in batch order
+        latest[r.user_id] = (r.n_events, r.total_value)
+    assert latest[7] == (3, 10.0)
+    assert latest[9] == (1, 10.0)
