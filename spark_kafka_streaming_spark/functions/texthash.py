@@ -1,0 +1,148 @@
+"""Engine-portable text hashing: one set of constants generates both
+the Spark SQL expressions and the DuckDB oracle SQL, so MinHash/SimHash
+signatures hash-match across engines bit-for-bit.
+
+Everything is built on a polynomial character-fold hash
+``h(s) = fold(chars(s), acc*257 + code mod 1e9+7)`` — exact int64
+arithmetic, deterministic in any engine, entirely inside whole-stage
+codegen on the Spark side (no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+P = 1_000_000_007  # modulus (fits products in int64: a*h < 1e18)
+BASE = 257  # char-fold multiplier
+K = 32  # minhash signature length
+BANDS = 8  # LSH bands
+ROWS = 4  # signature rows per band  (K = BANDS * ROWS)
+SHINGLE_W = 3  # word n-gram width
+
+SIMHASH_BITS = 32
+SIMHASH_BAND_BITS = 8  # 4 bands of 8 bits → catches hamming ≤ 3 reliably
+
+
+def _coeff(i: int, salt: int) -> int:
+    c = (1 + (i + 1) * 2654435761 + salt * 40503) % P
+    return c or 1
+
+
+#: MinHash hash-family coefficients h_i(x) = (A[i]*x + B[i]) mod P.
+A = [_coeff(i, 0) for i in range(K)]
+B = [_coeff(i, 1) for i in range(K)]
+
+
+# ------------------------------------------------------------ Spark side
+
+
+def spark_tokens(col: str) -> str:
+    return f"filter(split({col}, ' '), t -> t <> '')"
+
+
+def spark_char_hash(s: str) -> str:
+    return (
+        f"aggregate(transform(split({s}, ''), c -> ascii(c)), 0L, "
+        f"(acc, x) -> (acc * {BASE} + x) % {P})"
+    )
+
+
+def spark_shingles(col: str, w: int = SHINGLE_W) -> str:
+    # NOTE: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather than
+    # an empty array (DuckDB's generate_series(1, 0) is empty), so short
+    # documents must be guarded explicitly or element_at goes out of
+    # bounds.
+    toks = spark_tokens(col)
+    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(w))
+    return (
+        f"CASE WHEN size({toks}) < {w} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size({toks}) - {w - 1}), "
+        f"i -> concat_ws(' ', {parts}))) END"
+    )
+
+
+def spark_shingle_hashes(col: str, w: int = SHINGLE_W) -> str:
+    return f"transform({spark_shingles(col, w)}, s -> {spark_char_hash('s')})"
+
+
+def spark_minhash_sig(hashes_col: str) -> str:
+    mins = ", ".join(
+        f"array_min(transform({hashes_col}, h -> ({a}L * h + {b}L) % {P}))"
+        for a, b in zip(A, B)
+    )
+    return f"array({mins})"
+
+
+def spark_band_key(sig_col: str, band: int) -> str:
+    """Fold ROWS signature entries of one band into a join key."""
+    expr = "0L"
+    for r in range(ROWS):
+        expr = f"({expr} * 31 + element_at({sig_col}, {band * ROWS + r + 1}))"
+    return expr
+
+
+def spark_simhash(col: str) -> str:
+    """32-bit SimHash of the distinct-token set."""
+    th = f"transform(array_distinct({spark_tokens(col)}), t -> {spark_char_hash('t')})"
+    bits = (
+        f"transform(sequence(0, {SIMHASH_BITS - 1}), j -> CASE WHEN "
+        f"aggregate({th}, 0L, (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) > 0 THEN 1L ELSE 0L END)"
+    )
+    return f"aggregate({bits}, 0L, (acc, b) -> acc * 2 + b)"
+
+
+# ----------------------------------------------------------- DuckDB side
+
+
+def duck_tokens(col: str) -> str:
+    return f"list_filter(string_split({col}, ' '), t -> t <> '')"
+
+
+def duck_char_hash(s: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(split({s}, ''), c -> CAST(unicode(c) AS BIGINT))), "
+        f"(a, b) -> (a * {BASE} + b) % {P})"
+    )
+
+
+def duck_shingles(col: str, w: int = SHINGLE_W) -> str:
+    toks = duck_tokens(col)
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(w))
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {w - 1}, 0)), i -> {parts}))"
+    )
+
+
+def duck_shingle_hashes(col: str, w: int = SHINGLE_W) -> str:
+    return f"list_transform({duck_shingles(col, w)}, s -> {duck_char_hash('s')})"
+
+
+def duck_minhash_sig(hashes_col: str) -> str:
+    mins = ", ".join(
+        f"list_min(list_transform({hashes_col}, h -> ({a} * h + {b}) % {P}))"
+        for a, b in zip(A, B)
+    )
+    return f"[{mins}]"
+
+
+def duck_band_key(sig_col: str, band: int) -> str:
+    expr = "CAST(0 AS BIGINT)"
+    for r in range(ROWS):
+        expr = f"({expr} * 31 + {sig_col}[{band * ROWS + r + 1}])"
+    return expr
+
+
+def duck_simhash(col: str) -> str:
+    th = (
+        f"list_transform(list_distinct({duck_tokens(col)}), t -> {duck_char_hash('t')})"
+    )
+    bits = (
+        f"list_transform(generate_series(0, {SIMHASH_BITS - 1}), j -> CASE WHEN "
+        f"list_sum(list_transform({th}, h -> CASE WHEN ((h >> j) & 1) = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    )
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), {bits}), "
+        f"(a, b) -> a * 2 + b)"
+    )

@@ -1,1 +1,491 @@
-"""Placeholder — queries registered in later phase."""
+"""LLM-data-pipeline queries (SURVEY.md §2c): dedup, similarity search,
+text analysis, multimodal — over ``documents`` and ``embeddings``.
+
+Every approximate operator here is *still* oracle-checked: the MinHash/
+SimHash signatures and LSH band keys are built from the engine-portable
+hash family (:mod:`..functions.texthash`), and cosines from
+integer-scaled dot products (:mod:`..functions.vectors`), so DuckDB
+reproduces the exact candidate sets and scores. Only the
+hyperplane-LSH ANN variant is registered rows-only (its value is the
+recall/cost trade-off, measured in tests against the brute-force
+baseline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+from ..functions import vectors as V
+from ..operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..operators.multimodal import attach_payload, extract_features
+from ..operators.similarity import brute_force_topk, lsh_topk
+from ..operators.text import (
+    STOPWORDS,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count_bpe_ish,
+    with_token_stats,
+)
+from ..sources.batch import load_table
+from .registry import register
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Shared oracle CTEs ---------------------------------------------------
+
+_DUCK_SHINGLE_CTE = f"""
+    sh AS (
+      SELECT doc_id, {TH.duck_shingles('text')} AS sh FROM documents
+    ),
+    hs AS (
+      SELECT doc_id, sh,
+             list_transform(sh, s -> {TH.duck_char_hash('s')}) AS hs
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, sh, {TH.duck_minhash_sig('hs')} AS sig
+      FROM hs WHERE len(hs) > 0
+    )
+"""
+
+_DUCK_SCALED_VEC_CTE = f"""
+    sv AS (
+      SELECT vec_id, {V.duck_scaled('embedding')} AS v FROM embeddings
+    ),
+    sn AS (
+      SELECT vec_id, v, {V.duck_dot('v', 'v')} AS n FROM sv
+    )
+"""
+
+
+# ----------------------------------------------------------- exact dedup
+
+
+@register(
+    "q_dedup_exact_documents",
+    oracle="""
+    SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+    FROM documents
+    GROUP BY text
+    ORDER BY doc_id
+    """,
+    doc="Exact dedup: hash-groupBy on content, deterministic survivor "
+    "(min id). Streaming twin: dropDuplicatesWithinWatermark "
+    "(tests/test_streaming.py).",
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs, ["text"], "doc_id")
+        .select("text", "doc_id", "n_dupes")
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------------- minhash-LSH
+
+
+def _duck_minhash_bands() -> str:
+    selects = [
+        f"SELECT doc_id, {b} AS band, {TH.duck_band_key('sig', b)} AS key FROM sig"
+        for b in range(TH.BANDS)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_CTE},
+    bands AS ({_duck_minhash_bands()}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    verified AS (
+      SELECT id1, id2,
+             CAST(len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+             / CAST(len(s1.sh) + len(s2.sh)
+                    - len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+               AS jaccard
+      FROM cand
+      JOIN sig s1 ON s1.doc_id = id1
+      JOIN sig s2 ON s2.doc_id = id2
+    )
+    SELECT id1, id2, jaccard FROM verified
+    WHERE jaccard >= 0.5
+    ORDER BY id1, id2
+    """,
+    doc="MinHash(K=32) + LSH(8 bands × 4 rows) near-dup pairs with exact "
+    "Jaccard verification of candidates. The band equi-join is the only "
+    "shuffle — the 100 TB near-dup path. Signatures are engine-portable "
+    "so even the candidate set hash-matches the oracle.",
+    tags=("llm", "dedup", "lsh"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, jaccard_threshold=0.5).orderBy("id1", "id2")
+
+
+# ----------------------------------------------------------- simhash
+
+
+def _duck_simhash_bands() -> str:
+    nb = TH.SIMHASH_BITS // TH.SIMHASH_BAND_BITS
+    mask = (1 << TH.SIMHASH_BAND_BITS) - 1
+    return " UNION ALL ".join(
+        f"SELECT doc_id, sim, {b} AS band, "
+        f"(sim >> {b * TH.SIMHASH_BAND_BITS}) & {mask} AS key FROM sims"
+        for b in range(nb)
+    )
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+    WITH sims AS (
+      SELECT doc_id, {TH.duck_simhash('text')} AS sim FROM documents
+    ),
+    bands AS ({_duck_simhash_bands()}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+             l.sim AS sim1, r.sim AS sim2
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(sim1, sim2)) AS INT) AS hamming,
+           sim1, sim2
+    FROM cand
+    WHERE bit_count(xor(sim1, sim2)) <= 1
+    ORDER BY id1, id2
+    """,
+    doc="SimHash(32-bit) near-dup pairs, banded 4×8 bits, exact hamming "
+    "≤ 3 via xor+bit_count on candidates.",
+    tags=("llm", "dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash_pairs(docs, max_hamming=1)
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id1", "id2")
+    )
+
+
+# ------------------------------------------------- exact n-gram jaccard
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, {shingles} AS sh FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+    SELECT id1, id2,
+           CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.6
+    ORDER BY id1, id2
+    """.format(shingles=TH.duck_shingles("text")),
+    doc="Exact n-gram Jaccard pairs via the shingle inverted index "
+    "(shuffle by shingle, cost Σ bucket² — the exact-verification tier).",
+    tags=("llm", "dedup", "jaccard"),
+)
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.6).orderBy("id1", "id2")
+
+
+# --------------------------------------------------- embedding cosine
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+    WITH {_DUCK_SCALED_VEC_CTE}
+    SELECT a.vec_id AS id1, b.vec_id AS id2,
+           CAST({V.duck_dot('a.v', 'b.v')} AS DOUBLE)
+             / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) AS cos_sim
+    FROM sn a JOIN sn b ON a.vec_id < b.vec_id
+    WHERE CAST({V.duck_dot('a.v', 'b.v')} AS DOUBLE)
+             / (sqrt(CAST(a.n AS DOUBLE)) * sqrt(CAST(b.n AS DOUBLE))) >= 0.45
+    ORDER BY id1, id2
+    """,
+    doc="Embedding-cosine near-dup pairs (exact baseline; integer-scaled "
+    "dot products are engine-exact). Scale path: hyperplane-LSH variant "
+    "(q_similarity_ann_lsh) replaces the O(n²) pair generation.",
+    tags=("llm", "dedup", "embedding"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(V.spark_scaled("embedding")).alias("v"),
+        F.expr(V.spark_dot(V.spark_scaled("embedding"), V.spark_scaled("embedding"))).alias("n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.expr(V.spark_cosine(V.spark_dot("a.v", "b.v"), "a.n", "b.n"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.45)
+        .orderBy("id1", "id2")
+    )
+
+
+@register(
+    "q_similarity_topk_bruteforce",
+    oracle=f"""
+    WITH {_DUCK_SCALED_VEC_CTE},
+    q AS (SELECT * FROM sn WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST({V.duck_dot('q.v', 'c.v')} AS DOUBLE)
+               / (sqrt(CAST(q.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE)))
+               AS cos_sim
+      FROM q JOIN sn c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS INT) AS rn FROM scored
+    ) t WHERE rn <= 5
+    ORDER BY query_id, rn
+    """,
+    doc="Brute-force cosine top-5 for 10 query vectors: broadcast query "
+    "side, one corpus pass, window top-k — the exact ANN baseline.",
+    tags=("llm", "similarity"),
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = brute_force_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5
+    )
+    return out.withColumn("rn", F.col("rn").cast("int")).orderBy("query_id", "rn")
+
+
+@register(
+    "q_similarity_ann_lsh",
+    oracle=None,  # approximate by design; recall vs. brute force is
+    # asserted in tests/test_llm_ops.py
+    doc="ANN top-k via random-hyperplane LSH buckets (4 bands × 8 "
+    "planes): candidates only from shared buckets — the 100 TB scale "
+    "path that replaces the O(|Q|·|C|) scan.",
+    tags=("llm", "similarity", "lsh", "rows-only"),
+)
+def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).orderBy(
+        "query_id", "rn"
+    )
+
+
+# ------------------------------------------------------- text analysis
+
+
+@register(
+    "q_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({TH.duck_tokens('text')}) AS n_tokens,
+           len(list_distinct({TH.duck_tokens('text')})) AS n_distinct_tokens,
+           len(list_filter({TH.duck_tokens('text')}, t -> t IN ({_SW})))
+             AS n_stopwords,
+           length(text) AS text_len,
+           lang, source, n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Per-document token statistics (counts are schema-checked "
+    "against the generator's n_chars).",
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return with_token_stats(docs).select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        "n_stopwords",
+        F.col("text_len").cast("bigint").alias("text_len"),
+        "lang",
+        "source",
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+@register(
+    "q_text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len({TH.duck_tokens('text')}) AS n_tokens,
+             len(list_distinct({TH.duck_tokens('text')})) AS n_distinct_tokens,
+             len(list_filter({TH.duck_tokens('text')}, t -> t IN ({_SW})))
+               AS n_stopwords
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+                 CAST(n_tokens AS DOUBLE) / 50)
+           + CAST(0.3 AS DOUBLE) * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+           + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                 - CAST(n_stopwords AS DOUBLE) / n_tokens) AS quality
+    FROM t
+    ORDER BY doc_id
+    """,
+    doc="Composite quality score: length, lexical diversity, "
+    "function-word balance.",
+    tags=("llm", "text"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_score(docs).select("doc_id", "quality").orderBy("doc_id")
+
+
+@register(
+    "q_text_langid",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len({TH.duck_tokens('text')}) AS n_tokens,
+             len(list_filter({TH.duck_tokens('text')}, t -> t IN ({_SW})))
+               AS n_stopwords
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+             CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.04
+                  THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM t
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n
+    FROM pred GROUP BY lang, lang_pred
+    ORDER BY lang, lang_pred
+    """,
+    doc="Language-ID heuristic (stopword hit ratio) scored against the "
+    "generator's lang label.",
+    tags=("llm", "text"),
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        language_id(docs)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {TH.duck_char_hash('text')} AS fp_exact,
+           list_min(list_transform(
+             list_transform({TH.duck_shingles('text')}, s -> {TH.duck_char_hash('s')}),
+             h -> ({TH.A[0]} * h + {TH.B[0]}) % {TH.P})) AS fp_fuzzy
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Document fingerprints: exact rolling char-hash + fuzzy MinHash "
+    "first component (content addressing for incremental dedup).",
+    tags=("llm", "text", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp_exact", "fp_fuzzy").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "q_text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({TH.duck_tokens('text')}) AS n_ws_tokens,
+           len(list_filter(string_split_regex(text, '[^a-z0-9]+'), t -> t <> ''))
+             AS n_re_tokens
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace tokens + regex (BPE-ish) tokens.",
+    tags=("llm", "text", "tokens"),
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_count_bpe_ish(docs).select(
+        "doc_id", "n_ws_tokens", "n_re_tokens"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------- multimodal
+
+
+@register(
+    "q_multimodal_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS sha256,
+           octet_length(encode(text)) AS n_bytes,
+           'text' AS modality
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Multimodal payload plumbing: binary column + content-addressed "
+    "metadata (sha256, byte length, modality) — filters prune on the "
+    "struct without touching payload bytes.",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        attach_payload(docs, "text")
+        .select(
+            "doc_id",
+            F.col("meta.sha256").alias("sha256"),
+            F.col("meta.n_bytes").alias("n_bytes"),
+            F.col("meta.modality").alias("modality"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle=None,  # mapInPandas featurizer: determinism pinned in
+    # tests/test_llm_ops.py
+    doc="Arrow-batched feature extraction over binary payloads "
+    "(mapInPandas; deterministic stand-in featurizer — the real codec "
+    "is the stubbed decode_image).",
+    tags=("llm", "multimodal", "rows-only"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = extract_features(attach_payload(docs, "text").select("doc_id", "payload"))
+    return feats.select(
+        "doc_id", F.round(F.expr("aggregate(features, 0.0D, (a, x) -> a + x)"), 6).alias("feat_sum")
+    ).orderBy("doc_id")
