@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "total_sec", "value": N, "unit": "sec",
+     "queries": {"q01_pricing_summary": s, ...}, "sf": 0.1}
+
+Each query is forced end-to-end with a noop-sink write (full column
+materialization — a bare count() would let Catalyst prune the
+expensive expressions).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from spark_kafka_streaming_spark import get_spark  # noqa: E402
+from spark_kafka_streaming_spark.queries import REGISTRY  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: Headline set: the fact-table relational core, windowed/event-time
+#: analytics, and the LLM-pipeline operators.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q10_returned_items",
+    "q_agg_rollup_pricing",
+    "q_agg_count_distinct",
+    "q_window_topk_orders_per_customer",
+    "q_window_running_total",
+    "q_window_tumbling_hourly",
+    "q_window_sliding_10m_5m",
+    "q_events_sessionize_batch",
+    "q_events_asof_last_click_before_purchase",
+    "q_dedup_minhash_lsh",
+    "q_dedup_ngram_jaccard",
+    "q_similarity_topk_bruteforce",
+    "q_text_quality",
+    "q_multimodal_fingerprint",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    df = REGISTRY[name].builder(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    # Operators persist intermediates (LSH signatures); drop them so
+    # successive queries are isolated and cache buildup doesn't skew GC.
+    spark.catalog.clearCache()
+    return elapsed
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench")
+    # Warm pass: JVM JIT + whole-stage-codegen compilation of each plan
+    # is a one-time cost (~10 s for the widest MinHash expressions) that
+    # would otherwise dominate the sub-second steady-state numbers.
+    for name in BENCH_QUERIES:
+        run_query(spark, name, SF_DIR)
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = round(run_query(spark, name, SF_DIR), 4)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_sec",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -25,7 +25,7 @@ reproduce every value bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
@@ -62,8 +62,30 @@ def minhash_lsh_pairs(
 
     Returns (id1, id2, jaccard) with id1 < id2, jaccard ≥ threshold.
     """
-    sigs = with_minhash_signature(df, text_col).select(
-        F.col(id_col), "sig", F.expr(TH.spark_shingles(text_col)).alias("sh")
+    # Persist signatures: the band self-join and the verification join
+    # each consume this frame twice — without a persist the whole
+    # shingle+signature computation re-runs per join leg. At cluster
+    # scale the same role is played by writing the signature table to
+    # storage once per corpus snapshot.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # Small corpora land in one parquet partition; spread the (CPU-heavy)
+    # signature computation across cores. At scale the scan is already
+    # many-partitioned and this repartition keeps ids co-located for the
+    # later joins.
+    sigs = (
+        df.repartition(par, F.col(id_col))
+        .select(F.col(id_col), F.expr(TH.spark_tokens(text_col)).alias("toks"))
+        .select(id_col, F.expr(TH.spark_shingles_from_tokens("toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            id_col,
+            F.expr(
+                f"array_distinct(transform(sh, s -> {TH.spark_str_hash('s')}))"
+            ).alias("hs"),
+        )
+        .withColumn("sig", F.expr(TH.spark_minhash_sig("hs")))
+        .select(id_col, "sig", "hs")
+        .persist()
     )
     bands = sigs.select(
         id_col,
@@ -78,7 +100,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+    ).select(id_col, "bk.band", "bk.key").persist()
     left = bands.alias("l")
     right = bands.alias("r")
     cand = (
@@ -93,10 +115,10 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    s1 = sigs.select(F.col(id_col).alias("id1"), F.col("sh").alias("sh1"))
-    s2 = sigs.select(F.col(id_col).alias("id2"), F.col("sh").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    union = F.size("sh1") + F.size("sh2") - inter
+    s1 = sigs.select(F.col(id_col).alias("id1"), F.col("hs").alias("hs1"))
+    s2 = sigs.select(F.col(id_col).alias("id2"), F.col("hs").alias("hs2"))
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size("hs1") + F.size("hs2") - inter
     return (
         cand.join(s1, "id1")
         .join(s2, "id2")
@@ -119,8 +141,10 @@ def simhash_pairs(
     sim2).
     """
     sigs = (
-        df.withColumn("sim", F.expr(TH.spark_simhash(text_col)))
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .withColumn("sim", F.expr(TH.spark_simhash(text_col)))
         .select(id_col, "sim")
+        .persist()  # both band-join legs read the signatures
     )
     nbands = TH.SIMHASH_BITS // TH.SIMHASH_BAND_BITS
     bands = sigs.select(
@@ -169,36 +193,76 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.6,
+    threshold_frac: tuple[int, int] | None = None,
 ) -> DataFrame:
-    """Exact Jaccard pairs via the shingle inverted index.
+    """EXACT Jaccard-threshold pairs via prefix-filtered set-similarity
+    join (the SSJoin/PPJoin family).
 
-    Shuffles by shingle (explode → equi-join → per-pair count), so
-    cost is Σ bucket² over shingles, not n² — hot shingles are the
-    skew risk at scale; drop stop-shingles above a document-frequency
-    cap before joining if needed.
+    A naive shingle inverted-index self-join is Σ bucket² over shingle
+    document frequencies — quadratic in hot shingles, which is exactly
+    what a natural-language corpus produces. Prefix filtering keeps the
+    join exact while only indexing each document's ``|d| − ⌈t·|d|⌉ + 1``
+    rarest shingles (global order = (document frequency, shingle)): any
+    pair with jaccard ≥ t must share an element of both prefixes, so
+    hot (high-df) shingles fall out of the index entirely.
+
+    The join runs on 60-bit shingle *hashes*, not strings: smaller
+    shuffles and O(|A|+|B|) integer intersects; the engine-portable
+    hash makes the result reproducible by the oracle.
+
+    ``threshold_frac`` (p, q) gives t = p/q for exact integer prefix
+    arithmetic — float ceil(t·n) can round the wrong way at exact
+    multiples, silently shortening a prefix and dropping true pairs.
     """
-    sh = df.select(
-        F.col(id_col), F.expr(TH.spark_shingles(text_col)).alias("sh")
-    ).filter(F.size("sh") > 0)
-    ex = sh.select(id_col, F.explode("sh").alias("s"))
-    pairs = (
-        ex.alias("a")
-        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s"))
-              & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(
+    if threshold_frac is None:
+        from fractions import Fraction
+
+        fr = Fraction(threshold).limit_denominator(1000)
+        p, q = fr.numerator, fr.denominator
+    else:
+        p, q = threshold_frac
+    hs = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        .select(F.col(id_col), F.expr(TH.spark_tokens(text_col)).alias("toks"))
+        .select(id_col, F.expr(TH.spark_shingles_from_tokens("toks")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select(
+            id_col,
+            F.expr(
+                f"array_distinct(transform(sh, s -> {TH.spark_str_hash('s')}))"
+            ).alias("hs"),
+        )
+        .persist()  # consumed by the prefix index + verification joins
+    )
+    ex = hs.select(id_col, F.size("hs").alias("n"), F.explode("hs").alias("h"))
+    freq = ex.groupBy("h").agg(F.count("*").alias("df_h"))
+    w = W.partitionBy(id_col).orderBy("df_h", "h")
+    prefix = (
+        ex.join(freq, "h")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.expr(f"rn <= n - (({p} * n + {q - 1}) DIV {q}) + 1"))
+        .select(id_col, "h")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
             F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
         )
-        .agg(F.count("*").alias("inter"))
+        .distinct()
     )
-    sizes = sh.select(F.col(id_col), F.size("sh").alias("n"))
+    s1 = hs.select(F.col(id_col).alias("id1"), F.col("hs").alias("hs1"))
+    s2 = hs.select(F.col(id_col).alias("id2"), F.col("hs").alias("hs2"))
+    inter = F.size(F.array_intersect("hs1", "hs2"))
+    union = F.size("hs1") + F.size("hs2") - inter
     return (
-        pairs.join(sizes.withColumnsRenamed({id_col: "id1", "n": "n1"}), "id1")
-        .join(sizes.withColumnsRenamed({id_col: "id2", "n": "n2"}), "id2")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("n1") + F.col("n2") - F.col("inter")).cast("double"),
-        )
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )

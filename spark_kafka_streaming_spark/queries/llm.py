@@ -42,17 +42,15 @@ _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 # Shared oracle CTEs ---------------------------------------------------
 
 _DUCK_SHINGLE_CTE = f"""
-    sh AS (
-      SELECT doc_id, {TH.duck_shingles('text')} AS sh FROM documents
-    ),
-    hs AS (
-      SELECT doc_id, sh,
-             list_transform(sh, s -> {TH.duck_char_hash('s')}) AS hs
-      FROM sh
+    hs0 AS (
+      SELECT doc_id,
+             list_distinct(list_transform({TH.duck_shingles('text')},
+               s -> {TH.duck_str_hash('s')})) AS hs
+      FROM documents
     ),
     sig AS (
-      SELECT doc_id, sh, {TH.duck_minhash_sig('hs')} AS sig
-      FROM hs WHERE len(hs) > 0
+      SELECT doc_id, hs, {TH.duck_minhash_sig('hs')} AS sig
+      FROM hs0 WHERE len(hs) > 0
     )
 """
 
@@ -114,9 +112,9 @@ def _duck_minhash_bands() -> str:
     ),
     verified AS (
       SELECT id1, id2,
-             CAST(len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
-             / CAST(len(s1.sh) + len(s2.sh)
-                    - len(list_filter(s1.sh, x -> list_contains(s2.sh, x))) AS DOUBLE)
+             CAST(len(list_filter(s1.hs, x -> list_contains(s2.hs, x))) AS DOUBLE)
+             / CAST(len(s1.hs) + len(s2.hs)
+                    - len(list_filter(s1.hs, x -> list_contains(s2.hs, x))) AS DOUBLE)
                AS jaccard
       FROM cand
       JOIN sig s1 ON s1.doc_id = id1
@@ -187,17 +185,20 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_dedup_ngram_jaccard",
-    oracle="""
-    WITH sh AS (
-      SELECT doc_id, {shingles} AS sh FROM documents
+    oracle=f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform({TH.duck_shingles('text')},
+               s -> {TH.duck_str_hash('s')})) AS hs
+      FROM documents
     ),
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    ex AS (SELECT doc_id, len(hs) AS n, unnest(hs) AS h FROM hs WHERE len(hs) > 0),
     pairs AS (
       SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+    sizes AS (SELECT doc_id, len(hs) AS n FROM hs)
     SELECT id1, id2,
            CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) AS jaccard
     FROM pairs
@@ -205,14 +206,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes s2 ON s2.doc_id = id2
     WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE) >= 0.6
     ORDER BY id1, id2
-    """.format(shingles=TH.duck_shingles("text")),
-    doc="Exact n-gram Jaccard pairs via the shingle inverted index "
-    "(shuffle by shingle, cost Σ bucket² — the exact-verification tier).",
+    """,
+    doc="Exact n-gram Jaccard pairs via prefix-filtered set-similarity "
+    "join over hashed shingles (PPJoin-style: only each doc's rarest "
+    "|d|-ceil(t|d|)+1 shingles are indexed — exact, no hot-shingle "
+    "blowup). The oracle recomputes the same pair set brute-force.",
     tags=("llm", "dedup", "jaccard"),
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, threshold=0.6).orderBy("id1", "id2")
+    return ngram_jaccard_pairs(
+        docs, threshold=0.6, threshold_frac=(3, 5)
+    ).orderBy("id1", "id2")
 
 
 # --------------------------------------------------- embedding cosine
@@ -406,7 +411,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            {TH.duck_char_hash('text')} AS fp_exact,
            list_min(list_transform(
-             list_transform({TH.duck_shingles('text')}, s -> {TH.duck_char_hash('s')}),
+             list_transform({TH.duck_shingles('text')}, s -> {TH.duck_str_hash('s')}),
              h -> ({TH.A[0]} * h + {TH.B[0]}) % {TH.P})) AS fp_fuzzy
     FROM documents
     ORDER BY doc_id
