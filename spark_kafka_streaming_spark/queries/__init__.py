@@ -9,6 +9,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 # Import for side effect: each module registers its queries.
 from . import tpch  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
+from . import relational2  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import llm  # noqa: F401,E402

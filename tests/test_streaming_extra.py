@@ -1,0 +1,127 @@
+"""Second streaming wave: watermarked stream-stream join, streaming
+session windows, exactly-once via idempotent foreachBatch.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from spark_kafka_streaming_spark.streaming.pipeline import file_stream, start_sink
+
+
+def _emit(src, name, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _row(eid, ts, uid=1, etype="click", value=1.0):
+    return {"event_id": eid, "ts": ts, "user_id": uid,
+            "event_type": etype, "value": value, "props": "{}"}
+
+
+def test_stream_stream_join_with_watermark(spark, tmp_path):
+    """Watermarked stream-stream inner join (SURVEY §2b joins row):
+    clicks ⋈ purchases per user within a 30-minute event-time range."""
+    csrc, psrc = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    _emit(csrc, "b1.json", [
+        _row(1, "2024-01-01T10:00:00.000000Z", uid=1, etype="click"),
+        _row(2, "2024-01-01T11:00:00.000000Z", uid=2, etype="click"),
+    ])
+    _emit(psrc, "b1.json", [
+        _row(10, "2024-01-01T10:10:00.000000Z", uid=1, etype="purchase"),
+        _row(11, "2024-01-01T13:00:00.000000Z", uid=2, etype="purchase"),
+    ])
+    clicks = (
+        file_stream(spark, csrc)
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        file_stream(spark, psrc)
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts BETWEEN click_ts "
+            "AND click_ts + INTERVAL 30 MINUTES"
+        ),
+    )
+    q = start_sink(joined, "memory", query_name="ssj",
+                   checkpoint=str(tmp_path / "ck_ssj"))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    rows = spark.sql("SELECT c_user FROM ssj").collect()
+    # user 1's purchase is 10 min after the click (in range); user 2's is
+    # 2 h after (out of range)
+    assert [r.c_user for r in rows] == [1]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    """session_window() under readStream (the streaming twin of
+    q_window_session_30m)."""
+    src = str(tmp_path / "sess")
+    _emit(src, "b1.json", [
+        _row(1, "2024-01-01T10:00:00.000000Z", uid=7, value=1.0),
+        _row(2, "2024-01-01T10:10:00.000000Z", uid=7, value=2.0),
+        _row(3, "2024-01-01T12:00:00.000000Z", uid=7, value=4.0),
+        # watermark pusher so earlier sessions close
+        _row(4, "2024-01-01T15:00:00.000000Z", uid=99, value=0.0),
+    ])
+    stream = file_stream(spark, src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .select("user_id", F.col("w.start").alias("ws"), "n", "v")
+    )
+    q = start_sink(agg, "memory", query_name="sess", output_mode="append",
+                   checkpoint=str(tmp_path / "ck_sess"))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    rows = {
+        (r.user_id, r.ws.isoformat()): (r.n, r.v)
+        for r in spark.sql("SELECT * FROM sess").collect()
+    }
+    assert rows[(7, "2024-01-01T10:00:00")] == (2, 3.0)  # merged session
+    assert rows[(7, "2024-01-01T12:00:00")] == (1, 4.0)  # new session
+
+
+def test_foreachbatch_idempotent_upsert(spark, tmp_path):
+    """Exactly-once into a non-transactional store: foreachBatch keyed by
+    batch_id — replaying a batch overwrites rather than duplicates (the
+    engine's HBase-persistOffset analog, reference
+    ...InputDStream.scala:384-415)."""
+    src = str(tmp_path / "fb_src")
+    out = str(tmp_path / "fb_out")
+    _emit(src, "b1.json", [_row(i, "2024-01-01T10:00:00.000000Z", uid=i)
+                           for i in range(10)])
+
+    seen_batches = []
+
+    def upsert(df, batch_id):
+        seen_batches.append(batch_id)
+        # idempotent: partition dir keyed by batch_id, overwritten on replay
+        df.write.mode("overwrite").parquet(f"{out}/batch={batch_id}")
+
+    stream = file_stream(spark, src)
+    q = start_sink(stream, foreach_batch=upsert,
+                   checkpoint=str(tmp_path / "ck_fb"))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    # simulate sink-side replay of the same epoch: write again with the
+    # same batch_id → still exactly one copy
+    first = spark.read.json(os.path.join(src, "b1.json"))
+    first.write.mode("overwrite").parquet(f"{out}/batch={seen_batches[0]}")
+    got = spark.read.parquet(out)
+    assert got.count() == 10
+    assert got.select("event_id").distinct().count() == 10
