@@ -342,3 +342,38 @@ def q_map_json_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.sum("v").alias("total"))
         .orderBy("k")
     )
+
+
+@register(
+    "q_agg_salted_skew",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Salted two-phase aggregation over a deliberately skewed key "
+    "(3 distinct values across the whole fact table): per-(key,salt) "
+    "partials spread the hot keys across reducers, then a tiny final "
+    "combine. Exact-decimal sums make the result identical to the "
+    "direct groupBy the oracle runs.",
+    tags=("relational", "agg", "skew"),
+)
+def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.exact import dec as _dec
+    from ..operators.skew import salted_sum_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        salted_sum_count(
+            li, ["l_returnflag"], _dec("l_extendedprice"), n_salts=16
+        )
+        .select(
+            "l_returnflag",
+            F.col("total").cast("double").alias("total"),
+            "n",
+        )
+        .orderBy("l_returnflag")
+    )

@@ -1,0 +1,106 @@
+"""Plan-quality regression tests: the physical plans the 100 TB design
+depends on (pushdown, pruning, broadcast, top-k) must not silently
+degrade. (SCALE.md documents why each property matters.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_kafka_streaming_spark.logging_utils import set_spark_log_level, stderr_to
+from spark_kafka_streaming_spark.operators.skew import (
+    salted_broadcast_join,
+    salted_sum_count,
+)
+from spark_kafka_streaming_spark.queries import REGISTRY
+from spark_kafka_streaming_spark.sources.batch import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q01_pushes_filter_and_prunes_columns(spark, sf_dir):
+    df = REGISTRY["q01_pricing_summary"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    read = plan.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "l_orderkey" not in read, "column pruning lost: reading unused key"
+    assert "l_quantity" in read
+
+
+def test_q05_joins_are_all_broadcast(spark, sf_dir):
+    df = REGISTRY["q05_local_supplier_volume"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan, "a dim join degraded to sort-merge"
+
+
+def test_sort_limit_plans_take_ordered(spark, sf_dir):
+    df = REGISTRY["q_sort_limit_top_lineitems"].builder(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df), (
+        "top-k degraded to a global sort"
+    )
+
+
+def test_similarity_corpus_not_shuffled(spark, sf_dir):
+    df = REGISTRY["q_similarity_topk_bruteforce"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "query side must broadcast; corpus must stream"
+    )
+
+
+def test_salted_broadcast_join_matches_plain(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_suppkey", "s_suppkey"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    plain = (
+        li.join(supp, "s_suppkey")
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"))
+    )
+    salted = (
+        salted_broadcast_join(li, supp, "s_suppkey", n_salts=8)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_salted_sum_matches_plain(spark, sf_dir):
+    from spark_kafka_streaming_spark.functions.exact import dec
+
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = {
+        r.l_returnflag: (float(r.t), r.n)
+        for r in li.groupBy("l_returnflag")
+        .agg(F.sum(dec("l_quantity")).alias("t"), F.count("*").alias("n"))
+        .collect()
+    }
+    salted = {
+        r.l_returnflag: (float(r.total), r.n)
+        for r in salted_sum_count(
+            li, ["l_returnflag"], dec("l_quantity"), n_salts=8
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_logging_utils(spark, tmp_path):
+    set_spark_log_level(spark, "WARN")
+    import sys
+
+    log = str(tmp_path / "err.log")
+    with stderr_to(log):
+        print("captured-line", file=sys.stderr)
+    with stderr_to(None):
+        print("vanishes", file=sys.stderr)
+    assert "captured-line" in open(log).read()
