@@ -1,0 +1,60 @@
+"""Property-based tests (hypothesis): the exactness claims hold on
+arbitrary corpora, not just the driver's fixtures."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from spark_kafka_streaming_spark.operators.dedup import ngram_jaccard_pairs
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+
+_doc = st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12).map(" ".join)
+_corpus = st.lists(_doc, min_size=2, max_size=10)
+
+
+def _py_shingles(text: str, w: int = 3) -> set[str]:
+    toks = [t for t in text.split(" ") if t]
+    return {" ".join(toks[i : i + w]) for i in range(len(toks) - w + 1)}
+
+
+def _py_pairs(docs: list[str], t: float) -> set[tuple[int, int]]:
+    out = set()
+    sh = {i: _py_shingles(d) for i, d in enumerate(docs)}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh[i], sh[j]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            if inter and inter / (len(a) + len(b) - inter) >= t:
+                out.add((i, j))
+    return out
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus, t_tenths=st.integers(min_value=3, max_value=9))
+def test_prefix_filtered_jaccard_is_exact(spark, docs, t_tenths):
+    """The prefix-filtered set-similarity join returns exactly the
+    brute-force pair set for arbitrary corpora and thresholds.
+
+    Hash-collision caveat: pair semantics run on 60-bit shingle hashes;
+    collisions in a ≤10-doc corpus are ~impossible, so the string-level
+    brute force is the correct reference.
+    """
+    t = t_tenths / 10
+    df = spark.createDataFrame(
+        [(i, d) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        (r.id1, r.id2)
+        for r in ngram_jaccard_pairs(
+            df, threshold=t, threshold_frac=(t_tenths, 10)
+        ).collect()
+    }
+    assert got == _py_pairs(docs, t)
