@@ -1,0 +1,65 @@
+"""Incremental streaming near-dup filtering: new docs are rejected when
+they near-dup the accepted corpus from *earlier micro-batches* (the
+cross-batch signature store), or earlier docs of the same batch."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from spark_kafka_streaming_spark.streaming.incremental_dedup import IncrementalDeduper
+from spark_kafka_streaming_spark.streaming.pipeline import start_sink
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+BASE = "the quick brown fox jumps over the lazy dog again and again today"
+NEAR = "the quick brown fox jumps over the lazy dog again and again tonight"
+OTHER = "completely different content about spark streaming kafka offsets and state"
+
+
+def _emit(src, name, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "docs")
+    store = str(tmp_path / "sigstore")
+    accepted = str(tmp_path / "accepted")
+    dedup = IncrementalDeduper(store, accepted, jaccard_threshold=0.5)
+
+    # batch 1: BASE + an intra-batch near-dup of BASE + OTHER
+    _emit(src, "b1.json", [(1, BASE), (2, NEAR), (3, OTHER)])
+    stream = spark.readStream.schema(DOC_SCHEMA).json(src)
+    q = start_sink(stream, foreach_batch=dedup, checkpoint=str(tmp_path / "ck"))
+    q.processAllAvailable()
+
+    # batch 2: another near-dup of BASE (cross-batch) + one new doc
+    _emit(src, "b2.json", [(10, BASE + " extra"), (11, "fresh unseen words "
+                                                       "about embeddings and lsh bands")])
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(accepted).select("doc_id").collect()
+    )
+    # 1 accepted; 2 rejected (intra-batch dup of 1); 3 accepted;
+    # 10 rejected (cross-batch dup of 1); 11 accepted
+    assert got == [1, 3, 11]
+
+    # the signature store only indexes accepted docs
+    store_ids = {
+        r.doc_id for r in spark.read.parquet(store).select("doc_id").collect()
+    }
+    assert store_ids == {1, 3, 11}
