@@ -184,3 +184,83 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse quantize the corpus into cells, probe
+    only the query's ``n_probe`` nearest cells.
+
+    Centroids are taken deterministically (the ``n_cells`` corpus
+    vectors with the smallest ids — at scale, replace with a k-means
+    pass over a sample; the join shape is identical). Cell assignment,
+    probing and final ranking all run on exact integer-scaled dot
+    products, so results are reproducible; recall < 1 by construction
+    and is measured against :func:`brute_force_topk` in tests.
+
+    Scale: the corpus shuffles once by cell id; each query probes
+    n_probe cells → cost ≈ |Q| · n_probe · (|C| / n_cells) instead of
+    |Q| · |C|.
+    """
+    scaled = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.expr(V.spark_scaled(vec_col)).alias("c_v"),
+        F.expr(V.spark_dot(V.spark_scaled(vec_col), V.spark_scaled(vec_col))).alias(
+            "c_n"
+        ),
+    )
+    cents = (
+        scaled.orderBy("c_id")
+        .limit(n_cells)
+        .select(
+            F.col("c_id").alias("cell"),
+            F.col("c_v").alias("cent_v"),
+            F.col("c_n").alias("cent_n"),
+        )
+    )
+
+    def nearest_cells(side: DataFrame, vcol: str, ncol: str, n: int) -> DataFrame:
+        cos = F.expr(V.spark_cosine(V.spark_dot(vcol, "cent_v"), ncol, "cent_n"))
+        w = W.partitionBy(side.columns[0]).orderBy(F.desc("cell_cos"), "cell")
+        return (
+            side.join(F.broadcast(cents), F.lit(True))
+            .withColumn("cell_cos", cos)
+            .withColumn("cell_rank", F.row_number().over(w))
+            .filter(F.col("cell_rank") <= n)
+        )
+
+    corpus_cells = nearest_cells(scaled, "c_v", "c_n", 1).select(
+        "c_id", "c_v", "c_n", "cell"
+    )
+    q_scaled = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.expr(V.spark_scaled(vec_col)).alias("q_v"),
+        F.expr(V.spark_dot(V.spark_scaled(vec_col), V.spark_scaled(vec_col))).alias(
+            "q_n"
+        ),
+    )
+    query_cells = nearest_cells(q_scaled, "q_v", "q_n", n_probe).select(
+        "q_id", "q_v", "q_n", "cell"
+    )
+    cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        query_cells.join(corpus_cells, "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

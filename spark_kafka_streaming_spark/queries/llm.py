@@ -494,3 +494,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.round(F.expr("aggregate(features, 0.0D, (a, x) -> a + x)"), 6).alias("feat_sum")
     ).orderBy("doc_id")
+
+
+@register(
+    "q_similarity_ann_ivf",
+    oracle=None,  # approximate by design; recall vs. brute force asserted
+    # in tests/test_llm_ops.py
+    doc="IVF-style ANN top-k: corpus coarse-quantized into cells, each "
+    "query probes its 4 nearest of 16 cells — cost |Q|*n_probe*(|C|/cells) "
+    "instead of |Q|*|C|; the second scale path next to hyperplane LSH.",
+    tags=("llm", "similarity", "ivf", "rows-only"),
+)
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).orderBy(
+        "query_id", "rn"
+    )

@@ -377,3 +377,67 @@ def q_agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "q_subquery_correlated_above_avg",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders o
+    WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 * (
+        SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey
+      ) > 3 * (
+        SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        FROM orders i WHERE i.o_custkey = o.o_custkey
+      )
+    ORDER BY o_orderkey
+    """,
+    doc="Correlated scalar subqueries: orders exceeding 1.5x their own "
+    "customer's average order value, written division-free over exact "
+    "decimal sums (price*2*count > 3*sum) so the threshold comparison "
+    "has no cross-engine float boundary.",
+    tags=("relational", "subquery", "correlated"),
+)
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders o
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) * 2 * (
+            SELECT COUNT(*) FROM orders i WHERE i.o_custkey = o.o_custkey
+          ) > 3 * (
+            SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FROM orders i WHERE i.o_custkey = o.o_custkey
+          )
+        ORDER BY o_orderkey
+        """
+    )
+
+
+@register(
+    "q_subquery_in_uncorrelated",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE c_nationkey IN (
+      SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+    )
+    ORDER BY c_custkey
+    """,
+    doc="Uncorrelated IN subquery (planned as a semi join).",
+    tags=("relational", "subquery", "in"),
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE c_nationkey IN (
+          SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+        )
+        ORDER BY c_custkey
+        """
+    )

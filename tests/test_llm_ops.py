@@ -96,3 +96,23 @@ def test_frame_sample_plan_explodes_frames(spark, sf_dir):
     frames = frame_sample_plan(attach_payload(docs, "text"), every_n=1)
     rows = frames.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
     assert all(r.n >= 1 for r in rows)
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF ANN recalls a reasonable share of the true top-5 while probing
+    only n_probe/n_cells of the corpus."""
+    from spark_kafka_streaming_spark.operators.similarity import ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, k=5, n_cells=16, n_probe=4).collect()
+    }
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
