@@ -163,10 +163,10 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
                   THEN 1 ELSE 0 END AS is_new
       FROM events
     ), numbered AS (
-      SELECT *, SUM(is_new) OVER (
+      SELECT *, CAST(SUM(is_new) OVER (
         PARTITION BY user_id ORDER BY ts, event_id
         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-      ) AS session_no
+      ) AS BIGINT) AS session_no
       FROM flagged
     )
     SELECT user_id, session_no, MIN(ts) AS session_start, MAX(ts) AS session_last,

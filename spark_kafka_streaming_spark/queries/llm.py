@@ -315,9 +315,10 @@ def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_stats",
     oracle=f"""
     SELECT doc_id,
-           len({TH.duck_tokens('text')}) AS n_tokens,
-           len(list_distinct({TH.duck_tokens('text')})) AS n_distinct_tokens,
-           len(list_filter({TH.duck_tokens('text')}, t -> t IN ({_SW})))
+           CAST(len({TH.duck_tokens('text')}) AS INT) AS n_tokens,
+           CAST(len(list_distinct({TH.duck_tokens('text')})) AS INT)
+             AS n_distinct_tokens,
+           CAST(len(list_filter({TH.duck_tokens('text')}, t -> t IN ({_SW}))) AS INT)
              AS n_stopwords,
            length(text) AS text_len,
            lang, source, n_chars
@@ -431,9 +432,9 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_text_token_counts",
     oracle=f"""
     SELECT doc_id,
-           len({TH.duck_tokens('text')}) AS n_ws_tokens,
-           len(list_filter(string_split_regex(text, '[^a-z0-9]+'), t -> t <> ''))
-             AS n_re_tokens
+           CAST(len({TH.duck_tokens('text')}) AS INT) AS n_ws_tokens,
+           CAST(len(list_filter(string_split_regex(text, '[^a-z0-9]+'), t -> t <> ''))
+             AS INT) AS n_re_tokens
     FROM documents
     ORDER BY doc_id
     """,
@@ -455,7 +456,7 @@ def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT doc_id,
            sha256(text) AS sha256,
-           octet_length(encode(text)) AS n_bytes,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            'text' AS modality
     FROM documents
     ORDER BY doc_id

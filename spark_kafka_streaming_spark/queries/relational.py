@@ -263,10 +263,10 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey, o_totalprice, rn
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             ROW_NUMBER() OVER (
+             CAST(ROW_NUMBER() OVER (
                PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey
-             ) AS rn
+             ) AS INT) AS rn
       FROM orders
     ) t
     WHERE rn <= 3
@@ -320,12 +320,12 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_rank_dense_rank",
     oracle="""
     SELECT o_orderpriority, o_orderkey, o_totalprice,
-           RANK() OVER (
+           CAST(RANK() OVER (
              PARTITION BY o_orderpriority ORDER BY o_totalprice DESC
-           ) AS price_rank,
-           DENSE_RANK() OVER (
+           ) AS INT) AS price_rank,
+           CAST(DENSE_RANK() OVER (
              PARTITION BY o_orderpriority ORDER BY o_totalprice DESC
-           ) AS price_dense_rank
+           ) AS INT) AS price_dense_rank
     FROM orders
     WHERE o_totalprice > 300000
     ORDER BY o_orderpriority, price_rank, o_orderkey

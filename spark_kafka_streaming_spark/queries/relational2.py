@@ -319,7 +319,7 @@ def q_scalar_string_builders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_map_json_explode",
     oracle="""
-    SELECT k, COUNT(*) AS n, SUM(v) AS total
+    SELECT k, COUNT(*) AS n, CAST(SUM(v) AS BIGINT) AS total
     FROM (
       SELECT unnest(json_keys(props)) AS k,
              CAST(json_extract(props, '$.k') AS BIGINT) AS v

@@ -68,6 +68,30 @@ def test_matches_duckdb(name, spark, sf_dir, duck):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+
+    # Type parity (the driver's schema check): DuckDB type names
+    # normalized to Spark simple strings.
+    def duck_norm(t):
+        t = str(t).upper()
+        m = {
+            "VARCHAR": "string", "BIGINT": "bigint", "INTEGER": "int",
+            "DOUBLE": "double", "TIMESTAMP": "timestamp",
+            "TIMESTAMP_NS": "timestamp", "BOOLEAN": "boolean",
+        }
+        return t.lower() if t.startswith("DECIMAL") else m.get(t, t.lower())
+
+    rel = duck.sql(q.oracle)
+    duck_types = {c: duck_norm(t) for c, t in zip(rel.columns, rel.types)}
+    spark_types = {
+        c: ("timestamp" if t.startswith("timestamp") else t)
+        for c, t in sdf.dtypes
+    }
+    type_diffs = {
+        c: (spark_types.get(c), duck_types.get(c))
+        for c in spark_types
+        if spark_types.get(c) != duck_types.get(c)
+    }
+    assert not type_diffs, f"{name}: column type mismatches {type_diffs}"
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
