@@ -43,9 +43,19 @@ BENCH_QUERIES = [
     "q_events_asof_last_click_before_purchase",
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
+    "q_dedup_simhash",
     "q_similarity_topk_bruteforce",
+    "q_similarity_ann_lsh",
+    "q_similarity_ann_ivf",
     "q_text_quality",
     "q_multimodal_fingerprint",
+    "q07_nation_trade_flow",
+    "q14_promo_revenue_share",
+    "q_agg_grouping_sets",
+    "q_agg_exact_percentiles",
+    "q_agg_salted_skew",
+    "q_subquery_correlated_above_avg",
+    "q_map_json_explode",
 ]
 
 

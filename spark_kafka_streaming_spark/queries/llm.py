@@ -513,3 +513,19 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") < 10), emb, k=5).orderBy(
         "query_id", "rn"
     )
+
+
+@register(
+    "q_dedup_embedding_lsh",
+    oracle=None,  # LSH candidate generation has recall < 1 by design;
+    # recall vs the exact pair set is asserted in tests/test_llm_ops.py
+    doc="Embedding near-dup pairs via hyperplane-LSH candidate buckets + "
+    "exact cosine verify — the scale path that replaces "
+    "q_dedup_embedding_cosine's O(n^2) pair generation.",
+    tags=("llm", "dedup", "embedding", "lsh", "rows-only"),
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(emb, threshold=0.45).orderBy("id1", "id2")

@@ -116,3 +116,35 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     }
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+
+
+def test_embedding_lsh_dedup_recall(spark, sf_dir):
+    """LSH-bucketed embedding dedup finds a usable share of the exact
+    cosine>=0.45 pairs (weak-similarity regime; near-dup corpora with
+    cos>=0.9 pairs see recall ~1)."""
+    from spark_kafka_streaming_spark.operators.similarity import cosine_dup_pairs
+    from spark_kafka_streaming_spark.functions import vectors as V
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr(V.spark_scaled("embedding")).alias("v"),
+        F.expr(V.spark_dot(V.spark_scaled("embedding"), V.spark_scaled("embedding"))).alias("n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cos = F.expr(V.spark_cosine(V.spark_dot("a.v", "b.v"), "a.n", "b.n"))
+    exact = {
+        (r.id1, r.id2)
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("id1"), F.col("b.vec_id").alias("id2"),
+                cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.45)
+        .collect()
+    }
+    approx = {
+        (r.id1, r.id2) for r in cosine_dup_pairs(emb, threshold=0.45).collect()
+    }
+    assert approx <= exact, "LSH must not invent pairs (verify step broken)"
+    if exact:
+        assert len(approx) / len(exact) >= 0.2
