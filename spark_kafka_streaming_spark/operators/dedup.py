@@ -146,7 +146,14 @@ def simhash_pairs(
         .select(id_col, "sim")
         .persist()  # both band-join legs read the signatures
     )
-    nbands = TH.SIMHASH_BITS // TH.SIMHASH_BAND_BITS
+    # Banding theory: max_hamming+1 bands suffice (pigeonhole — at most
+    # max_hamming bands can contain a differing bit). Fewer, wider bands
+    # mean exponentially more selective buckets: radius 1 → 2 bands of
+    # 16 bits (65536 buckets) vs 4×8 (256) — ~100× fewer candidates.
+    nbands = max_hamming + 1
+    while TH.SIMHASH_BITS % nbands:
+        nbands += 1
+    width = TH.SIMHASH_BITS // nbands
     bands = sigs.select(
         id_col,
         "sim",
@@ -156,8 +163,8 @@ def simhash_pairs(
                     F.struct(
                         F.lit(b).alias("band"),
                         F.expr(
-                            f"(shiftright(sim, {b * TH.SIMHASH_BAND_BITS}) & "
-                            f"{(1 << TH.SIMHASH_BAND_BITS) - 1})"
+                            f"(shiftright(sim, {b * width}) & "
+                            f"{(1 << width) - 1})"
                         ).alias("key"),
                     )
                     for b in range(nbands)

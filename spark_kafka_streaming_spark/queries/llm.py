@@ -138,12 +138,17 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------------- simhash
 
 
-def _duck_simhash_bands() -> str:
-    nb = TH.SIMHASH_BITS // TH.SIMHASH_BAND_BITS
-    mask = (1 << TH.SIMHASH_BAND_BITS) - 1
+def _duck_simhash_bands(max_hamming: int = 1) -> str:
+    # mirror of operators/dedup.py::simhash_pairs banding: max_hamming+1
+    # bands (pigeonhole), width = SIMHASH_BITS / nbands
+    nb = max_hamming + 1
+    while TH.SIMHASH_BITS % nb:
+        nb += 1
+    width = TH.SIMHASH_BITS // nb
+    mask = (1 << width) - 1
     return " UNION ALL ".join(
         f"SELECT doc_id, sim, {b} AS band, "
-        f"(sim >> {b * TH.SIMHASH_BAND_BITS}) & {mask} AS key FROM sims"
+        f"(sim >> {b * width}) & {mask} AS key FROM sims"
         for b in range(nb)
     )
 
