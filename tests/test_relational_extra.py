@@ -86,3 +86,19 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         "bucketed join should not shuffle"
     )
     assert joined.count() > 0
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """Hive-style partitioned parquet output + partition pruning on read
+    — the layout strategy that makes date/type-ranged scans at 100 TB
+    touch only relevant directories."""
+    ev = load_table(spark, sf_dir, "events")
+    out = str(tmp_path / "events_by_type")
+    ev.write.partitionBy("event_type").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, (
+        "partition pruning not applied"
+    )
+    expected = ev.filter(F.col("event_type") == "purchase").count()
+    assert back.count() == expected
