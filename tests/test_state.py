@@ -48,3 +48,8 @@ def test_running_totals_with_state(spark, tmp_path):
         latest[r.user_id] = (r.n_events, r.total_value)
     assert latest[7] == (3, 10.0)
     assert latest[9] == (1, 10.0)
+
+
+# NOTE: the ProcessingTimeTimeout emission path of sessionize_with_state
+# is exercised manually; processAllAvailable() does not terminate reliably
+# when state timeouts keep scheduling micro-batches, so no automated test.
