@@ -125,3 +125,19 @@ def test_foreachbatch_idempotent_upsert(spark, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == 10
     assert got.select("event_id").distinct().count() == 10
+
+
+def test_available_now_trigger_drains_and_stops(spark, tmp_path):
+    """trigger(availableNow=True): process the backlog as bounded
+    micro-batches, then stop on its own — the batch-drain mode used for
+    catch-up runs of a streaming pipeline."""
+    src = str(tmp_path / "an_src")
+    _emit(src, "b1.json", [_row(i, "2024-01-01T10:00:00.000000Z", uid=i)
+                           for i in range(25)])
+    stream = file_stream(spark, src, max_files_per_trigger=1)
+    q = start_sink(stream, "parquet", checkpoint=str(tmp_path / "ck_an"),
+                   path=str(tmp_path / "an_out"), available_now=True)
+    q.awaitTermination(60)
+    assert not q.isActive, "availableNow query should self-terminate"
+    got = spark.read.parquet(str(tmp_path / "an_out"))
+    assert got.count() == 25
