@@ -45,10 +45,12 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     d = with_token_stats(df, text_col)
     return d.withColumn(
         "quality",
+        # nullif guards zero-token documents (ANSI mode raises on /0);
+        # their quality is null — callers filter or coalesce explicitly.
         F.expr(
             "0.4 * least(1.0D, CAST(n_tokens AS DOUBLE) / 50) "
-            "+ 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens) "
-            "+ 0.3 * (1.0D - CAST(n_stopwords AS DOUBLE) / n_tokens)"
+            "+ 0.3 * (CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0)) "
+            "+ 0.3 * (1.0D - CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0))"
         ),
     )
 
@@ -61,7 +63,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return d.withColumn(
         "lang_pred",
         F.expr(
-            "CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.04 "
+            "CASE WHEN CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0) >= 0.04 "
             "THEN 'en' ELSE 'unknown' END"
         ),
     )

@@ -362,9 +362,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
                  CAST(n_tokens AS DOUBLE) / 50)
-           + CAST(0.3 AS DOUBLE) * (CAST(n_distinct_tokens AS DOUBLE) / n_tokens)
+           + CAST(0.3 AS DOUBLE) * (CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0))
            + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
-                 - CAST(n_stopwords AS DOUBLE) / n_tokens) AS quality
+                 - CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0)) AS quality
     FROM t
     ORDER BY doc_id
     """,
@@ -389,7 +389,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pred AS (
       SELECT lang,
-             CASE WHEN CAST(n_stopwords AS DOUBLE) / n_tokens >= 0.04
+             CASE WHEN CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0) >= 0.04
                   THEN 'en' ELSE 'unknown' END AS lang_pred
       FROM t
     )

@@ -1,0 +1,75 @@
+"""Empty/degenerate-input robustness for the LLM-pipeline operators —
+a 100 TB pipeline will hit empty partitions, empty batches, and
+degenerate documents constantly; none of these may throw."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from spark_kafka_streaming_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from spark_kafka_streaming_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_topk,
+)
+from spark_kafka_streaming_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+)
+
+EMPTY_DOCS = "doc_id long, text string"
+EMPTY_VECS = "vec_id long, embedding array<float>"
+
+
+def test_dedup_operators_on_empty_input(spark):
+    empty = spark.createDataFrame([], EMPTY_DOCS)
+    assert minhash_lsh_pairs(empty).count() == 0
+    assert simhash_pairs(empty).count() == 0
+    assert ngram_jaccard_pairs(empty).count() == 0
+    assert exact_dedup(empty, ["text"], "doc_id").count() == 0
+
+
+def test_similarity_on_empty_sides(spark):
+    empty = spark.createDataFrame([], EMPTY_VECS)
+    vecs = spark.createDataFrame(
+        [(1, [0.1] * 64), (2, [0.2] * 64)], EMPTY_VECS
+    )
+    assert brute_force_topk(empty, vecs).count() == 0
+    assert brute_force_topk(vecs, empty).count() == 0
+    assert ivf_topk(empty, vecs).count() == 0
+
+
+def test_text_ops_on_degenerate_documents(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, " "), (3, "x"), (4, "a b"), (5, None)], EMPTY_DOCS
+    )
+    q = quality_score(docs.filter(F.col("text").isNotNull()))
+    rows = {r.doc_id: r.quality for r in q.collect()}
+    # zero-token docs divide by zero → null quality, not an exception
+    assert rows[1] is None and rows[2] is None
+    assert rows[3] is not None
+    lang = language_id(docs.filter(F.col("text").isNotNull()))
+    assert lang.count() == 4
+    fp = fingerprint(docs.filter(F.col("text").isNotNull()))
+    got = {r.doc_id: (r.fp_exact, r.fp_fuzzy) for r in fp.collect()}
+    assert got[1][0] == 0  # empty fold
+    assert got[4][1] is None  # no shingles → no fuzzy fingerprint
+
+
+def test_dedup_single_and_identical_docs(spark):
+    one = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high")], EMPTY_DOCS
+    )
+    assert minhash_lsh_pairs(one).count() == 0
+    twins = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"),
+         (2, "the quick brown fox jumps high")],
+        EMPTY_DOCS,
+    )
+    pairs = minhash_lsh_pairs(twins).collect()
+    assert len(pairs) == 1 and pairs[0].jaccard == 1.0
