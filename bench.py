@@ -70,6 +70,51 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return elapsed
 
 
+def bench_streaming_drain(spark, sf_dir: str) -> float:
+    """Streaming path: drain the events table through a watermarked
+    tumbling-window aggregation (file source → availableNow → noop-style
+    memory-free sink) and report seconds (the micro-batch pipeline cost
+    the reference's receiver+window path would pay)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_kafka_streaming_spark.sources.batch import load_table
+    from spark_kafka_streaming_spark.streaming.pipeline import start_sink
+
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = f"{tmp}/src"
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+            .coalesce(4)
+            .write.json(src)
+        )
+        from spark_kafka_streaming_spark.streaming.pipeline import file_stream
+
+        stream = file_stream(spark, src)
+        agg = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        )
+        t0 = time.perf_counter()
+        q = start_sink(
+            agg, "parquet", checkpoint=f"{tmp}/ck", path=f"{tmp}/out",
+            output_mode="append", available_now=True,
+        )
+        q.awaitTermination(300)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     # Warm pass: JVM JIT + whole-stage-codegen compilation of each plan
@@ -80,6 +125,10 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         timings[name] = round(run_query(spark, name, SF_DIR), 4)
+    bench_streaming_drain(spark, SF_DIR)  # warm
+    timings["stream_events_windowed_drain"] = round(
+        bench_streaming_drain(spark, SF_DIR), 4
+    )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val: float | str = float(sf)
