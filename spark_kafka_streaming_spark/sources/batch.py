@@ -32,6 +32,15 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Make any externally-created session (e.g. the driver's) safe for
+    the catalog: nanosecond parquet handling and a fixed UTC event-time
+    zone. Both are runtime SQL confs, so this works on sessions the
+    engine did not build."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table; Catalyst prunes columns/predicates.
 
@@ -40,6 +49,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     we floor-divide to microseconds — the same truncation DuckDB applies
     when reading nanosecond timestamps into its µs TIMESTAMP.
     """
+    ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
