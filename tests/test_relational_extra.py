@@ -102,3 +102,26 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     )
     expected = ev.filter(F.col("event_type") == "purchase").count()
     assert back.count() == expected
+
+
+def test_fact_partitioned_by_month_layout(spark, sf_dir, tmp_path):
+    """write_fact_partitioned_by_month: same query results, partition
+    filters in the plan."""
+    from spark_kafka_streaming_spark.sources.batch import (
+        write_fact_partitioned_by_month,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = str(tmp_path / "li_by_month")
+    write_fact_partitioned_by_month(li, "l_shipdate", out)
+    part = spark.read.parquet(out).filter(
+        (F.col("l_shipdate_month") >= "1996-01")
+        & (F.col("l_shipdate_month") <= "1996-12")
+    )
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "l_shipdate_month" in plan
+    expected = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).count()
+    assert part.count() == expected
