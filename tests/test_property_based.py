@@ -58,3 +58,66 @@ def test_prefix_filtered_jaccard_is_exact(spark, docs, t_tenths):
         ).collect()
     }
     assert got == _py_pairs(docs, t)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10**9, max_value=10**9).map(lambda c: c / 100),
+        min_size=1,
+        max_size=200,
+    ),
+    nparts=st.integers(min_value=1, max_value=16),
+)
+def test_decimal_sum_partitioning_invariant(spark, vals, nparts):
+    """The DECIMAL-sum-then-DOUBLE-cast pattern gives the same bits under
+    any partitioning, and equals the exact cents total — the invariant
+    the whole oracle strategy rests on."""
+    from decimal import Decimal
+
+    from spark_kafka_streaming_spark.functions.exact import dsum
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(nparts)
+    got = df.agg(dsum("x").alias("s")).first().s
+    exact = float(sum(Decimal(f"{v:.2f}") for v in vals))
+    assert got == exact
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefghij ", min_size=0, max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_str_hash_cross_engine_parity(spark, words):
+    """spark_str_hash == duck_str_hash for arbitrary strings — the
+    portability root of every signature-based operator."""
+    import duckdb
+
+    from spark_kafka_streaming_spark.functions.texthash import (
+        duck_str_hash,
+        spark_str_hash,
+    )
+
+    con = duckdb.connect()
+    df = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {
+        r.s: r.h
+        for r in df.selectExpr("s", f"{spark_str_hash('s')} AS h").collect()
+    }
+    for w in words:
+        duck = con.execute(
+            f"SELECT {duck_str_hash('?::VARCHAR')} AS h", [w]
+        ).fetchone()[0]
+        assert got[w] == duck, (w, got[w], duck)
+    con.close()
