@@ -9,6 +9,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 # Import for side effect: each module registers its queries.
 from . import tpch  # noqa: F401,E402
 from . import tpch2  # noqa: F401,E402
+from . import tpch3  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
