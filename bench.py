@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "q_agg_salted_skew",
     "q_subquery_correlated_above_avg",
     "q_map_json_explode",
+    # TPC-H fourth wave: the heaviest adapted shapes (fact-fact
+    # self-joins and correlated aggregates).
+    "q02_min_cost_supplier",
+    "q09_product_type_profit",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
 ]
 
 
