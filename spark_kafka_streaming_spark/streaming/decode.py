@@ -43,6 +43,61 @@ def decode_json(df: DataFrame, schema: T.StructType | str, column: str = "value"
     )
 
 
+def decode_json_with_dlq(
+    df: DataFrame, schema: T.StructType | str, column: str = "value"
+) -> DataFrame:
+    """``from_json`` decode that *tags* undecodable records instead of
+    silently nulling them: output carries the typed columns plus
+    ``_raw`` (original payload) and ``_corrupt`` (true when the payload
+    was not parseable JSON).
+
+    At 100 TB a poison message must neither kill the query nor vanish —
+    split the result with :func:`valid_records` / :func:`dead_letters`
+    and route the dead letters to their own sink for replay. All column
+    expressions (no UDF), so the tagging rides whole-stage codegen.
+
+    Detection detail: permissive ``from_json`` yields an all-null struct
+    (not a null) for malformed input, so ``isNull`` can't see corruption;
+    the reliable signal is the ``columnNameOfCorruptRecord`` field, which
+    is non-null exactly for unparseable payloads.
+    """
+    if isinstance(schema, str):
+        schema = T.StructType.fromDDL(schema)
+    cr = "_cr"
+    schema_with_cr = T.StructType(
+        list(schema.fields) + [T.StructField(cr, T.StringType())]
+    )
+    raw = F.col(column).cast("string")
+    parsed = F.from_json(
+        raw, schema_with_cr, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": cr}
+    )
+    passthrough = [c for c in df.columns if c != column]
+    return (
+        df.select(
+            *passthrough,
+            raw.alias("_raw"),
+            parsed.alias("_rec"),
+        )
+        .select(
+            *passthrough,
+            "_raw",
+            F.col(f"_rec.{cr}").isNotNull().alias("_corrupt"),
+            "_rec.*",
+        )
+        .drop(cr)
+    )
+
+
+def valid_records(decoded: DataFrame) -> DataFrame:
+    """The good half of :func:`decode_json_with_dlq` (typed columns only)."""
+    return decoded.filter(~F.col("_corrupt")).drop("_raw", "_corrupt")
+
+
+def dead_letters(decoded: DataFrame) -> DataFrame:
+    """The dead-letter half: original payloads that failed to decode."""
+    return decoded.filter(F.col("_corrupt")).select("_raw")
+
+
 def explode_tokens(df: DataFrame, column: str = "value", sep: str = " ") -> DataFrame:
     """One message → N elements (the fan-out the flat-mapper allowed,
     ``...InputDStream.scala:310``; word-split case
