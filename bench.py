@@ -121,6 +121,51 @@ def bench_streaming_drain(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_stateful_dedup_drain(spark, sf_dir: str) -> float:
+    """RocksDB state-store path: drain events through watermarked
+    streaming dedup (key → first-seen state per event_id) — measures
+    per-batch state round-trips, the cost profile of streaming exact
+    dedup at scale."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_kafka_streaming_spark.sources.batch import load_table
+    from spark_kafka_streaming_spark.streaming.pipeline import (
+        file_stream,
+        start_sink,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_dedup_")
+    try:
+        src = f"{tmp}/src"
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_id",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
+                "user_id", "event_type", "value", "props",
+            )
+            .coalesce(4)
+            .write.json(src)
+        )
+        deduped = (
+            file_stream(spark, src)
+            .withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+        )
+        t0 = time.perf_counter()
+        q = start_sink(
+            deduped, "parquet", checkpoint=f"{tmp}/ck", path=f"{tmp}/out",
+            output_mode="append", available_now=True,
+        )
+        q.awaitTermination(300)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_spark(app_name="bench")
     # Warm pass: JVM JIT + whole-stage-codegen compilation of each plan
@@ -134,6 +179,10 @@ def main() -> None:
     bench_streaming_drain(spark, SF_DIR)  # warm
     timings["stream_events_windowed_drain"] = round(
         bench_streaming_drain(spark, SF_DIR), 4
+    )
+    bench_stateful_dedup_drain(spark, SF_DIR)  # warm
+    timings["stream_stateful_dedup_drain"] = round(
+        bench_stateful_dedup_drain(spark, SF_DIR), 4
     )
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     try:

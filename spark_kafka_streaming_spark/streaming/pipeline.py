@@ -65,6 +65,7 @@ def start_sink(
     trigger_seconds: float | None = None,
     foreach_batch: Callable[[DataFrame, int], None] | None = None,
     available_now: bool = False,
+    partition_by: list[str] | None = None,
 ) -> StreamingQuery:
     """Start a sink by name: memory | console | parquet | noop | foreachBatch.
 
@@ -73,8 +74,14 @@ def start_sink(
     for exactly-once writes to non-transactional stores (the pattern the
     reference approximates with HBase flushCommits,
     ``...InputDStream.scala:409``).
+
+    ``partition_by`` lays out file sinks hive-style (e.g. by event
+    date) — the landing-zone layout that gives downstream batch readers
+    partition pruning at 100 TB.
     """
     writer = df.writeStream.outputMode(output_mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     if available_now:

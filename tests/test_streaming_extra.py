@@ -141,3 +141,27 @@ def test_available_now_trigger_drains_and_stops(spark, tmp_path):
     assert not q.isActive, "availableNow query should self-terminate"
     got = spark.read.parquet(str(tmp_path / "an_out"))
     assert got.count() == 25
+
+
+def test_partitioned_parquet_sink_layout(spark, tmp_path):
+    """partition_by lays the file sink out hive-style so downstream batch
+    readers get partition pruning (the 100 TB landing-zone layout)."""
+    import glob
+
+    src = str(tmp_path / "part_src")
+    out = str(tmp_path / "part_out")
+    _emit(src, "b1.json",
+          [_row(i, "2024-01-01T10:00:00.000000Z", uid=i) for i in range(4)]
+          + [_row(i, "2024-01-02T10:00:00.000000Z", uid=i) for i in range(4, 10)])
+    from pyspark.sql import functions as F
+
+    stream = file_stream(spark, src).withColumn("day", F.to_date("ts"))
+    q = start_sink(stream, "parquet", checkpoint=str(tmp_path / "ck_part"),
+                   path=out, available_now=True, partition_by=["day"])
+    q.awaitTermination(60)
+    dirs = sorted(os.path.basename(p) for p in glob.glob(f"{out}/day=*"))
+    assert dirs == ["day=2024-01-01", "day=2024-01-02"]
+    pruned = spark.read.parquet(out).filter(F.col("day") == "2024-01-01")
+    assert pruned.count() == 4
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(day" in plan
