@@ -76,6 +76,53 @@ def brute_force_topk(
     )
 
 
+def _sign_key(band: int) -> F.Column:
+    """Sign pattern of the band's LSH_PLANES hyperplanes, packed into a
+    bigint. Plane p component j = ((p*131 + j*29) mod P mod 2001) - 1000
+    — a fixed pseudo-random integer vector, identical in every
+    engine/run. Operates on the scaled-vector column ``v``."""
+    bits = []
+    for pl in range(LSH_PLANES):
+        p_idx = band * LSH_PLANES + pl
+        plane = (
+            f"transform(sequence(0, {DIM - 1}), "
+            f"j -> CAST((({p_idx} * 131 + j * 29) % {P}) % 2001 - 1000 AS BIGINT))"
+        )
+        dot = V.spark_dot("v", plane)
+        bits.append(f"(CASE WHEN {dot} > 0 THEN 1L ELSE 0L END)")
+    key = "0L"
+    for b_expr in bits:
+        key = f"({key} * 2 + {b_expr})"
+    return F.expr(key)
+
+
+def _banded(
+    vectors: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, v, n, band, key): one row per (vector, band) with the band's
+    packed sign key — the LSH bucket address."""
+    base = vectors.select(
+        F.col(id_col).alias("id"),
+        F.expr(V.spark_scaled(vec_col)).alias("v"),
+        F.expr(V.spark_dot(V.spark_scaled(vec_col), V.spark_scaled(vec_col))).alias(
+            "n"
+        ),
+    )
+    return base.select(
+        "id",
+        "v",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), _sign_key(b).alias("key"))
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "v", "n", "bk.band", "bk.key")
+
+
 def cosine_dup_pairs(
     vectors: DataFrame,
     threshold: float = 0.9,
@@ -84,51 +131,12 @@ def cosine_dup_pairs(
 ) -> DataFrame:
     """Exact cosine-threshold pairs, LSH-bucketed candidate generation.
 
-    Random-hyperplane signs: plane p component j =
-    ((p*131 + j*29) mod P mod 2001) - 1000 — a fixed pseudo-random
-    integer vector, identical in every engine/run. Vectors agreeing on
-    all LSH_PLANES signs within any band become candidates (equi-join
-    on the sign pattern); exact cosine then filters. Recall < 1 by
-    construction (documented); raise LSH_BANDS for higher recall.
+    Vectors agreeing on all LSH_PLANES signs within any band become
+    candidates (equi-join on the sign pattern); exact cosine then
+    filters. Recall < 1 by construction (documented); raise LSH_BANDS
+    for higher recall.
     """
-    base = vectors.select(
-        F.col(id_col).alias("id"),
-        F.expr(V.spark_scaled(vec_col)).alias("v"),
-        F.expr(V.spark_dot(V.spark_scaled(vec_col), V.spark_scaled(vec_col))).alias(
-            "n"
-        ),
-    )
-
-    def sign_key(band: int) -> F.Column:
-        bits = []
-        for pl in range(LSH_PLANES):
-            p_idx = band * LSH_PLANES + pl
-            plane = (
-                f"transform(sequence(0, {DIM - 1}), "
-                f"j -> CAST((({p_idx} * 131 + j * 29) % {P}) % 2001 - 1000 AS BIGINT))"
-            )
-            dot = V.spark_dot("v", plane)
-            bits.append(f"(CASE WHEN {dot} > 0 THEN 1L ELSE 0L END)")
-        key = "0L"
-        for b_expr in bits:
-            key = f"({key} * 2 + {b_expr})"
-        return F.expr(key)
-
-    banded = base.select(
-        "id",
-        "v",
-        "n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), sign_key(b).alias("key")
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "v", "n", "bk.band", "bk.key")
+    banded = _banded(vectors, id_col, vec_col)
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -161,25 +169,56 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """ANN top-k: candidates from shared LSH buckets only, then exact
-    cosine rank. Approximate (recall depends on bands/planes); compare
-    against :func:`brute_force_topk` for recall measurement."""
-    pairs = cosine_dup_pairs(
-        corpus, threshold=-1.0, id_col=id_col, vec_col=vec_col
+    """ANN top-k: candidates from shared LSH buckets, then exact cosine
+    rank.
+
+    ``multi_probe`` (Lv et al., VLDB'07 shape): each query additionally
+    probes the LSH_PLANES buckets one sign-flip away per band — the
+    buckets a near-miss neighbor most likely landed in. In the
+    weak-similarity regime (P[sign agree] ≈ 0.65) this lifts per-band
+    collision from 0.65⁶ ≈ 7% to ≈ 32% (≈95% over 8 bands) while
+    probing 7 buckets/band instead of 1 — still ≪ brute force, and
+    only the *query* side fans out (the corpus index is unchanged, so
+    index size and build cost stay flat — the multi-probe trade at
+    100 TB: extra reads, no extra state).
+    """
+    c = _banded(corpus, id_col, vec_col).select(
+        F.col("id").alias("c_id"),
+        F.col("v").alias("c_v"),
+        F.col("n").alias("c_n"),
+        "band",
+        "key",
     )
-    qids = queries.select(F.col(id_col).alias("query_id"))
-    sym = pairs.select(
-        F.col("id1").alias("query_id"), F.col("id2").alias("neighbor_id"), "cos_sim"
-    ).union(
-        pairs.select(
-            F.col("id2").alias("query_id"), F.col("id1").alias("neighbor_id"),
-            "cos_sim",
+    q = _banded(queries, id_col, vec_col)
+    if multi_probe:
+        # key plus its one-bit-flip variants (XOR each plane's bit).
+        variants = ", ".join(
+            ["key"] + [f"key ^ {1 << b}L" for b in range(LSH_PLANES)]
         )
+        q = q.select(
+            "id", "v", "n", "band",
+            F.explode(F.expr(f"array({variants})")).alias("key"),
+        )
+    q = q.select(
+        F.col("id").alias("q_id"),
+        F.col("v").alias("q_v"),
+        F.col("n").alias("q_n"),
+        "band",
+        "key",
     )
+    cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
-        sym.join(F.broadcast(qids), "query_id")
+        q.join(c, ["band", "key"])
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            cos.alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")

@@ -43,8 +43,9 @@ def test_minhash_finds_planted_near_dups(spark, sf_dir):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
-    """Hyperplane-LSH ANN recalls a reasonable share of the true top-5
-    (it probes only shared buckets — documented trade-off)."""
+    """Multi-probe hyperplane-LSH ANN recalls most of the true top-5
+    even in this weak-similarity corpus; single-probe is strictly
+    weaker (documented trade-off)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10)
     truth = {
@@ -55,7 +56,13 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         (r.query_id, r.neighbor_id) for r in lsh_topk(q, emb, k=5).collect()
     }
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.3, f"ANN recall collapsed: {recall}"
+    assert recall >= 0.55, f"multi-probe ANN recall collapsed: {recall}"
+    single = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(q, emb, k=5, multi_probe=False).collect()
+    }
+    single_recall = len(truth & single) / len(truth)
+    assert single_recall >= 0.2, f"ANN recall collapsed: {single_recall}"
 
 
 def test_bruteforce_topk_self_excluded_and_ranked(spark, sf_dir):
