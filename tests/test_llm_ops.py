@@ -106,8 +106,8 @@ def test_frame_sample_plan_explodes_frames(spark, sf_dir):
 
 
 def test_ivf_recall_vs_bruteforce(spark, sf_dir):
-    """IVF ANN recalls a reasonable share of the true top-5 while probing
-    only n_probe/n_cells of the corpus."""
+    """IVF ANN (with 2-way corpus replication) recalls nearly all of the
+    true top-5 while probing only n_probe/n_cells of the corpus."""
     from spark_kafka_streaming_spark.operators.similarity import ivf_topk
     from pyspark.sql import functions as F
 
@@ -122,7 +122,7 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
         for r in ivf_topk(q, emb, k=5, n_cells=16, n_probe=4).collect()
     }
     recall = len(truth & approx) / len(truth)
-    assert recall >= 0.2, f"IVF recall collapsed: {recall}"
+    assert recall >= 0.8, f"IVF recall collapsed: {recall}"
 
 
 def test_embedding_lsh_dedup_recall(spark, sf_dir):
@@ -155,3 +155,26 @@ def test_embedding_lsh_dedup_recall(spark, sf_dir):
     assert approx <= exact, "LSH must not invent pairs (verify step broken)"
     if exact:
         assert len(approx) / len(exact) >= 0.2
+
+
+def test_ivf_kmeans_refine_deterministic_and_usable(spark, sf_dir):
+    """Lloyd refinement keeps centroids in the scaled-integer space,
+    is reproducible (exact sums + rounded division), and the refined
+    index still recalls well."""
+    from spark_kafka_streaming_spark.operators.similarity import ivf_topk
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    run = lambda: sorted(
+        (r.query_id, r.neighbor_id, r.rn)
+        for r in ivf_topk(q, emb, k=5, kmeans_iters=1).collect()
+    )
+    a, b = run(), run()
+    assert a == b, "refined IVF results must be deterministic"
+    approx = {(x, y) for x, y, _ in a}
+    assert len(truth & approx) / len(truth) >= 0.8
