@@ -421,8 +421,12 @@ def q20_part_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sq") * 8 > F.col("tq"))
         .select("l_suppkey")
     )
+    # dominant is a handful of supplier ids — broadcast it so the
+    # supplier side of the semi join never shuffles.
     return (
-        supp.join(dominant, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+        supp.join(
+            F.broadcast(dominant), supp.s_suppkey == F.col("l_suppkey"), "left_semi"
+        )
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
