@@ -183,9 +183,13 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
+    # Exact integer-microsecond gap: timestamp→double quantizes at
+    # ~0.4 µs near epoch magnitude, so a gap of exactly 1800 s could
+    # round across the >= boundary in one engine only.  Same convention
+    # as q_events_lag_lead above.
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
     is_new = F.when(
-        gap.isNull() | (gap >= 30 * 60), F.lit(1)
+        gap.isNull() | (gap >= 30 * 60 * 1_000_000), F.lit(1)
     ).otherwise(F.lit(0))
     wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
     return (
