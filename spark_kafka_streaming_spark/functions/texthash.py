@@ -60,6 +60,18 @@ def spark_str_hash(s: str) -> str:
     return f"(CAST(CONV(SUBSTRING(md5({s}), 1, 15), 16, 10) AS BIGINT) % {P})"
 
 
+def spark_str_hash_raw(s: str) -> str:
+    """The raw 60-bit md5 prefix, *without* the mod-P reduction.
+
+    SimHash draws its per-token bit pattern from this: mod P ≈ 2^30
+    would zero every bit above 29, silently shrinking a 32-bit SimHash
+    to 30 effective bits (and collapsing the top band's bucket space).
+    MinHash keeps the mod-P form — its (A·x + B) mod P family needs
+    x < P for exact int64 arithmetic.
+    """
+    return f"CAST(CONV(SUBSTRING(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+
+
 def spark_shingles_from_tokens(tok_col: str, w: int = SHINGLE_W) -> str:
     """Shingles over a *materialized* token-array column.
 
@@ -110,19 +122,36 @@ def spark_band_key(sig_col: str, band: int) -> str:
     return expr
 
 
-def spark_simhash(col: str) -> str:
-    """32-bit SimHash of the distinct-token set.
-
-    ``col`` may be a raw text column or a materialized token-array
-    column wrapped by the caller; tokenization happens once here.
-    """
-    th = f"transform(array_distinct({spark_tokens(col)}), t -> {spark_str_hash('t')})"
+def _spark_simhash_of_token_hashes(th: str) -> str:
     bits = (
         f"transform(sequence(0, {SIMHASH_BITS - 1}), j -> CASE WHEN "
         f"aggregate({th}, 0L, (acc, h) -> acc + CASE WHEN (shiftright(h, j) & 1) = 1 "
         f"THEN 1 ELSE -1 END) > 0 THEN 1L ELSE 0L END)"
     )
     return f"aggregate({bits}, 0L, (acc, b) -> acc * 2 + b)"
+
+
+def spark_simhash(col: str) -> str:
+    """32-bit SimHash of the distinct-token set of a raw text column.
+
+    Token bits come from the raw 60-bit md5 value
+    (:func:`spark_str_hash_raw`) so all ``SIMHASH_BITS`` advertised
+    bits actually vary.
+    """
+    th = (
+        f"transform(array_distinct({spark_tokens(col)}), "
+        f"t -> {spark_str_hash_raw('t')})"
+    )
+    return _spark_simhash_of_token_hashes(th)
+
+
+def spark_simhash_from_tokens(tok_col: str) -> str:
+    """SimHash over a *materialized* token-array column (hot-path form:
+    avoids re-tokenizing inside the lambda)."""
+    th = (
+        f"transform(array_distinct({tok_col}), t -> {spark_str_hash_raw('t')})"
+    )
+    return _spark_simhash_of_token_hashes(th)
 
 
 # ----------------------------------------------------------- DuckDB side
@@ -143,6 +172,11 @@ def duck_char_hash(s: str) -> str:
 def duck_str_hash(s: str) -> str:
     """DuckDB twin of :func:`spark_str_hash` (hex-literal cast)."""
     return f"(CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT) % {P})"
+
+
+def duck_str_hash_raw(s: str) -> str:
+    """DuckDB twin of :func:`spark_str_hash_raw`."""
+    return f"CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
 
 
 def duck_shingles(col: str, w: int = SHINGLE_W) -> str:
@@ -175,7 +209,8 @@ def duck_band_key(sig_col: str, band: int) -> str:
 
 def duck_simhash(col: str) -> str:
     th = (
-        f"list_transform(list_distinct({duck_tokens(col)}), t -> {duck_str_hash('t')})"
+        f"list_transform(list_distinct({duck_tokens(col)}), "
+        f"t -> {duck_str_hash_raw('t')})"
     )
     bits = (
         f"list_transform(generate_series(0, {SIMHASH_BITS - 1}), j -> CASE WHEN "

@@ -31,11 +31,47 @@ from pyspark.sql import functions as F
 from ..functions import texthash as TH
 
 
-def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+#: String keys longer than this are replaced by their sha256 before the
+#: groupBy shuffle. 64 keeps short codes/categories readable while any
+#: real document body is hashed.
+LONG_KEY_THRESHOLD = 64
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    id_col: str,
+    hash_long_keys: bool = True,
+    long_key_threshold: int = LONG_KEY_THRESHOLD,
+) -> DataFrame:
     """Keep the lowest-id row per duplicate group (deterministic,
-    unlike ``dropDuplicates``) and report the group size."""
+    unlike ``dropDuplicates``) and report the group size.
+
+    With ``hash_long_keys`` (the default), string keys longer than
+    ``long_key_threshold`` chars are shuffled as
+    ``'sha256:' || sha2(key, 256)`` instead of the raw value — at
+    corpus scale the groupBy key would otherwise move every document
+    body through the exchange. The ``sha256:`` prefix makes hashed and
+    raw domains disjoint (a raw value under the threshold is shorter
+    than the 71-char prefixed digest), so no cross-domain collisions.
+    The output column carries the (possibly hashed) grouping key.
+    """
+    types = dict(df.dtypes)
+    keys = []
+    for c in key_cols:
+        if hash_long_keys and types.get(c) == "string":
+            keys.append(
+                F.when(
+                    F.length(c) > long_key_threshold,
+                    F.concat(F.lit("sha256:"), F.sha2(F.col(c), 256)),
+                )
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+        else:
+            keys.append(F.col(c))
     return (
-        df.groupBy(*key_cols)
+        df.groupBy(*keys)
         .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_dupes"))
     )
 
@@ -71,36 +107,51 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact verify.
 
     Returns (id1, id2, jaccard) with id1 < id2, jaccard ≥ threshold.
+
+    ``sigs``: optional precomputed signature table
+    (:func:`..operators.signatures.signature_table`, columns id/hs/sig)
+    — the cluster form, where the per-corpus signature pass is
+    materialized once and shared by the whole dedup tier.  When omitted
+    the signatures are derived inline and ``persist()``-ed for the
+    duration of the returned plan's execution; callers running many
+    operators in one session should either pass ``sigs`` or
+    ``spark.catalog.clearCache()`` between invocations (the persisted
+    block is otherwise held until session end).
     """
-    # Persist signatures: the band self-join and the verification join
-    # each consume this frame twice — without a persist the whole
-    # shingle+signature computation re-runs per join leg. At cluster
-    # scale the same role is played by writing the signature table to
-    # storage once per corpus snapshot.
-    par = df.sparkSession.sparkContext.defaultParallelism
-    # Small corpora land in one parquet partition; spread the (CPU-heavy)
-    # signature computation across cores. At scale the scan is already
-    # many-partitioned and this repartition keeps ids co-located for the
-    # later joins.
-    sigs = (
-        df.filter(_has_shingles(text_col))
-        .repartition(par, F.col(id_col))
-        .select(F.col(id_col), F.expr(TH.spark_tokens(text_col)).alias("toks"))
-        .select(id_col, F.expr(TH.spark_shingles_from_tokens("toks")).alias("sh"))
-        .select(
-            id_col,
-            F.expr(
-                f"array_distinct(transform(sh, s -> {TH.spark_str_hash('s')}))"
-            ).alias("hs"),
+    precomputed = sigs is not None
+    if precomputed:
+        # Parquet-backed: already materialized, no persist needed —
+        # each join leg is a cheap columnar scan.
+        sigs = sigs.filter(F.col("sig").isNotNull()).select(id_col, "sig", "hs")
+    else:
+        # Persist signatures: the band self-join and the verification
+        # join each consume this frame twice — without a persist the
+        # whole shingle+signature computation re-runs per join leg.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        # Small corpora land in one parquet partition; spread the
+        # (CPU-heavy) signature computation across cores. At scale the
+        # scan is already many-partitioned and this repartition keeps
+        # ids co-located for the later joins.
+        sigs = (
+            df.filter(_has_shingles(text_col))
+            .repartition(par, F.col(id_col))
+            .select(F.col(id_col), F.expr(TH.spark_tokens(text_col)).alias("toks"))
+            .select(id_col, F.expr(TH.spark_shingles_from_tokens("toks")).alias("sh"))
+            .select(
+                id_col,
+                F.expr(
+                    f"array_distinct(transform(sh, s -> {TH.spark_str_hash('s')}))"
+                ).alias("hs"),
+            )
+            .withColumn("sig", F.expr(TH.spark_minhash_sig("hs")))
+            .select(id_col, "sig", "hs")
+            .persist()
         )
-        .withColumn("sig", F.expr(TH.spark_minhash_sig("hs")))
-        .select(id_col, "sig", "hs")
-        .persist()
-    )
     bands = sigs.select(
         id_col,
         F.explode(
@@ -114,7 +165,9 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key").persist()
+    ).select(id_col, "bk.band", "bk.key")
+    if not precomputed:
+        bands = bands.persist()
     left = bands.alias("l")
     right = bands.alias("r")
     cand = (
@@ -147,19 +200,26 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded 32-bit SimHash.
 
-    4 bands of 8 bits guarantee recall for hamming ≤ 3; exact distance
+    max_hamming+1 bands guarantee recall (pigeonhole); exact distance
     via xor+bit_count on candidates. Returns (id1, id2, hamming, sim1,
-    sim2).
+    sim2).  ``sigs``: optional precomputed signature table (see
+    :func:`minhash_lsh_pairs`); uses its ``sim`` column.
     """
-    sigs = (
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-        .withColumn("sim", F.expr(TH.spark_simhash(text_col)))
-        .select(id_col, "sim")
-        .persist()  # both band-join legs read the signatures
-    )
+    if sigs is not None:
+        sigs = sigs.select(id_col, "sim")
+    else:
+        sigs = (
+            df.repartition(
+                df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+            )
+            .withColumn("sim", F.expr(TH.spark_simhash(text_col)))
+            .select(id_col, "sim")
+            .persist()  # both band-join legs read the signatures
+        )
     # Banding theory: max_hamming+1 bands suffice (pigeonhole — at most
     # max_hamming bands can contain a differing bit). Fewer, wider bands
     # mean exponentially more selective buckets: radius 1 → 2 bands of
@@ -215,9 +275,13 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.6,
     threshold_frac: tuple[int, int] | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold pairs via prefix-filtered set-similarity
     join (the SSJoin/PPJoin family).
+
+    ``sigs``: optional precomputed signature table (see
+    :func:`minhash_lsh_pairs`); uses its ``hs`` column.
 
     A naive shingle inverted-index self-join is Σ bucket² over shingle
     document frequencies — quadratic in hot shingles, which is exactly
@@ -242,19 +306,24 @@ def ngram_jaccard_pairs(
         p, q = fr.numerator, fr.denominator
     else:
         p, q = threshold_frac
-    hs = (
-        df.filter(_has_shingles(text_col))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism, F.col(id_col))
-        .select(F.col(id_col), F.expr(TH.spark_tokens(text_col)).alias("toks"))
-        .select(id_col, F.expr(TH.spark_shingles_from_tokens("toks")).alias("sh"))
-        .select(
-            id_col,
-            F.expr(
-                f"array_distinct(transform(sh, s -> {TH.spark_str_hash('s')}))"
-            ).alias("hs"),
+    if sigs is not None:
+        hs = sigs.filter(F.size("hs") > 0).select(id_col, "hs")
+    else:
+        hs = (
+            df.filter(_has_shingles(text_col))
+            .repartition(
+                df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+            )
+            .select(F.col(id_col), F.expr(TH.spark_tokens(text_col)).alias("toks"))
+            .select(id_col, F.expr(TH.spark_shingles_from_tokens("toks")).alias("sh"))
+            .select(
+                id_col,
+                F.expr(
+                    f"array_distinct(transform(sh, s -> {TH.spark_str_hash('s')}))"
+                ).alias("hs"),
+            )
+            .persist()  # consumed by the prefix index + verification joins
         )
-        .persist()  # consumed by the prefix index + verification joins
-    )
     ex = hs.select(id_col, F.size("hs").alias("n"), F.explode("hs").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df_h"))
     w = W.partitionBy(id_col).orderBy("df_h", "h")

@@ -25,6 +25,7 @@ from ..operators.dedup import (
     simhash_pairs,
 )
 from ..operators.multimodal import attach_payload, extract_features
+from ..operators.signatures import signature_table
 from ..operators.similarity import brute_force_topk, lsh_topk
 from ..operators.text import (
     STOPWORDS,
@@ -70,21 +71,25 @@ _DUCK_SCALED_VEC_CTE = f"""
 @register(
     "q_dedup_exact_documents",
     oracle="""
-    SELECT text, MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+    SELECT CASE WHEN length(text) > 64 THEN 'sha256:' || sha256(text)
+                ELSE text END AS text_key,
+           MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
     FROM documents
-    GROUP BY text
+    GROUP BY text_key
     ORDER BY doc_id
     """,
     doc="Exact dedup: hash-groupBy on content, deterministic survivor "
-    "(min id). Streaming twin: dropDuplicatesWithinWatermark "
+    "(min id). Long texts are shuffled as sha256 digests, not raw bytes "
+    "— at 100 TB the groupBy key must not carry document bodies through "
+    "the exchange. Streaming twin: dropDuplicatesWithinWatermark "
     "(tests/test_streaming.py).",
     tags=("llm", "dedup"),
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return (
-        exact_dedup(docs, ["text"], "doc_id")
-        .select("text", "doc_id", "n_dupes")
+        exact_dedup(docs.withColumnRenamed("text", "text_key"), ["text_key"], "doc_id")
+        .select("text_key", "doc_id", "n_dupes")
         .orderBy("doc_id")
     )
 
@@ -131,8 +136,10 @@ def _duck_minhash_bands() -> str:
     tags=("llm", "dedup", "lsh"),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, jaccard_threshold=0.5).orderBy("id1", "id2")
+    sigs = signature_table(spark, sf_dir)
+    return minhash_lsh_pairs(
+        None, jaccard_threshold=0.5, sigs=sigs
+    ).orderBy("id1", "id2")
 
 
 # ----------------------------------------------------------- simhash
@@ -177,9 +184,9 @@ def _duck_simhash_bands(max_hamming: int = 1) -> str:
     tags=("llm", "dedup", "simhash"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    sigs = signature_table(spark, sf_dir)
     return (
-        simhash_pairs(docs, max_hamming=1)
+        simhash_pairs(None, max_hamming=1, sigs=sigs)
         .withColumn("hamming", F.col("hamming").cast("int"))
         .orderBy("id1", "id2")
     )
@@ -219,9 +226,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "jaccard"),
 )
 def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    sigs = signature_table(spark, sf_dir)
     return ngram_jaccard_pairs(
-        docs, threshold=0.6, threshold_frac=(3, 5)
+        None, threshold=0.6, threshold_frac=(3, 5), sigs=sigs
     ).orderBy("id1", "id2")
 
 
