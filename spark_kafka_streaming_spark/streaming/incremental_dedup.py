@@ -7,29 +7,53 @@ anything already accepted?" incrementally.
 
 Design (the 100 TB shape):
 
-* a persistent **signature store** (parquet table keyed by LSH band
-  keys) holds one row per (band, key, doc_id) for every accepted doc;
+* a persistent **signature store** (parquet, laid out for pruned point
+  lookups — see below) holds one row per (band, key, doc_id) for every
+  accepted doc;
 * each micro-batch, via ``foreachBatch``: compute the batch's
-  signatures (same engine-portable hash family), equi-join its band
-  keys against the store (and against the batch itself for intra-batch
-  dups), verify candidates with exact Jaccard on hashed shingles, drop
-  matched docs, and append the survivors' band keys to the store;
-* the store grows by accepted docs only; the join stays an equi-join
-  on uniformly-distributed band keys — no state-store blowup, and the
-  store doubles as the corpus's dedup index for batch jobs.
+  signatures (same engine-portable hash family), probe the store with
+  a **broadcast** equi-join on the band keys (and self-join the batch
+  for intra-batch dups), verify candidates with exact Jaccard on
+  hashed shingles, drop matched docs, and append the survivors' band
+  keys to the store;
+* the store grows by accepted docs only and doubles as the corpus's
+  dedup index for batch jobs.
 
-Exactly-once: the sink keys writes by ``batch_id`` (idempotent
-overwrite on replay), same pattern as tests/test_streaming_extra.py.
+Store layout — the part that has to survive 100 TB:
+
+* Partitioned by ``kb = pmod(xxhash64(key), N_KEY_BUCKETS)`` (plus
+  ``batch`` for idempotent replay).  The per-trigger probe joins on
+  ``(kb, band, key)`` with the (small) batch side broadcast, so the
+  store side is **never shuffled**, and Spark's dynamic partition
+  pruning drops every ``kb=…`` directory the batch doesn't touch —
+  per-trigger I/O scales with the batch's bucket fan-out, not with
+  corpus size.  Files are sorted by ``key`` within each bucket so
+  parquet row-group min/max stats prune further.
+* Each trigger writes its survivors under ``kb=…/batch=N`` with
+  dynamic partition overwrite — replaying batch N after a crash
+  overwrites exactly its own leaves (exactly-once, same pattern as
+  tests/test_streaming_extra.py).
+* ``compact()`` (optionally every ``compact_every`` batches) folds the
+  accumulated per-batch leaves into a single sorted ``batch=-1`` base
+  per bucket, bounding file counts.  The rewrite goes through a temp
+  directory + rename; a production deployment would put the store in a
+  transactional table format (Delta/Iceberg) and get the same move
+  atomically.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
+
+#: Directory-level hash buckets on the LSH key. At cluster scale this
+#: would be sized so one bucket ≈ a few hundred MB of index.
+N_KEY_BUCKETS = 64
 
 
 def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -48,23 +72,33 @@ def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def band_keys(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id, band, key, hs) — the LSH index rows for the store."""
-    return sigs.select(
-        id_col,
-        "hs",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(TH.spark_band_key("sig", b)).alias("key"),
-                    )
-                    for b in range(TH.BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key", "hs")
+def band_keys(
+    sigs: DataFrame, id_col: str = "doc_id", n_key_buckets: int = N_KEY_BUCKETS
+) -> DataFrame:
+    """(id, band, key, kb, hs) — the LSH index rows for the store.
+
+    ``kb`` is the store's partition bucket; computing it here keeps the
+    batch side and the store side of the probe join bit-identical.
+    """
+    return (
+        sigs.select(
+            id_col,
+            "hs",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(TH.spark_band_key("sig", b)).alias("key"),
+                        )
+                        for b in range(TH.BANDS)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select(id_col, "bk.band", "bk.key", "hs")
+        .withColumn("kb", F.pmod(F.xxhash64("key"), F.lit(n_key_buckets)))
+    )
 
 
 class IncrementalDeduper:
@@ -81,12 +115,16 @@ class IncrementalDeduper:
         jaccard_threshold: float = 0.5,
         id_col: str = "doc_id",
         text_col: str = "text",
+        n_key_buckets: int = N_KEY_BUCKETS,
+        compact_every: int = 0,
     ):
         self.store_path = store_path
         self.accepted_path = accepted_path
         self.threshold = jaccard_threshold
         self.id_col = id_col
         self.text_col = text_col
+        self.n_key_buckets = n_key_buckets
+        self.compact_every = compact_every
 
     # -- helpers -------------------------------------------------------
     def _store(self, spark: SparkSession) -> DataFrame | None:
@@ -94,25 +132,8 @@ class IncrementalDeduper:
             return None
         return spark.read.parquet(self.store_path)
 
-    def _dup_ids(self, batch_keys: DataFrame, index: DataFrame) -> DataFrame:
-        """ids in ``batch_keys`` that near-dup anything in ``index``."""
-        id_c = self.id_col
-        cand = (
-            batch_keys.alias("n")
-            .join(
-                index.alias("o"),
-                (F.col("n.band") == F.col("o.band"))
-                & (F.col("n.key") == F.col("o.key"))
-                & (F.col(f"n.{id_c}") != F.col(f"o.{id_c}")),
-            )
-            .select(
-                F.col(f"n.{id_c}").alias("new_id"),
-                F.col(f"o.{id_c}").alias("old_id"),
-                F.col("n.hs").alias("hs1"),
-                F.col("o.hs").alias("hs2"),
-            )
-            .dropDuplicates(["new_id", "old_id"])
-        )
+    def _verify(self, cand: DataFrame) -> DataFrame:
+        """Exact-Jaccard filter on candidate pairs → distinct dup ids."""
         inter = F.size(F.array_intersect("hs1", "hs2"))
         union = F.size("hs1") + F.size("hs2") - inter
         return (
@@ -124,11 +145,60 @@ class IncrementalDeduper:
             .distinct()
         )
 
+    def _dup_ids(self, batch_keys: DataFrame, store: DataFrame) -> DataFrame:
+        """ids in ``batch_keys`` that near-dup anything in ``store``.
+
+        The batch side is broadcast: the store — arbitrarily large — is
+        probed in place (no shuffle), and the equi-join on the ``kb``
+        partition column lets dynamic partition pruning skip every
+        store bucket the batch doesn't touch.
+        """
+        id_c = self.id_col
+        cand = (
+            store.alias("o")
+            .join(
+                F.broadcast(batch_keys).alias("n"),
+                (F.col("o.kb") == F.col("n.kb"))
+                & (F.col("o.band") == F.col("n.band"))
+                & (F.col("o.key") == F.col("n.key"))
+                & (F.col(f"o.{id_c}") != F.col(f"n.{id_c}")),
+            )
+            .select(
+                F.col(f"n.{id_c}").alias("new_id"),
+                F.col(f"o.{id_c}").alias("old_id"),
+                F.col("n.hs").alias("hs1"),
+                F.col("o.hs").alias("hs2"),
+            )
+            .dropDuplicates(["new_id", "old_id"])
+        )
+        return self._verify(cand)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold all ``batch=N`` leaves into one sorted ``batch=-1`` base
+        per key bucket (bounds the store's file count; run every
+        ``compact_every`` batches or offline)."""
+        store = self._store(spark)
+        if store is None:
+            return
+        tmp = self.store_path + ".compact.tmp"
+        (
+            store.withColumn("batch", F.lit(-1))
+            .repartition(F.col("kb"))
+            .sortWithinPartitions("key")
+            .write.mode("overwrite")
+            .partitionBy("kb", "batch")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.store_path)
+        os.rename(tmp, self.store_path)
+
     # -- the foreachBatch hook -----------------------------------------
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         id_c = self.id_col
-        keys = band_keys(signatures(batch, id_c, self.text_col), id_c).persist()
+        keys = band_keys(
+            signatures(batch, id_c, self.text_col), id_c, self.n_key_buckets
+        ).persist()
 
         dup_vs_store = None
         store = self._store(spark)
@@ -152,14 +222,7 @@ class IncrementalDeduper:
             )
             .dropDuplicates(["new_id", "old_id"])
         )
-        inter = F.size(F.array_intersect("hs1", "hs2"))
-        union = F.size("hs1") + F.size("hs2") - inter
-        intra_dups = (
-            intra.withColumn("jaccard", inter.cast("double") / union.cast("double"))
-            .filter(F.col("jaccard") >= self.threshold)
-            .select(F.col("new_id").alias(id_c))
-            .distinct()
-        )
+        intra_dups = self._verify(intra)
 
         dups = intra_dups if dup_vs_store is None else dup_vs_store.union(
             intra_dups
@@ -171,8 +234,15 @@ class IncrementalDeduper:
             f"{self.accepted_path}/batch={batch_id}"
         )
         accepted_keys = keys.join(accepted.select(id_c), id_c, "left_semi")
-        accepted_keys.write.mode("overwrite").parquet(
-            f"{self.store_path}/batch={batch_id}"
+        (
+            accepted_keys.withColumn("batch", F.lit(batch_id))
+            .sortWithinPartitions("key")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("kb", "batch")
+            .parquet(self.store_path)
         )
         keys.unpersist()
         accepted.unpersist()
+        if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
+            self.compact(spark)

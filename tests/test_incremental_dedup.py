@@ -63,3 +63,54 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
         r.doc_id for r in spark.read.parquet(store).select("doc_id").collect()
     }
     assert store_ids == {1, 3, 11}
+
+
+def test_store_probe_broadcasts_batch_and_prunes_store(spark, tmp_path):
+    """The 100 TB contract of the store layout: the per-trigger probe
+    join must broadcast the (small) batch side — the store is never
+    shuffled — and the store scan must carry a dynamic partition-
+    pruning filter on the kb bucket column."""
+    from spark_kafka_streaming_spark.streaming.incremental_dedup import (
+        band_keys,
+        signatures,
+    )
+
+    store = str(tmp_path / "sigstore")
+    accepted = str(tmp_path / "accepted")
+    dedup = IncrementalDeduper(store, accepted, jaccard_threshold=0.5)
+    b1 = spark.createDataFrame([(1, BASE), (3, OTHER)], DOC_SCHEMA)
+    dedup(b1, 0)
+
+    b2 = spark.createDataFrame([(10, BASE + " extra")], DOC_SCHEMA)
+    keys = band_keys(signatures(b2))
+    probe = dedup._dup_ids(keys, dedup._store(spark))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, "store probe must broadcast the batch"
+    assert "SortMergeJoin" not in plan, "store side must not be shuffled"
+    assert "dynamicpruning" in plan.lower(), (
+        "store scan lost the kb partition-pruning filter"
+    )
+    # and it still finds the cross-batch near-dup
+    assert [r.doc_id for r in probe.collect()] == [10]
+
+
+def test_compaction_preserves_store_and_dedups(spark, tmp_path):
+    store = str(tmp_path / "sigstore")
+    accepted = str(tmp_path / "accepted")
+    dedup = IncrementalDeduper(
+        store, accepted, jaccard_threshold=0.5, compact_every=2
+    )
+    dedup(spark.createDataFrame([(1, BASE)], DOC_SCHEMA), 0)
+    dedup(spark.createDataFrame([(3, OTHER)], DOC_SCHEMA), 1)
+    dedup(spark.createDataFrame([(5, "unrelated fresh tokens everywhere")], DOC_SCHEMA), 2)
+    # batch 2 triggered compaction: all leaves folded into batch=-1
+    batches = {
+        r.batch for r in spark.read.parquet(store).select("batch").distinct().collect()
+    }
+    assert batches == {-1}
+    # post-compaction probes still reject cross-batch near-dups
+    dedup(spark.createDataFrame([(9, BASE + " extra")], DOC_SCHEMA), 3)
+    got = sorted(
+        r.doc_id for r in spark.read.parquet(accepted).select("doc_id").collect()
+    )
+    assert got == [1, 3, 5]
