@@ -17,6 +17,7 @@ from . import llm  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
+from . import formats  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import tpch  # noqa: F401,E402
