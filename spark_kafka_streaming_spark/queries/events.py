@@ -153,6 +153,62 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_interval_join_click_purchase",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id, p.ts AS purchase_ts,
+           c.event_id AS click_id,   c.ts AS click_ts,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS DOUBLE) / 1000000.0
+             AS gap_sec
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND epoch_us(p.ts) - epoch_us(c.ts) BETWEEN 0 AND 1800 * 1000000
+    ORDER BY p.user_id, purchase_ts, purchase_id, click_ts, click_id
+    """,
+    doc="Interval (range) join: every click within the 30 minutes "
+    "before each purchase by the same user — the batch twin of the "
+    "watermarked stream-stream interval join in streaming/joins.py "
+    "(general form of the reference's lag zip, "
+    "ProcessorMetrics.scala:86-89). Gap compared in exact integer "
+    "microseconds. Scale: equi-join on user_id with the range as a "
+    "join residual — one shuffle, no range-join blowup.",
+    tags=("events", "join", "interval"),
+)
+def q_events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    gap_us = F.unix_micros("purchase_ts") - F.unix_micros("click_ts")
+    return (
+        p.join(
+            c,
+            (p.user_id == c.user_id)
+            & (gap_us >= 0)
+            & (gap_us <= 1800 * 1_000_000),
+        )
+        .select(
+            p.user_id,
+            "purchase_id",
+            "purchase_ts",
+            "click_id",
+            "click_ts",
+            (gap_us.cast("double") / F.lit(1000000.0)).alias("gap_sec"),
+        )
+        .orderBy("user_id", "purchase_ts", "purchase_id", "click_ts", "click_id")
+    )
+
+
+@register(
     "q_events_sessionize_batch",
     oracle="""
     WITH flagged AS (

@@ -165,3 +165,61 @@ def test_partitioned_parquet_sink_layout(spark, tmp_path):
     assert pruned.count() == 4
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(day" in plan
+
+
+def test_interval_join_stream_equals_batch_twin(spark, sf_dir, tmp_path):
+    """streaming/joins.py interval_join over the replayed events table
+    produces exactly the rows of its batch twin
+    (q_events_interval_join_click_purchase) — stream and batch are the
+    same declarative plan, which is the whole point of the design."""
+    from spark_kafka_streaming_spark.queries import REGISTRY
+    from spark_kafka_streaming_spark.sources.batch import load_table
+    from spark_kafka_streaming_spark.streaming.joins import interval_join
+
+    src = str(tmp_path / "src")
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
+            "user_id", "event_type", "value", "props",
+        )
+        .coalesce(1)
+        .write.json(src)
+    )
+
+    def legs(df):
+        p = df.filter(F.col("event_type") == "purchase").select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        c = df.filter(F.col("event_type") == "click").select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        return p, c
+
+    p, c = legs(file_stream(spark, src))
+    joined = interval_join(
+        p, c, on="user_id", left_ts="purchase_ts", right_ts="click_ts",
+        lower_sec=0, upper_sec=1800, watermark="1 hour",
+    )
+    q = start_sink(joined, "memory", query_name="ivj", output_mode="append",
+                   checkpoint=str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+
+    got = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in spark.sql("SELECT * FROM ivj").collect()
+    }
+    want = {
+        (r.user_id, r.purchase_id, r.click_id)
+        for r in REGISTRY["q_events_interval_join_click_purchase"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == want and len(want) > 0
