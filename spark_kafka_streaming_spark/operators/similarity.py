@@ -299,6 +299,13 @@ def ivf_topk(
     Scale: the corpus shuffles once per k-means iteration plus once for
     the index; each query probes n_probe cells → query cost ≈
     |Q| · n_probe · n_assign · (|C| / n_cells) instead of |Q| · |C|.
+
+    Caching contract: the centroid table is ``persist()``-ed for the
+    life of the returned plan (both cell-assignment legs read it).
+    Long-lived sessions issuing many calls should
+    ``spark.catalog.clearCache()`` between them — at cluster scale the
+    centroids/index would instead be written per corpus snapshot, like
+    the dedup signature table (:mod:`.signatures`).
     """
     scaled = corpus.select(
         F.col(id_col).alias("c_id"),

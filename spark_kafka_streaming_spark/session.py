@@ -20,6 +20,31 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _ensure_driver_memory() -> None:
+    """Apply ``$SPARK_GRAFT_DRIVER_MEM`` (default 16g) *before* the
+    gateway JVM launches.
+
+    In PySpark client mode the driver JVM is started by the first
+    gateway touch with its heap fixed; a ``spark.driver.memory`` set on
+    the builder afterwards is silently ignored. So the knob must go
+    through ``PYSPARK_SUBMIT_ARGS``. If a JVM is already up (shared
+    test session, embedding host), we leave it alone — its heap cannot
+    be changed anyway.
+    """
+    from pyspark import SparkContext
+
+    if (
+        SparkContext._active_spark_context is not None
+        or getattr(SparkContext, "_gateway", None) is not None
+    ):
+        return
+    if "--driver-memory" in os.environ.get("PYSPARK_SUBMIT_ARGS", ""):
+        return
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    args = os.environ.get("PYSPARK_SUBMIT_ARGS", "pyspark-shell")
+    os.environ["PYSPARK_SUBMIT_ARGS"] = f"--driver-memory {mem} {args}"
+
+
 def get_spark(
     app_name: str = "spark_kafka_streaming_spark",
     master: str | None = None,
@@ -34,6 +59,7 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     nshuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    _ensure_driver_memory()
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -60,7 +86,6 @@ def get_spark(
             "RocksDBStateStoreProvider",
         )
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Synthesize a 10× ("sf1") dataset from /root/testdata/sf0.1 for the
+scale-decade measurement in SCALE.md.
+
+Relational tables are key-shifted replicas (distributions preserved,
+referential integrity maintained by shifting FKs consistently).
+``documents`` is NOT replicated — replica clusters would be near-dups
+of each other and quadratically inflate the dedup pair outputs —
+instead new docs are sampled from the sf0.1 token distribution with
+empirical length distribution (seeded, deterministic), which keeps
+near-dup rates realistic.  ``embeddings`` replicas get a small
+deterministic per-replica perturbation for the same reason.
+
+Usage: python tools/make_scale_data.py [out_dir] [factor]
+Defaults: /tmp/spark_graft_sf1  10
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+
+    def src(t):
+        return f"read_parquet('{SRC}/{t}.parquet')"
+
+    # fixed dims: straight copies
+    for t in ("region", "nation"):
+        con.execute(f"COPY (SELECT * FROM {src(t)}) TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+
+    # key-shifted replicas; offsets chosen per key domain
+    shifts = {
+        "customer": {"c_custkey": 1_000_000},
+        "supplier": {"s_suppkey": 1_000_000},
+        "part": {"p_partkey": 1_000_000},
+        "orders": {"o_orderkey": 10_000_000, "o_custkey": 1_000_000},
+        "lineitem": {
+            "l_orderkey": 10_000_000,
+            "l_partkey": 1_000_000,
+            "l_suppkey": 1_000_000,
+        },
+        "events": {"event_id": 10_000_000, "user_id": 1_000_000},
+    }
+    for t, keymap in shifts.items():
+        cols = [c[0] for c in con.execute(f"DESCRIBE SELECT * FROM {src(t)}").fetchall()]
+        selects = []
+        for i in range(factor):
+            proj = ", ".join(
+                f"({c} + {i * off}) AS {c}" if (off := keymap.get(c)) else c
+                for c in cols
+            )
+            selects.append(f"SELECT {proj} FROM {src(t)}")
+        con.execute(
+            f"COPY ({' UNION ALL '.join(selects)}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+    # documents: sample from the sf0.1 token distribution
+    rows = con.execute(
+        f"SELECT doc_id, text, lang, source FROM {src('documents')}"
+    ).fetchall()
+    vocab: dict[str, int] = {}
+    lengths = []
+    langs, sources = [], []
+    for _, text, lang, source in rows:
+        toks = [t for t in text.split(" ") if t]
+        lengths.append(len(toks))
+        langs.append(lang)
+        sources.append(source)
+        for tk in toks:
+            vocab[tk] = vocab.get(tk, 0) + 1
+    words = list(vocab)
+    weights = np.array([vocab[w] for w in words], dtype=np.float64)
+    weights /= weights.sum()
+    rng = np.random.default_rng(42)
+    pyrng = random.Random(42)
+    n_docs = len(rows) * factor
+    doc_ids, texts, out_langs, out_sources, n_chars = [], [], [], [], []
+    # batch-sample all tokens at once for speed
+    all_lens = [lengths[int(rng.integers(0, len(lengths)))] for _ in range(n_docs)]
+    total = sum(all_lens)
+    flat = rng.choice(len(words), size=total, p=weights)
+    pos = 0
+    for i in range(n_docs):
+        L = all_lens[i]
+        toks = [words[j] for j in flat[pos : pos + L]]
+        pos += L
+        txt = " ".join(toks)
+        doc_ids.append(i)
+        texts.append(txt)
+        out_langs.append(pyrng.choice(langs))
+        out_sources.append(pyrng.choice(sources))
+        n_chars.append(len(txt))
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(out_langs, pa.string()),
+                "source": pa.array(out_sources, pa.string()),
+                "n_chars": pa.array(n_chars, pa.int64()),
+            }
+        ),
+        f"{out}/documents.parquet",
+    )
+
+    # embeddings: perturbed replicas (replica 0 = original)
+    emb = con.execute(
+        f"SELECT vec_id, embedding, label FROM {src('embeddings')} ORDER BY vec_id"
+    ).fetchall()
+    dim = len(emb[0][1])
+    base = np.array([e[1] for e in emb], dtype=np.float32)
+    ids, vecs, labels = [], [], []
+    for i in range(factor):
+        noise = (
+            np.zeros_like(base)
+            if i == 0
+            else rng.normal(0, 0.05, size=base.shape).astype(np.float32)
+        )
+        v = base + noise
+        for j, (vid, _, lab) in enumerate(emb):
+            ids.append(vid + i * 1_000_000)
+            vecs.append(v[j].tolist())
+            labels.append(lab)
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array(labels, pa.int32()),
+            }
+        ),
+        f"{out}/embeddings.parquet",
+    )
+    for t in ("region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"):
+        n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
+        print(t, n)
+
+
+if __name__ == "__main__":
+    main()
