@@ -14,6 +14,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 # first-class novel surface of this engine, so they register first;
 # the TPC-H waves (all driver-green in round 1) fill the tail.
 from . import llm  # noqa: F401,E402
+from . import llm2  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402

@@ -51,8 +51,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if name == "events" and ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif name == "events" and ts_type == "timestamp_ntz":
+        # Writers that emit NTZ timestamps (e.g. DuckDB-produced scale
+        # replicas): under the fixed UTC session the cast is the
+        # identity instant mapping.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -178,3 +178,24 @@ def test_ivf_kmeans_refine_deterministic_and_usable(spark, sf_dir):
     assert a == b, "refined IVF results must be deterministic"
     approx = {(x, y) for x, y, _ in a}
     assert len(truth & approx) / len(truth) >= 0.8
+
+
+def test_connected_components_chain_clusters(spark):
+    """A~B and B~C without an explicit A~C edge must still land in one
+    cluster with survivor = min id (pairs are not transitive-closed)."""
+    from spark_kafka_streaming_spark.operators.clusters import dedup_survivors
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "id1 long, id2 long"
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 5, 7, 9)], "doc_id long"
+    )
+    got = {
+        (r.doc_id, r.cluster_id, r.is_survivor)
+        for r in dedup_survivors(pairs, nodes).collect()
+    }
+    assert got == {
+        (1, 1, True), (2, 1, False), (3, 1, False),
+        (5, 5, True), (7, 7, True), (9, 7, False),
+    }
