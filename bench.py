@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "q_dedup_minhash_lsh",
     "q_dedup_ngram_jaccard",
     "q_dedup_simhash",
+    "q_dedup_clusters_minhash",
+    "q_text_vocab_topk",
     "q_similarity_topk_bruteforce",
     "q_similarity_ann_lsh",
     "q_similarity_ann_ivf",
@@ -80,8 +82,11 @@ def _drain_or_stop(q, timeout_sec: int = 300) -> None:
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
-    df = REGISTRY[name].builder(spark, sf_dir)
+    # Time the builder too: iterative operators (connected components)
+    # do real distributed work eagerly inside the builder
+    # (localCheckpoint rounds), not just at sink time.
     t0 = time.perf_counter()
+    df = REGISTRY[name].builder(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
     # Operators persist intermediates (LSH signatures); drop them so
@@ -212,8 +217,13 @@ def main() -> None:
         t0 = time.perf_counter()
         signature_table(spark, SF_DIR)
         timings["sig_table_build"] = round(time.perf_counter() - t0, 4)
+        # min of two timed passes per query: per-pass times at this
+        # scale carry up to 2x GC/host noise; the minimum reflects the
+        # plan's actual cost.
         for name in BENCH_QUERIES:
-            timings[name] = round(run_query(spark, name, SF_DIR), 4)
+            timings[name] = round(
+                min(run_query(spark, name, SF_DIR) for _ in range(2)), 4
+            )
         bench_streaming_drain(spark, SF_DIR)  # warm
         timings["stream_events_windowed_drain"] = round(
             bench_streaming_drain(spark, SF_DIR), 4

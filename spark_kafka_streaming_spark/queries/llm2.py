@@ -17,8 +17,11 @@ from ..functions import texthash as TH
 from ..operators.clusters import dedup_survivors
 from ..operators.dedup import minhash_lsh_pairs
 from ..operators.signatures import signature_table
+from ..operators.text import STOPWORDS
 from ..sources.batch import load_table
 from .registry import register
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 # The minhash pair CTEs, shared with q_dedup_minhash_lsh's oracle.
 _PAIR_CTES = f"""
@@ -150,4 +153,110 @@ def q_text_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("tf"), "token")
         .limit(100)
+    )
+
+
+@register(
+    "q_text_top_distinctive_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct({TH.duck_tokens('text')})) AS token
+      FROM documents
+    ),
+    docfreq AS (
+      SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+    ),
+    ranked AS (
+      SELECT t.doc_id, t.token, d.df,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY t.doc_id ORDER BY d.df, t.token
+             ) AS INT) AS rn
+      FROM toks t JOIN docfreq d ON d.token = t.token
+    )
+    SELECT doc_id, token, df, rn FROM ranked
+    WHERE rn <= 3 AND doc_id < 100
+    ORDER BY doc_id, rn
+    """,
+    doc="Per-document distinctive terms: each doc's 3 rarest tokens by "
+    "corpus document frequency (the integer-exact core of TF-IDF term "
+    "extraction — ranking by df avoids float log() whose low bits "
+    "differ across engines). One explode + combinable df aggregate + "
+    "per-doc ranking window.",
+    tags=("llm", "text", "tfidf"),
+)
+def q_text_distinctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.expr(TH.spark_tokens("text")))
+        ).alias("token"),
+    )
+    docfreq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "token")
+    return (
+        toks.join(docfreq, "token")
+        .withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 3) & (F.col("doc_id") < 100))
+        .select("doc_id", "token", "df", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
+@register(
+    "q_pipeline_quality_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             len({TH.duck_tokens('text')}) AS n_tokens,
+             len(list_distinct({TH.duck_tokens('text')})) AS n_distinct_tokens,
+             len(list_filter({TH.duck_tokens('text')}, t -> t IN ({_SW})))
+               AS n_stopwords
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, source, n_tokens,
+             CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),
+                   CAST(n_tokens AS DOUBLE) / 50)
+             + CAST(0.3 AS DOUBLE) * (CAST(n_distinct_tokens AS DOUBLE) / nullif(n_tokens, 0))
+             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                   - CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0)) AS quality,
+             CASE WHEN CAST(n_stopwords AS DOUBLE) / nullif(n_tokens, 0) >= 0.04
+                  THEN 'en' ELSE 'unknown' END AS lang_pred
+      FROM t
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM scored
+    WHERE quality >= 0.5 AND lang_pred = 'en' AND n_tokens >= 10
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="End-to-end cleaning pipeline (the C4-style recipe): token "
+    "stats -> composite quality score -> language-ID -> length gate, "
+    "reported as kept docs/tokens per source. One map-only scoring "
+    "pass + one combinable aggregate; at 100 TB this is a single scan "
+    "of the corpus with every filter fused into it.",
+    tags=("llm", "text", "pipeline"),
+)
+def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import language_id, quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = language_id(quality_score(docs))
+    return (
+        scored.filter(
+            (F.col("quality") >= 0.5)
+            & (F.col("lang_pred") == "en")
+            & (F.col("n_tokens") >= 10)
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tokens").alias("kept_tokens"),
+        )
+        .orderBy("source")
     )

@@ -104,3 +104,19 @@ def test_logging_utils(spark, tmp_path):
     with stderr_to(None):
         print("vanishes", file=sys.stderr)
     assert "captured-line" in open(log).read()
+
+
+def test_vocab_topk_plans_take_ordered(spark, sf_dir):
+    df = REGISTRY["q_text_vocab_topk"].builder(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df), (
+        "vocab top-k degraded to a global sort"
+    )
+
+
+def test_quality_pipeline_is_single_scan(spark, sf_dir):
+    """The cleaning pipeline must fuse scoring+filters into the scan
+    stage: exactly one Exchange (the final groupBy) and no join."""
+    df = REGISTRY["q_pipeline_quality_filter"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 2  # partial->final agg + ordering
+    assert "Join" not in plan
