@@ -260,3 +260,100 @@ def q_pipeline_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_text_repetition_gopher",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TH.duck_tokens('text')} AS t
+      FROM documents WHERE doc_id < 200
+    ),
+    grams AS (
+      SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(list_transform(generate_series(1, len(t) - 1),
+                                   i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM toks
+    ),
+    gc AS (
+      SELECT doc_id, n, g, COUNT(*) AS c FROM grams GROUP BY doc_id, n, g
+    ),
+    stat AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN n = 1 THEN c ELSE 0 END) AS BIGINT) AS n_tokens,
+             CAST(MAX(CASE WHEN n = 1 THEN c END) AS BIGINT) AS top_tf,
+             CAST(SUM(CASE WHEN n = 2 THEN c ELSE 0 END) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CASE WHEN n = 2 AND c >= 2 THEN c ELSE 0 END) AS BIGINT)
+               AS dup_bigram_toks
+      FROM gc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, top_tf,
+           CAST(top_tf AS DOUBLE) / nullif(n_tokens, 0) AS top_ratio,
+           CAST(dup_bigram_toks AS DOUBLE) / nullif(n_bigrams, 0)
+             AS dup_bigram_frac,
+           CASE WHEN CAST(top_tf AS DOUBLE) / nullif(n_tokens, 0) <= 0.2
+                 AND CAST(dup_bigram_toks AS DOUBLE) / nullif(n_bigrams, 0)
+                     <= 0.9
+                THEN 1 ELSE 0 END AS gopher_keep
+    FROM stat
+    ORDER BY doc_id
+    """,
+    doc="Gopher-style repetition quality signals per document: most-"
+    "common-token dominance and the fraction of bigram occurrences that "
+    "are repeats (Rae et al. 2021's repetition filters, the standard "
+    "pretraining-cleanup gate). One explode over tagged uni+bigrams -> "
+    "two combinable aggregates; no join. At 100 TB this is a single "
+    "corpus scan plus token-count-proportional partial-aggregated "
+    "shuffles (a per-row sorted-run HOF variant would trade that "
+    "shuffle for interpreted CPU).",
+    tags=("llm", "text", "quality"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", F.expr(TH.spark_tokens("text")).alias("t"))
+    )
+    # Tagged uni+bigram stream in one explode (bigrams NOT distinct --
+    # repetition counting needs multiplicity, unlike the shingle ops).
+    bigrams = (
+        "CASE WHEN size(t) < 2 THEN array() "
+        "ELSE transform(sequence(1, size(t) - 1), "
+        "i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1))) END"
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"concat(transform(t, x -> struct(1 AS n, x AS g)), "
+                f"transform({bigrams}, x -> struct(2 AS n, x AS g)))"
+            )
+        ).alias("gr"),
+    ).select("doc_id", "gr.n", "gr.g")
+    gc = grams.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    stat = gc.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("n") == 1, F.col("c")).otherwise(0)).alias("n_tokens"),
+        F.max(F.when(F.col("n") == 1, F.col("c"))).alias("top_tf"),
+        F.sum(F.when(F.col("n") == 2, F.col("c")).otherwise(0)).alias("n_bigrams"),
+        F.sum(
+            F.when((F.col("n") == 2) & (F.col("c") >= 2), F.col("c")).otherwise(0)
+        ).alias("dup_bigram_toks"),
+    )
+    top_ratio = F.col("top_tf").cast("double") / F.nullif(
+        F.col("n_tokens"), F.lit(0)
+    )
+    dup_frac = F.col("dup_bigram_toks").cast("double") / F.nullif(
+        F.col("n_bigrams"), F.lit(0)
+    )
+    return stat.select(
+        "doc_id",
+        "n_tokens",
+        "top_tf",
+        top_ratio.alias("top_ratio"),
+        dup_frac.alias("dup_bigram_frac"),
+        F.when((top_ratio <= 0.2) & (dup_frac <= 0.9), 1)
+        .otherwise(0)
+        .alias("gopher_keep"),
+    ).orderBy("doc_id")
