@@ -21,6 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from spark_kafka_streaming_spark import get_spark  # noqa: E402
+from spark_kafka_streaming_spark.functions.caching import (  # noqa: E402
+    release_operator_caches,
+)
 from spark_kafka_streaming_spark.queries import REGISTRY  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -91,6 +94,7 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     elapsed = time.perf_counter() - t0
     # Operators persist intermediates (LSH signatures); drop them so
     # successive queries are isolated and cache buildup doesn't skew GC.
+    release_operator_caches()
     spark.catalog.clearCache()
     return elapsed
 

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
+from ..functions.caching import track_persist
 
 
 #: String keys longer than this are replaced by their sha256 before the
@@ -119,9 +120,10 @@ def minhash_lsh_pairs(
     materialized once and shared by the whole dedup tier.  When omitted
     the signatures are derived inline and ``persist()``-ed for the
     duration of the returned plan's execution; callers running many
-    operators in one session should either pass ``sigs`` or
-    ``spark.catalog.clearCache()`` between invocations (the persisted
-    block is otherwise held until session end).
+    operators in one session should either pass ``sigs`` or call
+    :func:`..functions.caching.release_operator_caches` after
+    materializing results (the persisted blocks are otherwise held
+    until session end).
     """
     precomputed = sigs is not None
     if precomputed:
@@ -150,8 +152,8 @@ def minhash_lsh_pairs(
             )
             .withColumn("sig", F.expr(TH.spark_minhash_sig("hs")))
             .select(id_col, "sig", "hs")
-            .persist()
         )
+        sigs = track_persist(sigs)
     bands = sigs.select(
         id_col,
         F.explode(
@@ -167,7 +169,7 @@ def minhash_lsh_pairs(
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
     if not precomputed:
-        bands = bands.persist()
+        bands = track_persist(bands)
     left = bands.alias("l")
     right = bands.alias("r")
     cand = (
@@ -218,8 +220,9 @@ def simhash_pairs(
             )
             .withColumn("sim", F.expr(TH.spark_simhash(text_col)))
             .select(id_col, "sim")
-            .persist()  # both band-join legs read the signatures
         )
+        # both band-join legs read the signatures
+        sigs = track_persist(sigs)
     # Banding theory: max_hamming+1 bands suffice (pigeonhole — at most
     # max_hamming bands can contain a differing bit). Fewer, wider bands
     # mean exponentially more selective buckets: radius 1 → 2 bands of
@@ -322,8 +325,9 @@ def ngram_jaccard_pairs(
                     f"array_distinct(transform(sh, s -> {TH.spark_str_hash('s')}))"
                 ).alias("hs"),
             )
-            .persist()  # consumed by the prefix index + verification joins
         )
+        # consumed by the prefix index + verification joins
+        hs = track_persist(hs)
     ex = hs.select(id_col, F.size("hs").alias("n"), F.explode("hs").alias("h"))
     freq = ex.groupBy("h").agg(F.count("*").alias("df_h"))
     w = W.partitionBy(id_col).orderBy("df_h", "h")
@@ -336,8 +340,8 @@ def ngram_jaccard_pairs(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.expr(f"rn <= n - (({p} * n + {q - 1}) DIV {q}) + 1"))
         .select(id_col, "h")
-        .persist()
     )
+    prefix = track_persist(prefix)
     cand = (
         prefix.alias("a")
         .join(

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
+from ..functions.caching import track_persist
 from ..functions.texthash import P
 
 #: number of hyperplanes per band / number of bands for sign-LSH.
@@ -302,8 +303,9 @@ def ivf_topk(
 
     Caching contract: the centroid table is ``persist()``-ed for the
     life of the returned plan (both cell-assignment legs read it).
-    Long-lived sessions issuing many calls should
-    ``spark.catalog.clearCache()`` between them — at cluster scale the
+    Long-lived sessions issuing many calls should call
+    :func:`..functions.caching.release_operator_caches` after
+    materializing results — at cluster scale the
     centroids/index would instead be written per corpus snapshot, like
     the dedup signature table (:mod:`.signatures`).
     """
@@ -325,7 +327,7 @@ def ivf_topk(
     )
     if kmeans_iters:
         cents = kmeans_refine(scaled, cents, iters=kmeans_iters)
-    cents = cents.persist()
+    cents = track_persist(cents)
 
     def nearest_cells(side: DataFrame, vcol: str, ncol: str, n: int) -> DataFrame:
         cos = F.expr(V.spark_cosine(V.spark_dot(vcol, "cent_v"), ncol, "cent_n"))
