@@ -17,8 +17,15 @@ BANDS = 8  # LSH bands
 ROWS = 4  # signature rows per band  (K = BANDS * ROWS)
 SHINGLE_W = 3  # word n-gram width
 
-SIMHASH_BITS = 32
-SIMHASH_BAND_BITS = 8  # 4 bands of 8 bits → catches hamming ≤ 3 reliably
+# 60 bits = the full raw md5 prefix (spark_str_hash_raw). At corpus
+# scale the band buckets must not saturate: with B bands catching
+# hamming ≤ B-1, band width = SIMHASH_BITS/B; 32-bit sigs gave 8-bit
+# bands (256 buckets) which saturated ~10× sooner — candidate pairs
+# grow with Σ bucket², so bucket count is the quadratic-blowup guard.
+# 60-bit sigs give 15-bit bands (32768 buckets), ~128× more selective.
+# (Measured: sf1 simhash pairs 50.5 s → see SCALE.md after the widen.)
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15  # 4 bands of 15 bits → catches hamming ≤ 3
 
 
 def _coeff(i: int, salt: int) -> int:
@@ -132,7 +139,7 @@ def _spark_simhash_of_token_hashes(th: str) -> str:
 
 
 def spark_simhash(col: str) -> str:
-    """32-bit SimHash of the distinct-token set of a raw text column.
+    """SIMHASH_BITS-wide SimHash of the distinct-token set of a text column.
 
     Token bits come from the raw 60-bit md5 value
     (:func:`spark_str_hash_raw`) so all ``SIMHASH_BITS`` advertised

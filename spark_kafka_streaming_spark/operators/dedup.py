@@ -9,7 +9,7 @@ Five tiers, all shuffle-bounded (no O(n²) cross join anywhere):
   candidate pairs only. At 100 TB this is the canonical near-dup path
   (the band join keys are uniformly distributed by construction, so no
   skew; K/B/R tune recall vs. cost).
-* SimHash: 32-bit signature, banded by 8-bit chunks, exact hamming
+* SimHash: 60-bit signature, banded by 15-bit chunks, exact hamming
   check on candidates via xor+bit_count.
 * n-gram Jaccard: exact inverted-index join on shingles (shuffle by
   shingle) — the verification oracle for the approximate tiers.
@@ -204,7 +204,7 @@ def simhash_pairs(
     max_hamming: int = 3,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs via banded 32-bit SimHash.
+    """Near-duplicate pairs via banded 60-bit SimHash.
 
     max_hamming+1 bands guarantee recall (pigeonhole); exact distance
     via xor+bit_count on candidates. Returns (id1, id2, hamming, sim1,
@@ -339,15 +339,41 @@ def ngram_jaccard_pairs(
         ex.join(freq, "h")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.expr(f"rn <= n - (({p} * n + {q - 1}) DIV {q}) + 1"))
-        .select(id_col, "h")
+        .select(id_col, "n", "rn", "h")
     )
     prefix = track_persist(prefix)
+    # PPJoin filters, exact integer forms, applied IN the join so
+    # candidates from hot shingles die before the (distinct +
+    # verification) shuffle — on corpora with skewed shingle document
+    # frequency this is the difference between Σdf² over all prefix
+    # co-occurrences and over compatible ones (measured at sf1:
+    # see SCALE.md).
+    # * length filter: J(a,b) ≥ p/q forces p·max(|a|,|b|) ≤ q·min(...).
+    # * positional filter: both prefixes are ordered by the same global
+    #   (df,h) rank, so a match at positions (rn_a, rn_b) bounds the
+    #   overlap by 1 + min(n_a − rn_a, n_b − rn_b); J ≥ p/q needs
+    #   overlap·(p+q) ≥ p·(n_a+n_b).
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.h") == F.col("b.h"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (
+                F.greatest(F.col("a.n"), F.col("b.n")) * p
+                <= F.least(F.col("a.n"), F.col("b.n")) * q
+            )
+            & (
+                (
+                    F.lit(1)
+                    + F.least(
+                        F.col("a.n") - F.col("a.rn"),
+                        F.col("b.n") - F.col("b.rn"),
+                    )
+                )
+                * (p + q)
+                >= (F.col("a.n") + F.col("b.n")) * p
+            ),
         )
         .select(
             F.col(f"a.{id_col}").alias("id1"), F.col(f"b.{id_col}").alias("id2")
