@@ -85,11 +85,18 @@ def _sign_key(band: int) -> F.Column:
     bits = []
     for pl in range(LSH_PLANES):
         p_idx = band * LSH_PLANES + pl
-        plane = (
-            f"transform(sequence(0, {DIM - 1}), "
-            f"j -> CAST((({p_idx} * 131 + j * 29) % {P}) % 2001 - 1000 AS BIGINT))"
+        # The plane coefficients are compile-time constants — emit them
+        # as an array literal. The earlier transform(sequence(...))
+        # form rebuilt the plane and ran an extra interpreted lambda
+        # per plane per row (HOFs don't codegen); fully unrolling the
+        # dot into element_at chains went the other way (an expression
+        # tree too large to codegen: 8.6 MiB task binaries, 8× slower).
+        # The literal array + one zip_with/aggregate pair is the
+        # balance point.
+        coeffs = ", ".join(
+            f"{((p_idx * 131 + j * 29) % P) % 2001 - 1000}L" for j in range(DIM)
         )
-        dot = V.spark_dot("v", plane)
+        dot = V.spark_dot("v", f"array({coeffs})")
         bits.append(f"(CASE WHEN {dot} > 0 THEN 1L ELSE 0L END)")
     key = "0L"
     for b_expr in bits:
