@@ -1,0 +1,94 @@
+"""Training-shard assignment: deterministic global shuffle + token-budget
+bin-packing over the corpus — the step that turns a deduped, filtered
+document set into fixed-size training shards.
+
+The core primitive is a *scale-safe global prefix sum*: Spark's naive
+``SUM(x) OVER (ORDER BY k)`` with no PARTITION BY collapses the whole
+table into a single task, which is exactly the plan that dies at 100 TB.
+Here the classic two-phase form is used instead:
+
+1. range-partition by the (unique) ordering key;
+2. local window cumsum inside each range partition;
+3. add per-partition offsets, themselves a prefix sum over only
+   ``num_parts`` rows (driver-scale metadata, like AQE statistics).
+
+The result is bit-identical to the single-window form — integer
+arithmetic over a strict total order is partitioning-independent — but
+every task touches only its own range. The deterministic "shuffle"
+order is an engine-portable hash of the document id, so the oracle
+reproduces shard assignments exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+
+
+def global_running_sum(
+    df: DataFrame,
+    value_col: str,
+    order_cols: list[str],
+    cum_col: str = "cum",
+    num_parts: int = 32,
+) -> DataFrame:
+    """Exact global running sum of ``value_col`` over ``order_cols``
+    (which must form a strict total order) without a single-partition
+    window. ``num_parts`` is the range-partition fan-out: on a cluster
+    set it to O(cores), each task then scans ~rows/num_parts.
+    """
+    d = df.repartitionByRange(num_parts, *[F.col(c) for c in order_cols])
+    d = d.withColumn("_pid", F.spark_partition_id())
+    # Per-partition totals → exclusive running offsets. num_parts rows
+    # total: the single-partition window here is over metadata, not data.
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        d.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_psum"))
+        .withColumn("_off", F.coalesce(F.sum("_psum").over(w_off), F.lit(0)))
+        .select("_pid", "_off")
+    )
+    w_loc = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(offs), "_pid")
+        .withColumn(cum_col, F.sum(value_col).over(w_loc) + F.col("_off"))
+        .drop("_pid", "_off")
+    )
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 32,
+) -> DataFrame:
+    """Assign each document to a training shard of ~``budget`` tokens.
+
+    Documents are ordered by a deterministic portable hash of their id
+    (a seeded global shuffle — dedup/quality pipelines upstream leave
+    source-ordered data, which trains badly), then packed greedily in
+    that order: shard = starting-token-offset div budget.
+
+    Returns ``id_col, n_tok, cum (inclusive), shard_id``.
+    """
+    d = df.withColumn(
+        "n_tok", F.expr(f"CAST(size({TH.spark_tokens(text_col)}) AS BIGINT)")
+    ).withColumn(
+        "ord", F.expr(TH.spark_str_hash(f"CAST({id_col} AS STRING)"))
+    )
+    d = global_running_sum(
+        d.select(id_col, "n_tok", "ord"),
+        "n_tok",
+        ["ord", id_col],
+        num_parts=num_parts,
+    )
+    return d.withColumn(
+        "shard_id", F.expr(f"(cum - n_tok) DIV {budget}")
+    ).select(id_col, "n_tok", "cum", "shard_id")

@@ -84,6 +84,35 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: PII patterns: RE2-compatible (no backrefs/lookaround) so the same
+#: pattern string runs under Spark's Java regex and DuckDB's RE2.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Scrub emails and IPv4 addresses, counting what was removed.
+
+    Map-only column expressions (regexp inside codegen, no UDF): at
+    100 TB this runs at scan speed and the counts feed the pipeline's
+    audit metrics. Adds ``n_emails, n_ips, out_col``.
+    """
+    return (
+        df.withColumn("n_emails", F.regexp_count(text_col, F.lit(EMAIL_RE)))
+        .withColumn("n_ips", F.regexp_count(text_col, F.lit(IPV4_RE)))
+        .withColumn(
+            out_col,
+            F.regexp_replace(
+                F.regexp_replace(text_col, EMAIL_RE, "<EMAIL>"),
+                IPV4_RE,
+                "<IP>",
+            ),
+        )
+    )
+
+
 def token_count_bpe_ish(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Sub-word-ish token counting: whitespace tokens plus a regex split
     on non-alphanumerics (the cheap proxy for BPE token budgeting)."""

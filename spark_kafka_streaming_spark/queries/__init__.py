@@ -17,6 +17,8 @@ from . import llm  # noqa: F401,E402
 from . import llm2  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import events  # noqa: F401,E402
+from . import llm3  # noqa: F401,E402
+from . import events2  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import formats  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
