@@ -54,6 +54,13 @@ BENCH_QUERIES = [
     "q_similarity_ann_ivf",
     "q_text_quality",
     "q_multimodal_fingerprint",
+    # Corpus hygiene & packing wave (round 2)
+    "q_decontaminate_ngram",
+    "q_dedup_chunk_exact",
+    "q_text_pii_redact",
+    "q_shard_token_budget",
+    "q_events_funnel",
+    "q_events_retention",
     "q07_nation_trade_flow",
     "q14_promo_revenue_share",
     "q_agg_grouping_sets",

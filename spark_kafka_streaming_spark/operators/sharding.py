@@ -62,6 +62,45 @@ def global_running_sum(
     )
 
 
+def exact_median_int(df: DataFrame, col: str) -> DataFrame:
+    """Exact median of a bounded-integer column as a 1-row DataFrame
+    (``med``), computed scale-safely via the value histogram.
+
+    The classic order-statistic trap at 100 TB is collecting n/2 rows
+    (TakeOrdered) or a global sort; instead ``groupBy(col)`` reduces the
+    corpus to one row per *distinct value* — for token counts that is
+    bounded by the max document length, metadata-scale — and the
+    cumulative walk over that histogram runs in one tiny task.
+    """
+    hist = df.groupBy(col).agg(F.count("*").alias("_c"))
+    w_cum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy(col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        hist.withColumn("_cum", F.sum("_c").over(w_cum))
+        .withColumn("_total", F.sum("_c").over(w_all))
+        .where(F.expr("_cum >= (_total + 1) DIV 2"))
+        .agg(F.min(col).alias("med"))
+    )
+
+
+def write_training_shards(
+    sharded: DataFrame, out_dir: str, shard_col: str = "shard_id"
+) -> None:
+    """Materialize shard assignments as one parquet file per shard
+    (``out_dir/shard_id=N/``): repartition by the shard key first so
+    each Hive partition is written by exactly one task — without it,
+    every task writes a sliver of every shard and a 100 TB write
+    produces tasks × shards small files."""
+    (
+        sharded.repartition(F.col(shard_col))
+        .write.partitionBy(shard_col)
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
 def shard_by_token_budget(
     df: DataFrame,
     budget: int,

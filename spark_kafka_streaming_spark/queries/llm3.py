@@ -16,10 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
+from ..functions import vectors as V
 from ..operators.chunks import CHUNK_W, chunk_dup_stats
 from ..operators.decontaminate import contamination_hits
-from ..operators.sharding import shard_by_token_budget
+from ..operators.sharding import exact_median_int, shard_by_token_budget
 from ..operators.text import EMAIL_RE, IPV4_RE, redact_pii
+from ..operators.vector_agg import group_centroids
 from ..sources.batch import load_table
 from .registry import register
 
@@ -191,3 +193,94 @@ _SHARD_BUDGET = 2000  # tokens per training shard
 def q_shard_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return shard_by_token_budget(docs, _SHARD_BUDGET).orderBy("doc_id")
+
+
+# ------------------------------------------------ vector aggregation
+
+
+@register(
+    "q_vector_centroids",
+    oracle=f"""
+    WITH sv AS (
+      SELECT label, {V.duck_scaled('embedding')} AS v FROM embeddings
+    ),
+    ex AS (
+      SELECT label,
+             unnest(generate_series(0, len(v) - 1)) AS pos,
+             unnest(v) AS c
+      FROM sv
+    ),
+    s AS (
+      SELECT label, pos, SUM(c) AS s, COUNT(*) AS n
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
+           list_transform(list(s ORDER BY pos),
+             x -> CAST(x AS DOUBLE) / MAX(n) / {V.SCALE}) AS centroid
+    FROM s GROUP BY label
+    ORDER BY label
+    """,
+    doc="Per-label exact embedding centroid (the k-means reduce step / "
+    "class prototypes): posexplode to (group, pos, component), "
+    "map-side-combinable integer sums — the shuffle carries one row per "
+    "(group × dim × task), never per vector — then a dim-bounded "
+    "collect_list rebuild. Integer-scaled sums are associative, so the "
+    "centroid is partition- and engine-independent. "
+    "(operators/vector_agg.py)",
+    tags=("llm", "vectors"),
+)
+def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return group_centroids(emb, ["label"]).orderBy("label")
+
+
+# ------------------------------------- corpus-median quality filter
+
+
+@register(
+    "q_filter_median_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(len({TH.duck_tokens('text')}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    h AS (SELECT n_tok, COUNT(*) AS c FROM t GROUP BY n_tok),
+    cum AS (
+      SELECT n_tok, SUM(c) OVER (ORDER BY n_tok) AS cum,
+             SUM(c) OVER () AS total
+      FROM h
+    ),
+    thr AS (
+      SELECT MIN(n_tok) AS med FROM cum WHERE cum >= (total + 1) // 2
+    )
+    SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_tok) AS BIGINT)
+             AS kept_tokens
+    FROM t JOIN thr ON t.n_tok >= thr.med
+    GROUP BY source
+    ORDER BY source
+    """,
+    doc="Data-dependent corpus filter: keep documents at or above the "
+    "corpus-median token count. The median is exact but computed from "
+    "the value *histogram* (groupBy token-count → cumulative walk over "
+    "distinct values) — metadata-scale work, vs. the TakeOrdered-n/2 "
+    "or global-sort plans that die at 100 TB; the 1-row threshold then "
+    "broadcast-joins the corpus scan. (operators/sharding.py::"
+    "exact_median_int)",
+    tags=("llm", "filter"),
+)
+def q_filter_median_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.withColumn(
+        "n_tok", F.expr(f"CAST(size({TH.spark_tokens('text')}) AS BIGINT)")
+    )
+    thr = exact_median_int(t, "n_tok")
+    return (
+        t.join(F.broadcast(thr), F.col("n_tok") >= F.col("med"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -114,6 +114,68 @@ def test_running_sum_partition_invariance(spark, parts):
     assert got == base
 
 
+def test_group_centroids_exact(spark):
+    from spark_kafka_streaming_spark.operators.vector_agg import (
+        group_centroids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 2.0]),
+            (0, [3.0, 6.0]),
+            (1, [10.0, -10.0]),
+        ],
+        "label int, embedding array<float>",
+    )
+    out = {
+        r.label: (r.n_vecs, list(r.centroid))
+        for r in group_centroids(df, ["label"]).collect()
+    }
+    assert out == {0: (2, [2.0, 4.0]), 1: (1, [10.0, -10.0])}
+
+
+def test_exact_median_histogram(spark):
+    from spark_kafka_streaming_spark.operators.sharding import (
+        exact_median_int,
+    )
+
+    # odd count: true middle; even count: lower-middle (k = (n+1) div 2)
+    odd = spark.createDataFrame([(v,) for v in [5, 1, 9, 3, 7]], "x long")
+    assert exact_median_int(odd, "x").collect()[0].med == 5
+    even = spark.createDataFrame([(v,) for v in [4, 1, 3, 2]], "x long")
+    assert exact_median_int(even, "x").collect()[0].med == 2
+    skewed = spark.createDataFrame(
+        [(1,)] * 10 + [(100,)], "x long"
+    )
+    assert exact_median_int(skewed, "x").collect()[0].med == 1
+
+
+def test_write_training_shards_one_file_per_shard(spark, tmp_path):
+    import os
+
+    from spark_kafka_streaming_spark.operators.sharding import (
+        shard_by_token_budget,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sharded = shard_by_token_budget(docs, 500)
+    out = str(tmp_path / "shards")
+    write_training_shards(sharded, out)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    # one data file per shard directory
+    for d in os.listdir(out):
+        if not d.startswith("shard_id="):
+            continue
+        files = [
+            f
+            for f in os.listdir(f"{out}/{d}")
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{d}: {files}"
+
+
 def test_funnel_orders_stages(spark):
     import datetime as dt
 
