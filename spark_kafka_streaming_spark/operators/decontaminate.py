@@ -34,14 +34,32 @@ def contamination_hits(
     ``n_hits`` counts *distinct* overlapping shingles (the shingle
     arrays are distinct by construction). Docs with zero overlap are
     absent — callers anti-join to get the clean set.
+
+    Tokens are materialized into a column before shingling — the inline
+    shingle expression re-tokenizes the text per ``element_at`` (no CSE
+    inside lambdas), which measured ~6× slower on this exact shape.
+    Pipelines that maintain a shared signature table should explode its
+    ``hs`` column instead (see ``queries/llm3.py``).
     """
-    sh = TH.spark_shingle_hashes(text_col, w)
-    eval_sh = (
-        eval_df.select(F.explode(F.expr(sh)).alias("h")).distinct()
-    )
-    train_ex = train.select(id_col, F.explode(F.expr(sh)).alias("h"))
+    eval_sh = _exploded_hashes(eval_df, id_col, text_col, w).select(
+        "h"
+    ).distinct()
+    train_ex = _exploded_hashes(train, id_col, text_col, w)
     return (
         train_ex.join(F.broadcast(eval_sh), "h")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def _exploded_hashes(
+    df: DataFrame, id_col: str, text_col: str, w: int
+) -> DataFrame:
+    hs = (
+        f"array_distinct(transform({TH.spark_shingles_from_tokens('_toks', w)}, "
+        f"s -> {TH.spark_str_hash('s')}))"
+    )
+    return (
+        df.withColumn("_toks", F.expr(TH.spark_tokens(text_col)))
+        .select(id_col, F.explode(F.expr(hs)).alias("h"))
     )

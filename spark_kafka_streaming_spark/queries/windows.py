@@ -18,7 +18,7 @@ open windows past the watermark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.exact import dec
@@ -87,6 +87,46 @@ def q_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("ws"), "n", "total_value")
         .orderBy("ws")
+    )
+
+
+@register(
+    "q_window_trailing_1h",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS trailing_1h_value
+    FROM events
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="Per-event trailing 1-hour value sum per user — a RANGE frame "
+    "over event time (every event sees the true 60-minute lookback, "
+    "not a row count). Ordered by integer epoch-µs so the frame bound "
+    "is exact integer arithmetic in both engines; DECIMAL sum keeps "
+    "the window total order-independent. One shuffle on user_id; the "
+    "in-partition range scan is the streaming state-store access "
+    "pattern in batch form.",
+    tags=("window", "time", "range-frame"),
+)
+def q_window_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.sum(dec("value")).over(w).cast("double").alias(
+                "trailing_1h_value"
+            ),
+        )
+        .orderBy("user_id", "ts", "event_id")
     )
 
 

@@ -78,6 +78,8 @@ def test_matches_duckdb(name, spark, sf_dir, duck):
             "DOUBLE": "double", "TIMESTAMP": "timestamp",
             "TIMESTAMP_NS": "timestamp", "BOOLEAN": "boolean",
         }
+        if t.endswith("[]"):
+            return f"array<{duck_norm(t[:-2])}>"
         return t.lower() if t.startswith("DECIMAL") else m.get(t, t.lower())
 
     rel = duck.sql(q.oracle)

@@ -95,6 +95,37 @@ def test_streaming_session_window(spark, tmp_path):
     assert rows[(7, "2024-01-01T12:00:00")] == (1, 4.0)  # new session
 
 
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: a streaming fact enriched against a static
+    dimension. The static side is broadcast — each micro-batch is a
+    map-side hash join, no shuffle of the stream; the plan every
+    dimension-enrichment at 100 TB/day should have."""
+    src = str(tmp_path / "enrich")
+    _emit(src, "b1.json", [
+        _row(1, "2024-01-01T10:00:00.000000Z", etype="click", value=2.0),
+        _row(2, "2024-01-01T10:01:00.000000Z", etype="purchase", value=3.0),
+        _row(3, "2024-01-01T10:02:00.000000Z", etype="error", value=5.0),
+    ])
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 10.0)],
+        "event_type string, weight double",
+    )
+    enriched = (
+        file_stream(spark, src)
+        .join(F.broadcast(dim), "event_type")  # inner: drops 'error'
+        .withColumn("weighted", F.col("value") * F.col("weight"))
+        .select("event_id", "event_type", "weighted")
+    )
+    q = start_sink(enriched, "memory", query_name="enrich",
+                   checkpoint=str(tmp_path / "ck_enrich"))
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    rows = {r.event_id: (r.event_type, r.weighted)
+            for r in spark.sql("SELECT * FROM enrich").collect()}
+    assert rows == {1: ("click", 2.0), 2: ("purchase", 30.0)}
+
+
 def test_foreachbatch_idempotent_upsert(spark, tmp_path):
     """Exactly-once into a non-transactional store: foreachBatch keyed by
     batch_id — replaying a batch overwrites rather than duplicates (the
