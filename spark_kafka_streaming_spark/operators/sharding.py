@@ -101,6 +101,45 @@ def write_training_shards(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_parts: int = 32,
+) -> DataFrame:
+    """Context-window packing plan: map each document onto the fixed
+    ``seq_len``-token training sequences it occupies.
+
+    Documents are laid head-to-tail in deterministic hash order (same
+    global-shuffle convention as :func:`shard_by_token_budget`); a doc
+    starting at token offset ``cum - n_tok`` occupies sequences
+    ``first_seq = start div seq_len`` .. ``last_seq = (cum-1) div
+    seq_len``. ``n_seqs > 1`` marks documents split across a sequence
+    boundary — the quantity a packing-efficiency audit tracks (boundary
+    crossings are where attention masks fragment).
+
+    Zero-token documents are dropped (they occupy no sequence).
+    Returns ``id_col, n_tok, first_seq, last_seq, n_seqs``.
+    """
+    d = df.withColumn(
+        "n_tok", F.expr(f"CAST(size({TH.spark_tokens(text_col)}) AS BIGINT)")
+    ).filter(F.col("n_tok") > 0)
+    d = d.withColumn(
+        "ord", F.expr(TH.spark_str_hash(f"CAST({id_col} AS STRING)"))
+    )
+    d = global_running_sum(
+        d.select(id_col, "n_tok", "ord"), "n_tok", ["ord", id_col],
+        num_parts=num_parts,
+    )
+    return (
+        d.withColumn("first_seq", F.expr(f"(cum - n_tok) DIV {seq_len}"))
+        .withColumn("last_seq", F.expr(f"(cum - 1) DIV {seq_len}"))
+        .withColumn("n_seqs", F.col("last_seq") - F.col("first_seq") + 1)
+        .select(id_col, "n_tok", "first_seq", "last_seq", "n_seqs")
+    )
+
+
 def shard_by_token_budget(
     df: DataFrame,
     budget: int,

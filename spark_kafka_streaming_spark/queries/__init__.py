@@ -18,6 +18,7 @@ from . import llm2  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
 from . import events  # noqa: F401,E402
 from . import llm3  # noqa: F401,E402
+from . import llm4  # noqa: F401,E402
 from . import events2  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import formats  # noqa: F401,E402
