@@ -23,6 +23,64 @@ from pyspark.sql import functions as F
 from ..functions import vectors as V
 
 
+def gram_matrix(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Corpus Gram matrix ``G[i,j] = Σ_rows x_i·x_j`` (upper triangle).
+
+    The reduce step of distributed PCA / covariance estimation: the
+    d×d Gram matrix is all PCA needs from the data, and d is small
+    (embedding dimension), so the eigendecomposition happens on the
+    driver over d² numbers while the corpus-sized work stays
+    distributed.
+
+    Plan shape: each row expands *map-side* into its d(d+1)/2 upper-
+    triangle component products via one nested ``transform`` expression
+    — NO self-join, no second scan — then a single map-side-combinable
+    ``groupBy(i, j)`` whose shuffle carries at most d²/2 rows per map
+    task regardless of corpus size.  This is the shape that survives
+    100 TB; an explode+self-join would shuffle the exploded corpus
+    twice.
+
+    Components are integer-scaled (:mod:`..functions.vectors`) so
+    products are exact int64; the sum widens to DECIMAL(38,0) — exact
+    and associative at any corpus size, bit-identical across engines
+    and partitionings.
+    """
+    d_q = V.spark_scaled(vec_col)
+    pairs = (
+        "flatten(transform(sequence(1, size(_q)), i -> "
+        "transform(sequence(i, size(_q)), j -> "
+        "struct(i AS i, j AS j, element_at(_q, i) * element_at(_q, j) AS p))))"
+    )
+    return (
+        df.select(F.expr(d_q).alias("_q"))
+        .select(F.explode(F.expr(pairs)).alias("e"))
+        .select(
+            F.col("e.i").cast("bigint").alias("i"),
+            F.col("e.j").cast("bigint").alias("j"),
+            "e.p",
+        )
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("p").cast("decimal(38,0)")).alias("gram"))
+    )
+
+
+def duck_gram_matrix_sql(table: str = "embeddings", vec_col: str = "embedding") -> str:
+    """DuckDB oracle twin of :func:`gram_matrix` (zipped-unnest + self-join —
+    fine for an oracle, not the distributed shape)."""
+    return f"""
+    WITH e AS (
+      SELECT rid, unnest(q) AS q, generate_subscripts(q, 1) AS i
+      FROM (SELECT row_number() OVER () AS rid,
+                   {V.duck_scaled(vec_col)} AS q
+            FROM {table})
+    )
+    SELECT a.i, b.i AS j,
+           CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS DECIMAL(38,0)) AS gram
+    FROM e a JOIN e b ON a.rid = b.rid AND b.i >= a.i
+    GROUP BY a.i, b.i
+    """
+
+
 def group_centroids(
     df: DataFrame,
     group_cols: list[str],

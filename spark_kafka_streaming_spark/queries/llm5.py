@@ -1,0 +1,179 @@
+"""Fifth LLM-pipeline wave: corpus-LM document scoring, embedding
+quantization, the distributed Gram matrix (PCA's reduce step), and
+class-balanced sampling — the statistics/compression side of a
+training-data pipeline.
+
+All four are oracle-checked with exact cross-engine arithmetic:
+LM familiarity is integer counts with one deterministic division,
+quantization is a fixed double→int mapping both engines agree on, the
+Gram matrix sums integer-scaled products into DECIMAL(38,0), and the
+balanced sampler ranks on the portable content-hash family with a
+unique tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import texthash as TH
+from ..operators.lm import bigram_familiarity, duck_bigram_familiarity_sql
+from ..operators.vector_agg import duck_gram_matrix_sql, gram_matrix
+from ..sources.batch import load_table
+from .registry import register
+
+# ------------------------------------------------- bigram-LM scoring
+
+_LM_MIN_COUNT = 3
+
+
+@register(
+    "q_text_lm_familiarity",
+    oracle=duck_bigram_familiarity_sql(_LM_MIN_COUNT),
+    doc="CCNet/KenLM-style quality signal: score every document by the "
+    "fraction of its bigram occurrences the corpus itself has seen "
+    ">= 3 times. Low familiarity = gibberish/OCR noise; ~1.0 = "
+    "boilerplate. LM table is map-side-combined then min-count-pruned "
+    "before the scoring join (broadcast when it fits, shuffle-hash "
+    "otherwise); exact integer counts, one double division per doc. "
+    "(operators/lm.py)",
+    tags=("llm", "text", "ngram", "quality"),
+)
+def q_text_lm_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_familiarity(docs, min_count=_LM_MIN_COUNT)
+
+
+# ------------------------------------------------- int8 quantization
+
+#: per-vector symmetric int8 range
+_QMAX = 127.0
+
+
+@register(
+    "q_vector_quantize_int8",
+    oracle=f"""
+    WITH s AS (
+      SELECT vec_id,
+             {_QMAX} / list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             embedding
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(embedding,
+                 x -> CAST(FLOOR(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id, scale,
+           CAST(list_aggregate(qv, 'sum') AS BIGINT) AS q_sum,
+           CAST(list_aggregate(list_transform(qv, v -> abs(v)), 'sum')
+                AS BIGINT) AS q_l1,
+           CAST(list_aggregate(qv, 'min') AS BIGINT) AS q_min,
+           CAST(list_aggregate(qv, 'max') AS BIGINT) AS q_max
+    FROM q
+    ORDER BY vec_id
+    """,
+    doc="Symmetric per-vector int8 quantization (the storage/serving "
+    "compression step for embedding indexes): scale = 127/max|x|, "
+    "component -> floor(x*scale + 0.5). Map-only, no shuffle; the "
+    "floor(+0.5) rounding is a fixed double->int mapping identical in "
+    "both engines (round() half-even vs half-up would diverge). "
+    "Catalog row pins exact integer digests (sum/L1/min/max) of every "
+    "quantized vector plus the scale.",
+    tags=("llm", "vector", "quantize"),
+)
+def q_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = (
+        f"transform(embedding, x -> "
+        f"CAST(FLOOR(CAST(x AS DOUBLE) * _scale + 0.5) AS BIGINT))"
+    )
+    return (
+        emb.withColumn(
+            "_scale",
+            F.lit(_QMAX)
+            / F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+        )
+        .withColumn("_qv", F.expr(qv))
+        .select(
+            "vec_id",
+            F.col("_scale").alias("scale"),
+            F.expr("aggregate(_qv, 0L, (a, v) -> a + v)").alias("q_sum"),
+            F.expr("aggregate(_qv, 0L, (a, v) -> a + abs(v))").alias("q_l1"),
+            F.expr("array_min(_qv)").alias("q_min"),
+            F.expr("array_max(_qv)").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+# ------------------------------------------------- Gram matrix (PCA)
+
+
+@register(
+    "q_vector_gram_matrix",
+    oracle=duck_gram_matrix_sql("embeddings", "embedding"),
+    doc="Distributed PCA building block: the d×d Gram matrix "
+    "G[i,j] = Σ x_i·x_j over the corpus (upper triangle). Each row "
+    "expands map-side into its d(d+1)/2 component products via one "
+    "nested transform — no self-join — then a single map-side-"
+    "combinable groupBy(i,j); the shuffle carries ≤ d²/2 rows per map "
+    "task at any corpus size. Integer-scaled products summed exactly "
+    "in DECIMAL(38,0). Eigendecomposition of the d² result happens "
+    "driver-side. (operators/vector_agg.py)",
+    tags=("llm", "vector", "pca"),
+)
+def q_vector_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return gram_matrix(emb, "embedding").orderBy("i", "j")
+
+
+# ------------------------------------------- class-balanced sampling
+
+_BAL_PER_LABEL = 40
+
+
+@register(
+    "q_sample_balanced_label",
+    oracle=f"""
+    WITH h AS (
+      SELECT label, vec_id,
+             {TH.duck_str_hash("'bal:' || CAST(vec_id AS VARCHAR)")} AS hk
+      FROM embeddings
+    ),
+    r AS (
+      SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label ORDER BY hk, vec_id) AS rk
+      FROM h
+    )
+    SELECT label, vec_id, rk FROM r WHERE rk <= {_BAL_PER_LABEL}
+    ORDER BY label, rk
+    """,
+    doc="Class-balanced training subset: exactly N per label, chosen "
+    "by ranking on a portable content hash (rand()-free, reproducible "
+    "on any cluster/partitioning/engine) with vec_id as the unique "
+    "tiebreaker. One shuffle keyed by label; rank state is O(1) per "
+    "partition. Skewed-label caveat: a single giant class makes one "
+    "partition hot — pre-aggregate with a per-label count and salt "
+    "if a label exceeds a partition budget (operators/skew.py).",
+    tags=("llm", "sample", "vector"),
+)
+def q_sample_balanced_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = emb.select(
+        "label",
+        "vec_id",
+        F.expr(TH.spark_str_hash("concat('bal:', CAST(vec_id AS STRING))")).alias(
+            "hk"
+        ),
+    )
+    w = Window.partitionBy("label").orderBy("hk", "vec_id")
+    return (
+        h.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _BAL_PER_LABEL)
+        .select("label", "vec_id", "rk")
+        .orderBy("label", "rk")
+    )

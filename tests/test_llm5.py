@@ -1,0 +1,107 @@
+"""Semantic tests for the fifth LLM wave: bigram-LM familiarity,
+int8 quantization, the distributed Gram matrix, and class-balanced
+sampling — planted-case checks independent of the DuckDB gate, plus a
+plan check pinning the Gram matrix's no-self-join shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from spark_kafka_streaming_spark.functions.vectors import SCALE
+from spark_kafka_streaming_spark.operators.lm import bigram_familiarity
+from spark_kafka_streaming_spark.operators.vector_agg import gram_matrix
+
+
+def test_bigram_familiarity_planted(spark):
+    # "a b" occurs 3× across the corpus (familiar at min_count=3);
+    # every other bigram occurs once.
+    rows = [
+        (1, "a b a b x y"),   # bigrams: ab ba ab bx xy → ab familiar ×2
+        (2, "a b q"),         # ab bq → ab familiar ×1
+        (3, "z z"),           # zz → unfamiliar
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bigram_familiarity(df, min_count=3).collect()}
+    assert got[1].n_bigrams == 5 and got[1].n_familiar == 2
+    assert got[2].n_bigrams == 2 and got[2].n_familiar == 1
+    assert got[3].n_bigrams == 1 and got[3].n_familiar == 0
+    assert math.isclose(got[1].familiarity, 2 / 5)
+    assert got[3].familiarity == 0.0
+
+
+def test_bigram_familiarity_partitioning_invariant(spark):
+    rows = [(i, f"w{i % 7} w{(i + 1) % 7} w{i % 3}") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = sorted(map(tuple, bigram_familiarity(df, 5).collect()))
+    b = sorted(map(tuple, bigram_familiarity(df.repartition(13), 5).collect()))
+    assert a == b
+
+
+def test_gram_matrix_exact_tiny(spark):
+    vecs = [(1, [1.0, 0.0, 2.0]), (2, [0.5, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {(r.i, r.j): int(r.gram) for r in gram_matrix(df).collect()}
+    q = [[round(x * SCALE) for x in v] for _, v in vecs]
+    want = {
+        (i + 1, j + 1): sum(row[i] * row[j] for row in q)
+        for i in range(3)
+        for j in range(i, 3)
+    }
+    assert got == want
+
+
+def test_gram_matrix_upper_triangle_only(spark):
+    df = spark.createDataFrame(
+        [(1, [0.1] * 8)], "vec_id long, embedding array<float>"
+    )
+    rows = gram_matrix(df).collect()
+    assert len(rows) == 8 * 9 // 2
+    assert all(r.j >= r.i for r in rows)
+
+
+def test_gram_matrix_plan_has_no_join(spark):
+    """The 100 TB shape: map-side pair expansion + one combinable
+    aggregate — any join/cartesian in the plan is a regression."""
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    plan = gram_matrix(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Cartesian" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_quantize_int8_bounds_and_scale(spark, sf_dir):
+    from spark_kafka_streaming_spark.queries import REGISTRY
+
+    out = REGISTRY["q_vector_quantize_int8"].builder(spark, sf_dir)
+    rows = out.collect()
+    assert rows, "empty quantization output"
+    for r in rows:
+        # max|component| maps to ±127 exactly; nothing exceeds the range.
+        assert -127 <= r.q_min <= r.q_max <= 127
+        assert max(abs(r.q_min), abs(r.q_max)) == 127
+        assert r.scale > 0
+
+
+def test_balanced_sample_exact_counts(spark, sf_dir):
+    from spark_kafka_streaming_spark.queries import REGISTRY
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    out = REGISTRY["q_sample_balanced_label"].builder(spark, sf_dir)
+    per = {
+        r.label: r.n
+        for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    avail = {
+        r.label: r.n
+        for r in load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert per, "no labels sampled"
+    for label, n in per.items():
+        assert n == min(40, avail[label])
