@@ -131,6 +131,37 @@ def q_vector_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gram_matrix(emb, "embedding").orderBy("i", "j")
 
 
+# ------------------------------------------------- PCA projection
+
+_PCA_K = 4
+
+
+@register(
+    "q_vector_pca_project",
+    oracle=None,  # driver-side eigh is not SQL-expressible; semantics
+    # pinned against numpy in tests/test_llm5.py (projection exactness,
+    # orthonormality, variance ordering, partitioning invariance).
+    doc="End-to-end distributed PCA: exact integer-scaled Gram matrix "
+    "+ component sums reduce corpus-sized work to O(d²) driver rows, "
+    "numpy.linalg.eigh runs on the d×d covariance driver-side, and "
+    "the (d×k) component matrix is inlined as a literal expression so "
+    "the projection pass is map-only JVM zip_with/aggregate — no UDF, "
+    "no shuffle, no driver round-trip per row. Sign-fixed for "
+    "reproducibility. (operators/pca.py)",
+    tags=("llm", "vector", "pca"),
+)
+def q_vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pca import pca_components, project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, _ = pca_components(emb, _PCA_K)
+    out = project(emb, comps)
+    return out.select(
+        "vec_id",
+        *[F.expr(f"element_at(pca, {c + 1})").alias(f"p{c + 1}") for c in range(_PCA_K)],
+    ).orderBy("vec_id")
+
+
 # ------------------------------------------- class-balanced sampling
 
 _BAL_PER_LABEL = 40

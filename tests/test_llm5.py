@@ -105,3 +105,61 @@ def test_balanced_sample_exact_counts(spark, sf_dir):
     assert per, "no labels sampled"
     for label, n in per.items():
         assert n == min(40, avail[label])
+
+
+# ----------------------------------------------------------- PCA
+
+
+def test_pca_matches_numpy(spark):
+    import numpy as np
+
+    from spark_kafka_streaming_spark.operators.pca import (
+        covariance_matrix,
+        pca_components,
+        project,
+    )
+
+    rng = np.random.RandomState(7)
+    # anisotropic cloud: variance concentrated in two known directions
+    base = rng.randn(400, 2) @ np.array([[3.0, 0.0, 0.0, 0.0], [0.0, 1.5, 0.0, 0.0]])
+    data = (base + 0.01 * rng.randn(400, 4)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+
+    cov, n = covariance_matrix(df)
+    assert n == 400
+    np_cov = np.cov(data.astype("float64").T, bias=True)
+    assert np.allclose(cov, np_cov, atol=1e-5)
+
+    comps, ratios = pca_components(df, 2)
+    # top-2 subspace carries ~all variance, in descending order
+    assert ratios[0] >= ratios[1] and ratios[:2].sum() > 0.999
+    # orthonormal columns
+    assert np.allclose(comps.T @ comps, np.eye(2), atol=1e-9)
+
+    # Spark projection == numpy projection (same components, exact dots)
+    got = {
+        r.vec_id: list(r.pca) for r in project(df, comps).select("vec_id", "pca").collect()
+    }
+    want = data.astype("float64") @ comps
+    for i in range(400):
+        assert np.allclose(got[i], want[i], atol=1e-6)
+
+
+def test_pca_projection_partitioning_invariant(spark):
+    import numpy as np
+
+    from spark_kafka_streaming_spark.operators.pca import pca_components
+
+    rng = np.random.RandomState(11)
+    data = rng.randn(300, 6).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    c1, r1 = pca_components(df, 3)
+    c2, r2 = pca_components(df.repartition(17), 3)
+    # exact integer reduce → identical covariance → identical eigh input
+    assert np.array_equal(c1, c2) and np.array_equal(r1, r2)
