@@ -1,10 +1,12 @@
-"""Serialization-format queries: the Avro container-file path run as a
-driver-checked query.
+"""Serialization-format queries: the Avro container-file, CSV, and
+JSON wire paths run as driver-checked queries — the payload-decode
+surface a Kafka-fed engine needs (reference T1/T3/T4 families).
 
-The encode→decode round-trip must reproduce the source rows exactly,
+Each encode→decode round-trip must reproduce the source rows exactly,
 so the DuckDB oracle is simply the source table — a full value-hash
-check of the whole Avro datum/container codec (zigzag varints, unions,
-schema embedding + discovery) without DuckDB needing to know Avro.
+check of the codec (zigzag varints, unions, schema embedding +
+discovery for Avro; quoting/escaping and schema-directed parsing for
+CSV/JSON) without DuckDB needing to know the format.
 """
 
 from __future__ import annotations
@@ -38,3 +40,69 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     encoded = encode_avro_container(docs, "doc_id", "lang", "n_chars")
     return decode_avro_container(encoded).orderBy("doc_id")
+
+
+_WIRE_SCHEMA = "doc_id BIGINT, lang STRING, n_chars BIGINT"
+
+
+@register(
+    "q_csv_line_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    doc="CSV wire-format round-trip: each row serialized to one CSV "
+    "line (to_csv) and parsed back (from_csv) with an explicit schema "
+    "— the per-record decode path a CSV-payload Kafka topic needs "
+    "(reference T1 decode family). Map-only, codegen, no temp files; "
+    "byte-faithful, so the oracle is the source table.",
+    tags=("formats", "csv"),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("doc_id") < 200)
+    )
+    wire = docs.select(
+        F.to_csv(F.struct("doc_id", "lang", "n_chars")).alias("line")
+    )
+    return (
+        wire.select(
+            F.from_csv("line", _WIRE_SCHEMA).alias("r")
+        )
+        .select("r.doc_id", "r.lang", "r.n_chars")
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "q_json_line_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    doc="JSON-lines wire-format round-trip: to_json per row, then "
+    "from_json with an explicit schema — the JSON Kafka-payload decode "
+    "path (streaming/decode.py uses the same from_json plan under "
+    "readStream). Map-only, codegen; oracle is the source table.",
+    tags=("formats", "json"),
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("doc_id") < 200)
+    )
+    wire = docs.select(
+        F.to_json(F.struct("doc_id", "lang", "n_chars")).alias("line")
+    )
+    return (
+        wire.select(
+            F.from_json("line", _WIRE_SCHEMA).alias("r")
+        )
+        .select("r.doc_id", "r.lang", "r.n_chars")
+        .orderBy("doc_id")
+    )

@@ -64,13 +64,37 @@ def test_gram_matrix_upper_triangle_only(spark):
 
 def test_gram_matrix_plan_has_no_join(spark):
     """The 100 TB shape: map-side pair expansion + one combinable
-    aggregate — any join/cartesian in the plan is a regression."""
+    aggregate — any join/cartesian in the plan is a regression (both
+    the Arrow kernel and the pure-SQL fallback)."""
     df = spark.createDataFrame(
         [(1, [0.1, 0.2])], "vec_id long, embedding array<float>"
     )
-    plan = gram_matrix(df)._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan and "Cartesian" not in plan
-    assert "HashAggregate" in plan
+    for impl in ("arrow", "sql"):
+        plan = (
+            gram_matrix(df, impl=impl)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan and "Cartesian" not in plan, impl
+        assert "HashAggregate" in plan, impl
+
+
+def test_gram_matrix_arrow_equals_sql(spark):
+    """The numpy kernel and the built-in-expression fallback are the
+    same operator: identical integer-scaled results, negatives and
+    rounding included."""
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    data = (rng.randn(257, 5) * 0.3).astype("float32")  # >1 Arrow batch row-chunk
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    a = sorted((r.i, r.j, int(r.gram)) for r in gram_matrix(df, impl="arrow").collect())
+    b = sorted((r.i, r.j, int(r.gram)) for r in gram_matrix(df, impl="sql").collect())
+    assert a == b
 
 
 def test_quantize_int8_bounds_and_scale(spark, sf_dir):

@@ -254,3 +254,56 @@ def test_interval_join_stream_equals_batch_twin(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_streaming_quality_filter_equals_batch(spark, tmp_path):
+    """The LLM quality-scoring surface is map-only, so it must run
+    unchanged under readStream and agree with the batch result row-for-
+    row — the stream≡batch parity that lets one pipeline definition
+    serve both backfill (batch over parquet) and ingest (stream off
+    Kafka)."""
+    import json as _json
+
+    from spark_kafka_streaming_spark.operators.text import (
+        language_id,
+        quality_score,
+    )
+
+    rows = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "aaaa aaaa aaaa aaaa aaaa aaaa"},
+        {"doc_id": 3, "text": "le chat et le chien sont dans le jardin"},
+        {"doc_id": 4, "text": "x"},
+    ]
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows))
+
+    schema = "doc_id BIGINT, text STRING"
+
+    def pipeline(df):
+        return language_id(quality_score(df)).select(
+            "doc_id", "quality", "lang_pred"
+        )
+
+    batch = {
+        r.doc_id: (r.quality, r.lang_pred)
+        for r in pipeline(spark.read.schema(schema).json(str(src))).collect()
+    }
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("qf_parity")
+        .option("checkpointLocation", str(tmp_path / "ck_qf"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    streamed = {
+        r.doc_id: (r.quality, r.lang_pred)
+        for r in spark.sql("SELECT * FROM qf_parity").collect()
+    }
+    assert streamed == batch and len(streamed) == 4
