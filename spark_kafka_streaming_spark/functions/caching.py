@@ -36,11 +36,14 @@ def release_operator_caches() -> int:
     """Unpersist every tracked frame; returns how many were released.
 
     Call after materializing operator results (``collect``/write).
-    Releasing is idempotent and safe while other queries run —
-    ``unpersist`` is lazy-blocking-free and only drops cached blocks.
+    Releasing is idempotent and safe while other queries run — it only
+    drops cached blocks.  Blocking: when this returns, the blocks are
+    gone (async unpersist would leave them briefly visible, which turns
+    any cache accounting — including this module's own tests — into a
+    race).
     """
     n = 0
     while _TRACKED:
-        _TRACKED.pop().unpersist()
+        _TRACKED.pop().unpersist(blocking=True)
         n += 1
     return n

@@ -104,11 +104,80 @@ def _sign_key(band: int) -> F.Column:
     return F.expr(key)
 
 
+def _plane_matrix():
+    """The (DIM × LSH_PLANES·LSH_BANDS) hyperplane coefficient matrix —
+    the same fixed pseudo-random integers :func:`_sign_key` inlines."""
+    import numpy as np
+
+    n_planes = LSH_PLANES * LSH_BANDS
+    return np.array(
+        [
+            [((p_idx * 131 + j * 29) % P) % 2001 - 1000 for p_idx in range(n_planes)]
+            for j in range(DIM)
+        ],
+        dtype="int64",
+    )
+
+
 def _banded(
-    vectors: DataFrame, id_col: str, vec_col: str
+    vectors: DataFrame, id_col: str, vec_col: str, impl: str = "arrow"
 ) -> DataFrame:
     """(id, v, n, band, key): one row per (vector, band) with the band's
-    packed sign key — the LSH bucket address."""
+    packed sign key — the LSH bucket address.
+
+    ``impl="arrow"`` computes all 48 plane dots per vector as one numpy
+    int64 matmul inside ``mapInPandas`` (the dense-kernel pandas-UDF
+    case — the interpreted ``zip_with``/``aggregate`` chain in the SQL
+    form is the measured hot spot of the ANN tier); ``impl="sql"`` is
+    the pure built-in-expression fallback.  Both derive from the same
+    engine-exact integer scaling, so keys, norms, and scaled vectors
+    are bit-identical (pinned in tests).
+    """
+    if impl == "arrow":
+        planes = _plane_matrix()
+        scale, n_bands, n_planes = V.SCALE, LSH_BANDS, LSH_PLANES
+
+        # NOTE: self-contained closure — pickled to executor workers
+        # that may not have this package importable (the verification
+        # driver launches from an arbitrary cwd); captured arrays and
+        # scalars pickle by value, module references would not.
+        def _batches(it):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in it:
+                pdf = pdf[pdf[vec_col].notna()]
+                if not len(pdf):
+                    continue
+                m = np.stack(pdf[vec_col].map(lambda a: np.asarray(a, dtype="float64")))
+                # engine-exact round(x·SCALE) — see vectors.py::np_scaled
+                v = m * scale
+                fv, cv = np.floor(v), np.ceil(v)
+                q = np.where(
+                    v >= 0, fv + (v - fv >= 0.5), cv - (cv - v >= 0.5)
+                ).astype("int64")
+                n = (q * q).sum(axis=1)
+                bits = (q @ planes) > 0  # exact int64 dots, all planes at once
+                keys = np.zeros((len(q), n_bands), dtype="int64")
+                for b in range(n_bands):
+                    for pl in range(n_planes):
+                        keys[:, b] = keys[:, b] * 2 + bits[:, b * n_planes + pl]
+                n_rows = len(q) * n_bands
+                yield pd.DataFrame(
+                    {
+                        "id": np.repeat(pdf[id_col].to_numpy(), n_bands),
+                        "v": [row.tolist() for row in q for _ in range(n_bands)],
+                        "n": np.repeat(n, n_bands),
+                        "band": np.tile(np.arange(n_bands, dtype="int32"), len(q)),
+                        "key": keys.reshape(n_rows),
+                    }
+                )
+
+        return vectors.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            _batches, "id long, v array<bigint>, n bigint, band int, key bigint"
+        )
+    if impl != "sql":
+        raise ValueError(f"unknown impl: {impl!r} (want 'arrow' or 'sql')")
     base = vectors.select(
         F.col(id_col).alias("id"),
         F.expr(V.spark_scaled(vec_col)).alias("v"),
@@ -136,6 +205,7 @@ def cosine_dup_pairs(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact cosine-threshold pairs, LSH-bucketed candidate generation.
 
@@ -143,8 +213,15 @@ def cosine_dup_pairs(
     candidates (equi-join on the sign pattern); exact cosine then
     filters. Recall < 1 by construction (documented); raise LSH_BANDS
     for higher recall.
+
+    Caching contract: the banded index and the (small) pair result are
+    ``persist()``-ed — the self-join reads the index twice, and any
+    downstream sort/top-k re-executes its child for range sampling,
+    which without the persist would run the whole join (and the
+    banding, twice) again.  Release via
+    :func:`..functions.caching.release_operator_caches`.
     """
-    banded = _banded(vectors, id_col, vec_col)
+    banded = track_persist(_banded(vectors, id_col, vec_col, impl=impl))
     l, r = banded.alias("l"), banded.alias("r")
     cand = (
         l.join(
@@ -164,7 +241,7 @@ def cosine_dup_pairs(
         .dropDuplicates(["id1", "id2"])
     )
     cos = F.expr(V.spark_cosine(V.spark_dot("v1", "v2"), "n1", "n2"))
-    return (
+    return track_persist(
         cand.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
         .select("id1", "id2", "cos_sim")
@@ -178,6 +255,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     multi_probe: bool = True,
+    impl: str = "arrow",
 ) -> DataFrame:
     """ANN top-k: candidates from shared LSH buckets, then exact cosine
     rank.
@@ -192,14 +270,14 @@ def lsh_topk(
     index size and build cost stay flat — the multi-probe trade at
     100 TB: extra reads, no extra state).
     """
-    c = _banded(corpus, id_col, vec_col).select(
+    c = track_persist(_banded(corpus, id_col, vec_col, impl=impl)).select(
         F.col("id").alias("c_id"),
         F.col("v").alias("c_v"),
         F.col("n").alias("c_n"),
         "band",
         "key",
     )
-    q = _banded(queries, id_col, vec_col)
+    q = _banded(queries, id_col, vec_col, impl=impl)
     if multi_probe:
         # key plus its one-bit-flip variants (XOR each plane's bit).
         variants = ", ".join(
@@ -218,7 +296,9 @@ def lsh_topk(
     )
     cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    return (
+    # Persisted (small: ≤ |Q|·k rows) so a downstream orderBy's range-
+    # sampling pass reuses it instead of re-running the bucket join.
+    return track_persist(
         q.join(c, ["band", "key"])
         .filter(F.col("q_id") != F.col("c_id"))
         .select(

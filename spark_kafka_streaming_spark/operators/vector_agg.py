@@ -57,24 +57,26 @@ def gram_matrix(
     100 TB.
     """
     if impl == "arrow":
-        import numpy as np
-        import pandas as pd
-
         scale = V.SCALE
 
+        # NOTE: the kernel closure must be SELF-CONTAINED — it is
+        # pickled to executor python workers that may not have this
+        # package on sys.path (the verification driver launches from an
+        # arbitrary cwd).  Module references (V.np_scaled, …) would be
+        # pickled by name and fail to import there; captured scalars
+        # and locally-defined code pickle by value.
         def _batches(it):
+            import numpy as np
+            import pandas as pd
+
             for pdf in it:
                 col = pdf[vec_col].dropna()
                 if not len(col):
                     continue
                 m = np.stack(col.map(lambda a: np.asarray(a, dtype="float64")))
+                # engine-exact round(x·SCALE): half-away-from-zero on
+                # the exact double (see functions/vectors.py::np_scaled)
                 v = m * scale
-                # Half-away-from-zero on the EXACT double value,
-                # matching Spark/DuckDB round(). (Not rint — half-even
-                # — and not trunc(v±0.5), whose addition can itself
-                # round v just below k+.5 up to k+1.) floor/ceil and
-                # the v−floor(v) subtraction are exact for |v| < 2⁵²,
-                # so the ≥ 0.5 comparison sees the true fraction.
                 fv, cv = np.floor(v), np.ceil(v)
                 q = np.where(
                     v >= 0, fv + (v - fv >= 0.5), cv - (cv - v >= 0.5)

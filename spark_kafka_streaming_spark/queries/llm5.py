@@ -1,14 +1,16 @@
 """Fifth LLM-pipeline wave: corpus-LM document scoring, embedding
-quantization, the distributed Gram matrix (PCA's reduce step), and
-class-balanced sampling — the statistics/compression side of a
-training-data pipeline.
+quantization, the distributed Gram matrix + PCA, class-balanced
+sampling, and corpus snapshot diffing — the statistics/compression/
+maintenance side of a training-data pipeline.
 
-All four are oracle-checked with exact cross-engine arithmetic:
+All but PCA are oracle-checked with exact cross-engine arithmetic:
 LM familiarity is integer counts with one deterministic division,
 quantization is a fixed double→int mapping both engines agree on, the
-Gram matrix sums integer-scaled products into DECIMAL(38,0), and the
+Gram matrix sums integer-scaled products into DECIMAL(38,0), the
 balanced sampler ranks on the portable content-hash family with a
-unique tiebreaker.
+unique tiebreaker, and the snapshot diff compares md5 fingerprints.
+PCA's driver-side eigendecomposition is pinned against numpy in tests
+instead.
 """
 
 from __future__ import annotations
@@ -160,6 +162,74 @@ def q_vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.expr(f"element_at(pca, {c + 1})").alias(f"p{c + 1}") for c in range(_PCA_K)],
     ).orderBy("vec_id")
+
+
+# ------------------------------------------------- snapshot diff
+
+
+@register(
+    "q_corpus_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT doc_id, md5(text) AS fp, n_chars FROM documents
+      WHERE doc_id % 7 <> 0
+    ),
+    snap_b AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS fp,
+             n_chars
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.fp <> b.fp THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS docs,
+           CAST(SUM(COALESCE(b.n_chars, a.n_chars)) AS BIGINT) AS chars
+    FROM snap_a a FULL OUTER JOIN snap_b b USING (doc_id)
+    GROUP BY 1 ORDER BY status
+    """,
+    doc="Incremental corpus refresh audit: diff two crawl snapshots "
+    "into added/removed/changed/unchanged via a full outer join on "
+    "doc_id comparing content fingerprints (md5 — portable across "
+    "engines). The join shuffles both sides once on the id (bucket "
+    "both snapshots by doc_id at rest and it is co-located, shuffle-"
+    "free); fingerprint compare and the status classification are "
+    "map-side. The downstream incremental pipeline processes only "
+    "the added+changed slice — the point of the diff at 100 TB.",
+    tags=("llm", "diff", "join"),
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    snap_a = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5("text").alias("fp"), "n_chars"
+    )
+    snap_b = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text"))
+        ).alias("fp"),
+        "n_chars",
+    )
+    a, b = snap_a.alias("a"), snap_b.alias("b")
+    joined = a.join(b, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("a.fp").isNull(), F.lit("added"))
+        .when(F.col("b.fp").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        joined.select(
+            status.alias("status"),
+            F.coalesce(F.col("b.n_chars"), F.col("a.n_chars")).alias("nc"),
+        )
+        .groupBy("status")
+        .agg(F.count("*").alias("docs"), F.sum("nc").alias("chars"))
+        .orderBy("status")
+    )
 
 
 # ------------------------------------------- class-balanced sampling

@@ -199,3 +199,22 @@ def test_connected_components_chain_clusters(spark):
         (1, 1, True), (2, 1, False), (3, 1, False),
         (5, 5, True), (7, 7, True), (9, 7, False),
     }
+
+
+def test_lsh_banding_arrow_equals_sql(spark, sf_dir):
+    """The numpy banding kernel and the built-in-expression form are
+    the same operator: identical (id, band, key, n) and scaled vectors
+    for every row — signs, rounding, and packing included."""
+    from spark_kafka_streaming_spark.operators.similarity import _banded
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = {
+        (r.id, r.band): (r.key, r.n, tuple(r.v))
+        for r in _banded(emb, "vec_id", "embedding", impl="arrow").collect()
+    }
+    b = {
+        (r.id, r.band): (r.key, r.n, tuple(r.v))
+        for r in _banded(emb, "vec_id", "embedding", impl="sql").collect()
+    }
+    assert a == b and len(a) > 0
