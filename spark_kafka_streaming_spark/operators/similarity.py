@@ -157,7 +157,9 @@ def _banded(
                     v >= 0, fv + (v - fv >= 0.5), cv - (cv - v >= 0.5)
                 ).astype("int64")
                 n = (q * q).sum(axis=1)
-                bits = (q @ planes) > 0  # exact int64 dots, all planes at once
+                # slice planes to the actual width: vectors shorter than
+                # DIM dot against the plane prefix (zip_with semantics)
+                bits = (q @ planes[: q.shape[1], :]) > 0
                 keys = np.zeros((len(q), n_bands), dtype="int64")
                 for b in range(n_bands):
                     for pl in range(n_planes):

@@ -58,8 +58,8 @@ _QMAX = 127.0
     oracle=f"""
     WITH s AS (
       SELECT vec_id,
-             {_QMAX} / list_max(list_transform(embedding,
-                 x -> abs(CAST(x AS DOUBLE)))) AS scale,
+             {_QMAX} / nullif(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE)))), 0.0) AS scale,
              embedding
       FROM embeddings
     ),
@@ -96,8 +96,13 @@ def q_vector_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         emb.withColumn(
             "_scale",
+            # nullif guards the all-zero vector: scale (and the digests)
+            # go null instead of inf/NaN — identical in both engines.
             F.lit(_QMAX)
-            / F.expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"),
+            / F.expr(
+                "nullif(array_max(transform(embedding, "
+                "x -> abs(CAST(x AS DOUBLE)))), 0.0D)"
+            ),
         )
         .withColumn("_qv", F.expr(qv))
         .select(

@@ -187,3 +187,59 @@ def test_pca_projection_partitioning_invariant(spark):
     c2, r2 = pca_components(df.repartition(17), 3)
     # exact integer reduce → identical covariance → identical eigh input
     assert np.array_equal(c1, c2) and np.array_equal(r1, r2)
+
+
+def test_quantize_zero_vector_yields_nulls(spark):
+    """All-zero vectors must quantize to null scale/digests (guarded
+    division), not inf/NaN — in both engines identically."""
+    import duckdb
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [0.5, -0.25])],
+        "vec_id long, embedding array<float>",
+    )
+    from spark_kafka_streaming_spark.queries import REGISTRY
+
+    # run the same expression shape the catalog query uses, over the tiny view
+    oracle = REGISTRY["q_vector_quantize_int8"].oracle.replace(
+        "FROM embeddings", "FROM _qz_duck"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW _qz_duck AS SELECT * FROM (VALUES "
+        "(1, [CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)]), "
+        "(2, [CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)])) t(vec_id, embedding)"
+    )
+    want = con.execute(oracle).fetchall()
+
+    from pyspark.sql import functions as F
+
+    got = (
+        df.withColumn(
+            "_scale",
+            F.lit(127.0)
+            / F.expr(
+                "nullif(array_max(transform(embedding, "
+                "x -> abs(CAST(x AS DOUBLE)))), 0.0D)"
+            ),
+        )
+        .withColumn(
+            "_qv",
+            F.expr(
+                "transform(embedding, x -> "
+                "CAST(FLOOR(CAST(x AS DOUBLE) * _scale + 0.5) AS BIGINT))"
+            ),
+        )
+        .select(
+            "vec_id",
+            F.col("_scale").alias("scale"),
+            F.expr("aggregate(_qv, 0L, (a, v) -> a + v)").alias("q_sum"),
+            F.expr("aggregate(_qv, 0L, (a, v) -> a + abs(v))").alias("q_l1"),
+            F.expr("array_min(_qv)").alias("q_min"),
+            F.expr("array_max(_qv)").alias("q_max"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert got[0].scale is None and got[0].q_sum is None
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
