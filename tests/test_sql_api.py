@@ -34,6 +34,7 @@ PORTABLE = [
     "q_window_session_30m",
     "q_window_topk_orders_per_customer",
     "q_events_sessionize_batch",
+    "q_corpus_snapshot_diff",
 ]
 
 
