@@ -109,6 +109,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     sigs: DataFrame | None = None,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact verify.
 
@@ -186,6 +187,8 @@ def minhash_lsh_pairs(
     )
     s1 = sigs.select(F.col(id_col).alias("id1"), F.col("hs").alias("hs1"))
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("hs").alias("hs2"))
+    if broadcast_verify:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     inter = F.size(F.array_intersect("hs1", "hs2"))
     union = F.size("hs1") + F.size("hs2") - inter
     return (
@@ -279,6 +282,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     threshold_frac: tuple[int, int] | None = None,
     sigs: DataFrame | None = None,
+    broadcast_verify: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-threshold pairs via prefix-filtered set-similarity
     join (the SSJoin/PPJoin family).
@@ -382,6 +386,17 @@ def ngram_jaccard_pairs(
     )
     s1 = hs.select(F.col(id_col).alias("id1"), F.col("hs").alias("hs1"))
     s2 = hs.select(F.col(id_col).alias("id2"), F.col("hs").alias("hs2"))
+    if broadcast_verify:
+        # The candidate list outnumbers the signature table by orders
+        # of magnitude (measured sf1: 10.7M candidates vs 50k docs), so
+        # a shuffle-join verification moves candidate rows CARRYING the
+        # joined shingle arrays — a ~10 GB shuffle that took 47.5 s
+        # where the broadcast form takes 5.0 s.  Broadcast the
+        # signature table while it fits; at corpus sizes where it
+        # cannot (billions of docs), set False and store signatures as
+        # a table bucketed by id so both verification legs co-locate
+        # without re-shuffling the candidates (SCALE.md).
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     inter = F.size(F.array_intersect("hs1", "hs2"))
     union = F.size("hs1") + F.size("hs2") - inter
     return (

@@ -18,6 +18,10 @@ Checks per query (on the sf0.01 tables — plan shapes, not timings):
   a Filter above an unfiltered scan).
 * WIDE_SCAN   — a lineitem scan reading every column (ReadSchema lists
   all 11) — column pruning failed.
+* ROW_PY_UDF  — ``BatchEvalPython`` anywhere: a row-at-a-time Python
+  UDF in a catalog plan (the 10-100× slow path; Arrow-batched
+  ``MapInPandas``/``ArrowEvalPython`` kernels are the accepted form
+  and are not flagged).
 
 Usage: python tools/plan_audit.py [sf_dir] — prints one line per
 finding and a summary; exit 1 if any finding.
@@ -42,6 +46,8 @@ def audit_one(name: str, plan: str) -> list[str]:
     findings: list[str] = []
     if "CartesianProduct" in plan:
         findings.append("CARTESIAN")
+    if "BatchEvalPython" in plan:
+        findings.append("ROW_PY_UDF")
     # lineitem scans reading all columns (single-line schemas only —
     # ReadSchema is printed on one line per scan)
     for m in re.finditer(r"ReadSchema: struct<([^>\n]*)", plan):
