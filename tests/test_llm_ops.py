@@ -218,3 +218,32 @@ def test_lsh_banding_arrow_equals_sql(spark, sf_dir):
         for r in _banded(emb, "vec_id", "embedding", impl="sql").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_signature_frame_arrow_equals_sql(spark, sf_dir):
+    """The Arrow signature kernel and the HOF-expression form are the
+    same derivation bit-for-bit: identical hs sequences (first-
+    occurrence order), MinHash signatures, SimHash values, and null
+    conventions — the property that lets the kernel feed every
+    oracle-checked dedup query."""
+    from spark_kafka_streaming_spark.operators.signatures import signature_frame
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    # add edge rows: null text, empty, single token, repeated shingles
+    extra = spark.createDataFrame(
+        [(90001, None), (90002, ""), (90003, "one"), (90004, "a b c a b c a b c")],
+        "doc_id long, text string",
+    )
+    allx = docs.select("doc_id", "text").unionByName(extra)
+    a = {
+        r.doc_id: (r.hs, r.sig, r.sim)
+        for r in signature_frame(allx, impl="arrow").collect()
+    }
+    b = {
+        r.doc_id: (r.hs, r.sig, r.sim)
+        for r in signature_frame(allx, impl="sql").collect()
+    }
+    assert len(a) == len(b) and a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], f"doc {k}: {a[k]} != {b[k]}"
