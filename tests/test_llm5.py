@@ -243,3 +243,54 @@ def test_quantize_zero_vector_yields_nulls(spark):
     )
     assert got[0].scale is None and got[0].q_sum is None
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_gram_matrix_is_psd(spark):
+    """G = Σ xxᵀ must be positive semi-definite — a structural property
+    any correct Gram reduce satisfies regardless of data."""
+    import numpy as np
+
+    from spark_kafka_streaming_spark.operators.pca import covariance_matrix
+
+    rng = np.random.RandomState(5)
+    data = rng.randn(120, 7).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(data)],
+        "vec_id long, embedding array<float>",
+    )
+    cov, _ = covariance_matrix(df)
+    evals = np.linalg.eigvalsh(cov)
+    assert evals.min() > -1e-9
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    """Dequantized components reconstruct originals within the half-step
+    bound |x − q/scale| ≤ 0.5/scale — the defining property of
+    round-to-nearest symmetric quantization."""
+    from pyspark.sql import functions as F
+
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    err = (
+        emb.withColumn(
+            "_scale",
+            F.lit(127.0)
+            / F.expr(
+                "nullif(array_max(transform(embedding, "
+                "x -> abs(CAST(x AS DOUBLE)))), 0.0D)"
+            ),
+        )
+        .select(
+            F.expr(
+                "array_max(transform(embedding, x -> "
+                "abs(CAST(x AS DOUBLE) - "
+                "FLOOR(CAST(x AS DOUBLE) * _scale + 0.5) / _scale))) "
+                "* _scale"
+            ).alias("e")
+        )
+        .agg(F.max("e").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert err <= 0.5 + 1e-9
