@@ -22,6 +22,7 @@ from . import llm4  # noqa: F401,E402
 from . import llm5  # noqa: F401,E402
 from . import events2  # noqa: F401,E402
 from . import formats  # noqa: F401,E402
+from . import llm6  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
