@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
+from ..functions.caching import track_persist
 
 
 def global_running_sum(
@@ -41,6 +42,16 @@ def global_running_sum(
     """
     d = df.repartitionByRange(num_parts, *[F.col(c) for c in order_cols])
     d = d.withColumn("_pid", F.spark_partition_id())
+    # PIN the partition tags: ``_pid`` is runtime-dependent, and this
+    # frame feeds TWO plan legs (the offsets aggregate and the main
+    # window). Un-persisted, Spark evaluates the range shuffle twice
+    # and AQE may coalesce the two evaluations to different partition
+    # counts — the legs then disagree on ``_pid`` and the inner join
+    # below silently DROPS every row whose pid exists on one side only
+    # (observed with a dedup-join upstream: 350 rows in, ~10 out, all
+    # in shard 0). The persist materializes one partitioning that both
+    # legs read; release via ``release_operator_caches``.
+    d = track_persist(d)
     # Per-partition totals → exclusive running offsets. num_parts rows
     # total: the single-partition window here is over metadata, not data.
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

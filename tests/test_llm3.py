@@ -204,3 +204,44 @@ def test_funnel_orders_stages(spark):
         spark.table("_funnel_events").write.parquet(f"{d}/events.parquet")
         out = {r.user_id: r.stage for r in q_events_funnel(spark, d).collect()}
     assert out == {1: 3, 2: 2, 3: 1}
+
+
+def test_global_running_sum_survives_complex_upstream(spark, sf_dir):
+    """Regression: the two-phase prefix sum's partition tags must be
+    pinned (persisted). Un-pinned, the offsets leg and the window leg
+    re-evaluate the range shuffle independently and AQE can coalesce
+    them to different partition counts — the _pid join then silently
+    drops rows (observed: 499 in, ~10 out, all in shard 0, with a
+    dedup-join upstream)."""
+    from pyspark.sql import functions as F
+
+    from spark_kafka_streaming_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_pairs,
+    )
+    from spark_kafka_streaming_spark.operators.sharding import (
+        shard_by_token_budget,
+    )
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    survivors = (
+        exact_dedup(docs, ["text"], "doc_id")
+        .select("doc_id")
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    pairs = minhash_lsh_pairs(survivors, jaccard_threshold=0.5)
+    to_drop = pairs.select(F.col("id2").alias("doc_id")).distinct()
+    near_unique = survivors.join(to_drop, "doc_id", "left_anti")
+
+    n_in = near_unique.count()
+    sh = shard_by_token_budget(near_unique, budget=2000)
+    stats = sh.agg(
+        F.count("*").alias("n"),
+        F.sum("n_tok").alias("tok"),
+        F.max("cum").alias("mx"),
+    ).collect()[0]
+    assert stats.n == n_in, "prefix-sum dropped rows"
+    assert stats.mx == stats.tok, "global cumsum is not a total order sum"
+    n_shards = sh.select("shard_id").distinct().count()
+    assert n_shards >= max(1, stats.tok // 2000), "shard cut collapsed"
