@@ -494,12 +494,48 @@ def q_multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_features",
-    oracle=None,  # mapInPandas featurizer: determinism pinned in
-    # tests/test_llm_ops.py
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, length(text)),
+                    p -> (p - 1) % 8)) AS i,
+             unnest(list_transform(generate_series(1, length(text)),
+                    p -> ord(substr(text, p, 1)))) AS v
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, i,
+             CAST(SUM(v) AS DOUBLE) / COUNT(*) / 255.0 AS feat
+      FROM b GROUP BY doc_id, i
+    ),
+    p AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN i = 0 THEN feat END), 0.0) AS f0,
+             COALESCE(MAX(CASE WHEN i = 1 THEN feat END), 0.0) AS f1,
+             COALESCE(MAX(CASE WHEN i = 2 THEN feat END), 0.0) AS f2,
+             COALESCE(MAX(CASE WHEN i = 3 THEN feat END), 0.0) AS f3,
+             COALESCE(MAX(CASE WHEN i = 4 THEN feat END), 0.0) AS f4,
+             COALESCE(MAX(CASE WHEN i = 5 THEN feat END), 0.0) AS f5,
+             COALESCE(MAX(CASE WHEN i = 6 THEN feat END), 0.0) AS f6,
+             COALESCE(MAX(CASE WHEN i = 7 THEN feat END), 0.0) AS f7
+      FROM f GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(0.0 + f0 + f1 + f2 + f3 + f4 + f5 + f6 + f7, 6)
+             AS feat_sum
+    FROM p ORDER BY doc_id
+    """,
+    # The stand-in featurizer is deterministic byte math (stride-8
+    # byte-bucket means), and this corpus is pure ASCII, so the byte
+    # buckets are reproducible char-level in SQL: the oracle recomputes
+    # each bucket mean from ord(char) and sums features in the same
+    # left-fold order as the Spark aggregate (double addition is
+    # order-sensitive). A real neural featurizer would be rows-only.
     doc="Arrow-batched feature extraction over binary payloads "
     "(mapInPandas; deterministic stand-in featurizer — the real codec "
-    "is the stubbed decode_image).",
-    tags=("llm", "multimodal", "rows-only"),
+    "is the stubbed decode_image). Oracle-checked: the byte-bucket "
+    "means are recomputed exactly in SQL.",
+    tags=("llm", "multimodal"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
