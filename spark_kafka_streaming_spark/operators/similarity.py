@@ -119,6 +119,196 @@ def _plane_matrix():
     )
 
 
+def duck_cosine_dup_pairs_sql(
+    threshold: float,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of :func:`cosine_dup_pairs` — reproduces the
+    LSH *candidate set* bit-for-bit (same integer-scaled vectors, same
+    hash-derived hyperplanes, same band keys) and the exact cosine
+    verify, so even the approximate tier is fully cross-engine-checked.
+    Every arithmetic step is exact: int64-scaled components, plane
+    dots < 2⁵³ (double-exact in list_inner_product), integer bit
+    packing, and the cosine's int-dot/sqrt form."""
+    n_planes = LSH_PLANES * LSH_BANDS
+    return f"""
+    WITH planes AS (
+      SELECT p_idx,
+             list_transform(generate_series(0, {DIM - 1}),
+                 j -> CAST(((p_idx * 131 + j * 29) % {P}) % 2001 - 1000
+                      AS DOUBLE)) AS coef
+      FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p_idx)
+    ),
+    scaled AS (
+      SELECT {id_col} AS id, {V.duck_scaled(vec_col)} AS v,
+             {V.duck_dot(V.duck_scaled(vec_col), V.duck_scaled(vec_col))} AS n
+      FROM {table}
+    ),
+    bits AS (
+      SELECT s.id, p.p_idx,
+             CASE WHEN list_inner_product(
+                 list_transform(s.v, x -> CAST(x AS DOUBLE)), p.coef) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM scaled s CROSS JOIN planes p
+    ),
+    keys AS (
+      SELECT id, p_idx // {LSH_PLANES} AS band,
+             CAST(SUM(bit * (1 << ({LSH_PLANES - 1} - p_idx % {LSH_PLANES})))
+                  AS BIGINT) AS key
+      FROM bits GROUP BY id, p_idx // {LSH_PLANES}
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM keys a JOIN keys b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT c.id1, c.id2,
+           {V.duck_cosine(V.duck_dot("s1.v", "s2.v"), "s1.n", "s2.n")}
+             AS cos_sim
+    FROM cand c
+    JOIN scaled s1 ON s1.id = c.id1
+    JOIN scaled s2 ON s2.id = c.id2
+    WHERE {V.duck_cosine(V.duck_dot("s1.v", "s2.v"), "s1.n", "s2.n")}
+          >= {threshold}
+    ORDER BY id1, id2
+    """
+
+
+def duck_lsh_topk_sql(
+    k: int,
+    query_pred: str,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of :func:`lsh_topk` (multi-probe): same
+    hyperplanes, same band keys, same one-bit-flip probe set, same
+    exact cosines, same (cos desc, neighbor) rank tiebreak.
+    ``query_pred`` selects the query rows (e.g. ``id < 10``)."""
+    n_planes = LSH_PLANES * LSH_BANDS
+    return f"""
+    WITH planes AS (
+      SELECT p_idx,
+             list_transform(generate_series(0, {DIM - 1}),
+                 j -> CAST(((p_idx * 131 + j * 29) % {P}) % 2001 - 1000
+                      AS DOUBLE)) AS coef
+      FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p_idx)
+    ),
+    scaled AS (
+      SELECT {id_col} AS id, {V.duck_scaled(vec_col)} AS v,
+             {V.duck_dot(V.duck_scaled(vec_col), V.duck_scaled(vec_col))} AS n
+      FROM {table}
+    ),
+    bits AS (
+      SELECT s.id, p.p_idx,
+             CASE WHEN list_inner_product(
+                 list_transform(s.v, x -> CAST(x AS DOUBLE)), p.coef) > 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM scaled s CROSS JOIN planes p
+    ),
+    keys AS (
+      SELECT id, p_idx // {LSH_PLANES} AS band,
+             CAST(SUM(bit * (1 << ({LSH_PLANES - 1} - p_idx % {LSH_PLANES})))
+                  AS BIGINT) AS key
+      FROM bits GROUP BY id, p_idx // {LSH_PLANES}
+    ),
+    probes AS (
+      SELECT id, band,
+             unnest(list_prepend(key,
+                 list_transform(generate_series(0, {LSH_PLANES - 1}),
+                     b -> xor(key, CAST(1 << b AS BIGINT))))) AS key
+      FROM keys WHERE {query_pred}
+    ),
+    cand AS (
+      SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+      FROM probes q JOIN keys c
+        ON q.band = c.band AND q.key = c.key AND q.id <> c.id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {V.duck_cosine(V.duck_dot("s1.v", "s2.v"), "s1.n", "s2.n")}
+               AS cos_sim
+      FROM cand
+      JOIN scaled s1 ON s1.id = cand.query_id
+      JOIN scaled s2 ON s2.id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos_sim,
+             CAST(row_number() OVER (
+                 PARTITION BY query_id
+                 ORDER BY cos_sim DESC, neighbor_id) AS INTEGER) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn
+    FROM ranked WHERE rn <= {k}
+    ORDER BY query_id, rn
+    """
+
+
+def duck_ivf_topk_sql(
+    k: int,
+    query_pred: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_assign: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of :func:`ivf_topk` with ``kmeans_iters=0``:
+    same deterministic seed centroids (smallest-id vectors), same
+    (cos desc, cell) cell ranking, same n-way corpus replication, same
+    probe set, same exact cosines and final rank tiebreak."""
+    cell_cos = V.duck_cosine(V.duck_dot("s.v", "c.cent_v"), "s.n", "c.cent_n")
+    pair_cos = V.duck_cosine(V.duck_dot("s1.v", "s2.v"), "s1.n", "s2.n")
+    return f"""
+    WITH scaled AS (
+      SELECT {id_col} AS id, {V.duck_scaled(vec_col)} AS v,
+             {V.duck_dot(V.duck_scaled(vec_col), V.duck_scaled(vec_col))} AS n
+      FROM {table}
+    ),
+    cents AS (
+      SELECT id AS cell, v AS cent_v, n AS cent_n
+      FROM scaled ORDER BY id LIMIT {n_cells}
+    ),
+    corpus_cells AS (
+      SELECT id, cell FROM (
+        SELECT s.id, c.cell,
+               row_number() OVER (PARTITION BY s.id
+                   ORDER BY {cell_cos} DESC, c.cell) AS cr
+        FROM scaled s CROSS JOIN cents c
+      ) WHERE cr <= {n_assign}
+    ),
+    query_cells AS (
+      SELECT id, cell FROM (
+        SELECT s.id, c.cell,
+               row_number() OVER (PARTITION BY s.id
+                   ORDER BY {cell_cos} DESC, c.cell) AS cr
+        FROM (SELECT * FROM scaled WHERE {query_pred}) s CROSS JOIN cents c
+      ) WHERE cr <= {n_probe}
+    ),
+    cand AS (
+      SELECT DISTINCT q.id AS query_id, cc.id AS neighbor_id
+      FROM query_cells q JOIN corpus_cells cc ON q.cell = cc.cell
+      WHERE q.id <> cc.id
+    ),
+    ranked AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {pair_cos} AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY cand.query_id
+                 ORDER BY {pair_cos} DESC, cand.neighbor_id) AS INTEGER) AS rn
+      FROM cand
+      JOIN scaled s1 ON s1.id = cand.query_id
+      JOIN scaled s2 ON s2.id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn
+    FROM ranked WHERE rn <= {k}
+    ORDER BY query_id, rn
+    """
+
+
 def _banded(
     vectors: DataFrame, id_col: str, vec_col: str, impl: str = "arrow"
 ) -> DataFrame:

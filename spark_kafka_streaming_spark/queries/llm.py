@@ -2,13 +2,13 @@
 text analysis, multimodal — over ``documents`` and ``embeddings``.
 
 Every approximate operator here is *still* oracle-checked: the MinHash/
-SimHash signatures and LSH band keys are built from the engine-portable
-hash family (:mod:`..functions.texthash`), and cosines from
-integer-scaled dot products (:mod:`..functions.vectors`), so DuckDB
-reproduces the exact candidate sets and scores. Only the
-hyperplane-LSH ANN variant is registered rows-only (its value is the
-recall/cost trade-off, measured in tests against the brute-force
-baseline).
+SimHash signatures, LSH band keys, and random hyperplanes are built
+from the engine-portable hash family (:mod:`..functions.texthash`),
+and cosines from integer-scaled dot products
+(:mod:`..functions.vectors`), so DuckDB reproduces the exact candidate
+sets, probe expansions, and scores — approximate-by-design does not
+mean unverifiable. Recall/cost trade-offs are additionally measured in
+tests against the brute-force baseline.
 """
 
 from __future__ import annotations
@@ -304,14 +304,24 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rn", F.col("rn").cast("int")).orderBy("query_id", "rn")
 
 
+def _duck_ann_lsh_oracle() -> str:
+    from ..operators.similarity import duck_lsh_topk_sql
+
+    return duck_lsh_topk_sql(5, "id < 10")
+
+
 @register(
     "q_similarity_ann_lsh",
-    oracle=None,  # approximate by design; recall vs. brute force is
-    # asserted in tests/test_llm_ops.py
-    doc="ANN top-k via random-hyperplane LSH buckets (4 bands × 8 "
-    "planes): candidates only from shared buckets — the 100 TB scale "
-    "path that replaces the O(|Q|·|C|) scan.",
-    tags=("llm", "similarity", "lsh", "rows-only"),
+    oracle=_duck_ann_lsh_oracle(),
+    # Approximate (recall < 1) by design, yet fully deterministic —
+    # the oracle reproduces hyperplanes, band keys, multi-probe
+    # expansion, cosines, and the rank tiebreak bit-for-bit; recall
+    # vs brute force is additionally asserted in tests/test_llm_ops.py.
+    doc="ANN top-k via random-hyperplane LSH buckets (8 bands × 6 "
+    "planes, multi-probe): candidates only from shared buckets — the "
+    "100 TB scale path that replaces the O(|Q|·|C|) scan. "
+    "Oracle-checked end-to-end.",
+    tags=("llm", "similarity", "lsh"),
 )
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -545,14 +555,25 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _duck_ann_ivf_oracle() -> str:
+    from ..operators.similarity import duck_ivf_topk_sql
+
+    return duck_ivf_topk_sql(5, "id < 10")
+
+
 @register(
     "q_similarity_ann_ivf",
-    oracle=None,  # approximate by design; recall vs. brute force asserted
-    # in tests/test_llm_ops.py
+    oracle=_duck_ann_ivf_oracle(),
+    # Approximate (recall < 1) by design, yet deterministic with
+    # kmeans_iters=0: the oracle reproduces seed centroids, cell
+    # assignment/replication, probe sets, cosines, and the rank
+    # tiebreak bit-for-bit; recall vs brute force is additionally
+    # asserted in tests/test_llm_ops.py.
     doc="IVF-style ANN top-k: corpus coarse-quantized into cells, each "
     "query probes its 4 nearest of 16 cells — cost |Q|*n_probe*(|C|/cells) "
-    "instead of |Q|*|C|; the second scale path next to hyperplane LSH.",
-    tags=("llm", "similarity", "ivf", "rows-only"),
+    "instead of |Q|*|C|; the second scale path next to hyperplane LSH. "
+    "Oracle-checked end-to-end.",
+    tags=("llm", "similarity", "ivf"),
 )
 def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
@@ -563,14 +584,25 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _duck_emb_lsh_oracle() -> str:
+    from ..operators.similarity import duck_cosine_dup_pairs_sql
+
+    return duck_cosine_dup_pairs_sql(0.45)
+
+
 @register(
     "q_dedup_embedding_lsh",
-    oracle=None,  # LSH candidate generation has recall < 1 by design;
-    # recall vs the exact pair set is asserted in tests/test_llm_ops.py
+    oracle=_duck_emb_lsh_oracle(),
+    # Recall < 1 vs the exact pair set by design, but the operator
+    # itself is fully deterministic (hash-derived hyperplanes, exact
+    # integer scaling) — so the oracle reproduces the LSH candidate set
+    # AND the cosine verify bit-for-bit, like the MinHash tier.
     doc="Embedding near-dup pairs via hyperplane-LSH candidate buckets + "
     "exact cosine verify — the scale path that replaces "
-    "q_dedup_embedding_cosine's O(n^2) pair generation.",
-    tags=("llm", "dedup", "embedding", "lsh", "rows-only"),
+    "q_dedup_embedding_cosine's O(n^2) pair generation. Oracle-checked "
+    "end-to-end: same hyperplanes, same band keys, same candidates, "
+    "same cosines.",
+    tags=("llm", "dedup", "embedding", "lsh"),
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import cosine_dup_pairs
