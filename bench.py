@@ -79,6 +79,11 @@ BENCH_QUERIES = [
     "q_vector_gram_matrix",
     "q_vector_pca_project",
     "q_vector_quantize_int8",
+    # Provenance / batching / ANN-dedup wave (late round 2)
+    "q_dedup_embedding_lsh",
+    "q_corpus_snapshot_diff",
+    "q_dedup_cross_source_chunks",
+    "q_pack_length_buckets",
 ]
 
 
