@@ -46,7 +46,12 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> tuple[np.nda
         .collect()
     )
     d = max(r.pos for r in sums) + 1
-    n = sums[0].n
+    counts = {r.n for r in sums}
+    if len(counts) != 1:
+        raise ValueError(
+            f"ragged or null-bearing vectors: per-position counts {sorted(counts)}"
+        )
+    n = counts.pop()
     mean = np.zeros(d)
     for r in sums:
         mean[r.pos] = float(r.s) / n / V.SCALE
@@ -93,7 +98,9 @@ def project(
     comp_lit = (
         "array("
         + ", ".join(
-            "array(" + ", ".join(f"{components[i, c]!r}D" for i in range(d)) + ")"
+            # float() first: numpy>=2 repr of a float64 scalar is
+            # "np.float64(0.123)" — invalid SQL; plain-float repr is stable.
+            "array(" + ", ".join(f"{float(components[i, c])!r}D" for i in range(d)) + ")"
             for c in range(k)
         )
         + ")"

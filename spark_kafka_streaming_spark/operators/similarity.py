@@ -322,6 +322,14 @@ def _banded(
     the pure built-in-expression fallback.  Both derive from the same
     engine-exact integer scaling, so keys, norms, and scaled vectors
     are bit-identical (pinned in tests).
+
+    Corpus contract (ENFORCED in both impls): every vector non-null
+    and exactly DIM wide.  Outside that contract the two impls would
+    diverge — Spark ``zip_with`` null-pads a short vector so the SQL
+    plane dot goes NULL (key 0), while the numpy matmul would compute
+    a real prefix dot; and ``np.stack`` can't batch ragged widths.
+    Rather than replicate the SQL null conventions in the kernel, the
+    contract is asserted so violations fail loudly in either impl.
     """
     if impl == "arrow":
         planes = _plane_matrix()
@@ -336,10 +344,19 @@ def _banded(
             import pandas as pd
 
             for pdf in it:
-                pdf = pdf[pdf[vec_col].notna()]
+                if pdf[vec_col].isna().any():
+                    raise ValueError(
+                        "_banded corpus contract violated: null embedding "
+                        "(vectors must be non-null, width DIM)"
+                    )
                 if not len(pdf):
                     continue
                 m = np.stack(pdf[vec_col].map(lambda a: np.asarray(a, dtype="float64")))
+                if m.shape[1] != planes.shape[0]:
+                    raise ValueError(
+                        f"_banded corpus contract violated: vector width "
+                        f"{m.shape[1]} != DIM {planes.shape[0]}"
+                    )
                 # engine-exact round(x·SCALE) — see vectors.py::np_scaled
                 v = m * scale
                 fv, cv = np.floor(v), np.ceil(v)
@@ -347,9 +364,7 @@ def _banded(
                     v >= 0, fv + (v - fv >= 0.5), cv - (cv - v >= 0.5)
                 ).astype("int64")
                 n = (q * q).sum(axis=1)
-                # slice planes to the actual width: vectors shorter than
-                # DIM dot against the plane prefix (zip_with semantics)
-                bits = (q @ planes[: q.shape[1], :]) > 0
+                bits = (q @ planes) > 0
                 keys = np.zeros((len(q), n_bands), dtype="int64")
                 for b in range(n_bands):
                     for pl in range(n_planes):
@@ -370,10 +385,19 @@ def _banded(
         )
     if impl != "sql":
         raise ValueError(f"unknown impl: {impl!r} (want 'arrow' or 'sql')")
+    # Same corpus contract as the arrow kernel, enforced inside the
+    # expression that feeds every downstream use (a separate dropped
+    # assert column would be pruned by Catalyst and never evaluate).
+    checked = (
+        f"CASE WHEN {vec_col} IS NOT NULL AND size({vec_col}) = {DIM} "
+        f"THEN {vec_col} ELSE raise_error("
+        f"'_banded corpus contract violated: vectors must be non-null, "
+        f"width DIM={DIM}') END"
+    )
     base = vectors.select(
         F.col(id_col).alias("id"),
-        F.expr(V.spark_scaled(vec_col)).alias("v"),
-        F.expr(V.spark_dot(V.spark_scaled(vec_col), V.spark_scaled(vec_col))).alias(
+        F.expr(V.spark_scaled(checked)).alias("v"),
+        F.expr(V.spark_dot(V.spark_scaled(checked), V.spark_scaled(checked))).alias(
             "n"
         ),
     )
@@ -415,7 +439,17 @@ def cosine_dup_pairs(
     """
     banded = track_persist(_banded(vectors, id_col, vec_col, impl=impl))
     l, r = banded.alias("l"), banded.alias("r")
-    cand = (
+    # Score INSIDE the band join, then dedup duplicate candidates (a
+    # pair colliding in several bands) with a map-side-combinable
+    # groupBy on bare (id1, id2, cos) — the cosine is bit-identical in
+    # every band (exact int arithmetic), so min(cos) IS the cosine.
+    # The earlier shape deduped (id1, id2) rows that still carried both
+    # d-dim vectors + norms (~1 KB/row) through the exchange; this one
+    # ships 24 bytes/pair and re-computes the dot per colliding band —
+    # map-side CPU traded for the ANN tier's heaviest shuffle.  The
+    # threshold filter also runs map-side, pre-shuffle.
+    cos = F.expr(V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n"))
+    return track_persist(
         l.join(
             r,
             (F.col("l.band") == F.col("r.band"))
@@ -425,18 +459,11 @@ def cosine_dup_pairs(
         .select(
             F.col("l.id").alias("id1"),
             F.col("r.id").alias("id2"),
-            F.col("l.v").alias("v1"),
-            F.col("l.n").alias("n1"),
-            F.col("r.v").alias("v2"),
-            F.col("r.n").alias("n2"),
+            cos.alias("cos_sim"),
         )
-        .dropDuplicates(["id1", "id2"])
-    )
-    cos = F.expr(V.spark_cosine(V.spark_dot("v1", "v2"), "n1", "n2"))
-    return track_persist(
-        cand.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= threshold)
-        .select("id1", "id2", "cos_sim")
+        .groupBy("id1", "id2")
+        .agg(F.min("cos_sim").alias("cos_sim"))
     )
 
 

@@ -106,24 +106,33 @@ def gram_matrix(
         )
     else:
         raise ValueError(f"unknown impl: {impl!r} (want 'arrow' or 'sql')")
+    # Sum in DECIMAL(38,0) (exact, associative), return BIGINT: the
+    # catalog design rule (queries/registry.py) is that no query returns
+    # a raw wide decimal — engines serialize decimals differently even
+    # when every value matches, so the driver's value hash diverges.
+    # |gram| ≤ rows·(0.5·SCALE)² ≈ 1.25e18 at sf1 — fits int64.
     return parts.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast("decimal(38,0)")).alias("gram")
+        F.sum(F.col("p").cast("decimal(38,0)")).cast("bigint").alias("gram")
     )
 
 
-def duck_gram_matrix_sql(table: str = "embeddings", vec_col: str = "embedding") -> str:
+def duck_gram_matrix_sql(
+    table: str = "embeddings", vec_col: str = "embedding", id_col: str = "vec_id"
+) -> str:
     """DuckDB oracle twin of :func:`gram_matrix` (zipped-unnest + self-join —
-    fine for an oracle, not the distributed shape)."""
+    fine for an oracle, not the distributed shape).  Joins on the table's
+    real key (``id_col``), not a synthetic ``row_number() OVER ()`` whose
+    assignment is unordered and may differ between two inlinings of the
+    same CTE."""
     return f"""
     WITH e AS (
-      SELECT rid, unnest(q) AS q, generate_subscripts(q, 1) AS i
-      FROM (SELECT row_number() OVER () AS rid,
-                   {V.duck_scaled(vec_col)} AS q
+      SELECT {id_col}, unnest(q) AS q, generate_subscripts(q, 1) AS i
+      FROM (SELECT {id_col}, {V.duck_scaled(vec_col)} AS q
             FROM {table})
     )
     SELECT a.i, b.i AS j,
-           CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS DECIMAL(38,0)) AS gram
-    FROM e a JOIN e b ON a.rid = b.rid AND b.i >= a.i
+           CAST(SUM(CAST(a.q AS HUGEINT) * b.q) AS BIGINT) AS gram
+    FROM e a JOIN e b ON a.{id_col} = b.{id_col} AND b.i >= a.i
     GROUP BY a.i, b.i
     """
 

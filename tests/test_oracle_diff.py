@@ -6,7 +6,6 @@ driver's order-insensitive value-hash comparison at sf 0.01.
 from __future__ import annotations
 
 import datetime as dt
-import decimal
 import math
 
 import duckdb
@@ -30,9 +29,17 @@ def duck(sf_dir):
 
 
 def _norm(v):
-    """Normalize a cell the way a hash-compare would see it."""
-    if isinstance(v, decimal.Decimal):
-        return float(v)
+    """Normalize a cell the way a hash-compare would see it.
+
+    Decimals are deliberately NOT coerced to float: the driver hashes
+    a wide decimal's engine serialization, which can differ between
+    Spark and DuckDB even when every value is equal (that exact drift
+    made q_vector_gram_matrix the round-2 red row while this mirror —
+    which then coerced Decimal→float, silently losing exactness above
+    2^53 — stayed green).  A Decimal cell surfaces here as a raw
+    Decimal and fails against an int/float twin, which is the point:
+    no catalog query may return a raw decimal (see registry rule).
+    """
     # NOTE: tz-aware vs naive timestamps are deliberately NOT normalized —
     # a DuckDB TIMESTAMPTZ vs Spark naive TIMESTAMP is an oracle bug the
     # driver's hash would see; keep the mismatch visible here.
@@ -52,6 +59,21 @@ def _key(row):
         else (False, x)
         for x in (_norm(v) for v in row)
     )
+
+
+def test_no_raw_decimal_outputs(spark, sf_dir):
+    """Registry design rule, enforced: no oracle-checked query returns a
+    raw DECIMAL column — decimal accumulations must cast to
+    DOUBLE/BIGINT before returning, because the driver hashes the
+    engine serialization of wide decimals, which differs between Spark
+    and DuckDB even when every value matches."""
+    bad = {}
+    for name in ORACLE_QUERIES:
+        sdf = REGISTRY[name].builder(spark, sf_dir)
+        decs = [c for c, t in sdf.dtypes if t.startswith("decimal")]
+        if decs:
+            bad[name] = decs
+    assert not bad, f"queries returning raw decimal columns: {bad}"
 
 
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
