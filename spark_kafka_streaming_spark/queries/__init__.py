@@ -13,6 +13,7 @@ from .registry import REGISTRY, Query, register  # noqa: F401
 # time-window, event, and advanced-relational operators are the
 # first-class novel surface of this engine, so they register first;
 # the TPC-H waves (all driver-green in round 1) fill the tail.
+from . import pipeline  # noqa: F401,E402
 from . import llm  # noqa: F401,E402
 from . import llm2  # noqa: F401,E402
 from . import windows  # noqa: F401,E402
