@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
 from ..functions.caching import track_persist
+from .skew import bounded_self_pairs
 
 
 #: String keys longer than this are replaced by their sha256 before the
@@ -110,10 +111,17 @@ def minhash_lsh_pairs(
     jaccard_threshold: float = 0.5,
     sigs: DataFrame | None = None,
     broadcast_verify: bool = True,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact verify.
 
     Returns (id1, id2, jaccard) with id1 < id2, jaccard ≥ threshold.
+
+    ``max_bucket``: hot-band skew guard — (band, key) buckets larger
+    than this are decomposed cell-wise so no single task materializes a
+    mega-bucket's m² candidates (:func:`.skew.bounded_self_pairs`);
+    the pair set is IDENTICAL, only per-task fan-in changes.  ``None``
+    (default) skips the bucket-size pass entirely.
 
     ``sigs``: optional precomputed signature table
     (:func:`..operators.signatures.signature_table`, columns id/hs/sig)
@@ -171,20 +179,16 @@ def minhash_lsh_pairs(
     ).select(id_col, "bk.band", "bk.key")
     if not precomputed:
         bands = track_persist(bands)
-    left = bands.alias("l")
-    right = bands.alias("r")
-    cand = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id1"), F.col(f"r.{id_col}").alias("id2")
-        )
-        .distinct()
-    )
+    cand = bounded_self_pairs(
+        bands,
+        key_cols=("band", "key"),
+        id_col=id_col,
+        select_cols=lambda: [
+            F.col(f"l.{id_col}").alias("id1"),
+            F.col(f"r.{id_col}").alias("id2"),
+        ],
+        cap=max_bucket,
+    ).distinct()
     s1 = sigs.select(F.col(id_col).alias("id1"), F.col("hs").alias("hs1"))
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("hs").alias("hs2"))
     if broadcast_verify:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions import vectors as V
 from ..functions.caching import track_persist
 from ..functions.texthash import P
+from .skew import bounded_self_pairs
 
 #: number of hyperplanes per band / number of bands for sign-LSH.
 #: Tuned for the weak-similarity regime (top neighbors at cos ≈ 0.4-0.5,
@@ -422,6 +423,7 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     impl: str = "arrow",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Exact cosine-threshold pairs, LSH-bucketed candidate generation.
 
@@ -438,7 +440,6 @@ def cosine_dup_pairs(
     :func:`..functions.caching.release_operator_caches`.
     """
     banded = track_persist(_banded(vectors, id_col, vec_col, impl=impl))
-    l, r = banded.alias("l"), banded.alias("r")
     # Score INSIDE the band join, then dedup duplicate candidates (a
     # pair colliding in several bands) with a map-side-combinable
     # groupBy on bare (id1, id2, cos) — the cosine is bit-identical in
@@ -448,20 +449,25 @@ def cosine_dup_pairs(
     # ships 24 bytes/pair and re-computes the dot per colliding band —
     # map-side CPU traded for the ANN tier's heaviest shuffle.  The
     # threshold filter also runs map-side, pre-shuffle.
+    #
+    # ``max_bucket`` routes over-cap (band, key) buckets — the hot-band
+    # shape a near-dup-heavy corpus produces — through the exact
+    # cell-decomposed side path (:func:`.skew.bounded_self_pairs`):
+    # identical pair set, bounded per-task fan-in.
     cos = F.expr(V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n"))
-    return track_persist(
-        l.join(
-            r,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.key") == F.col("r.key"))
-            & (F.col("l.id") < F.col("r.id")),
-        )
-        .select(
+    pairs = bounded_self_pairs(
+        banded,
+        key_cols=("band", "key"),
+        id_col="id",
+        select_cols=lambda: [
             F.col("l.id").alias("id1"),
             F.col("r.id").alias("id2"),
             cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
+        ],
+        cap=max_bucket,
+    )
+    return track_persist(
+        pairs.filter(F.col("cos_sim") >= threshold)
         .groupBy("id1", "id2")
         .agg(F.min("cos_sim").alias("cos_sim"))
     )
