@@ -29,8 +29,11 @@ from ..functions import vectors as V
 from .vector_agg import gram_matrix
 
 
-def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> tuple[np.ndarray, int]:
-    """Exact covariance matrix (component units) and row count.
+def covariance_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Exact covariance matrix, mean vector (component units), and row
+    count.
 
     Two aggregation jobs over the same scan (Gram matrix, then
     per-dimension sums); each collects only O(d²) / O(d) rows.  All
@@ -61,7 +64,31 @@ def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> tuple[np.nda
         gram[r.i - 1, r.j - 1] = v
         gram[r.j - 1, r.i - 1] = v
     cov = gram / n - np.outer(mean, mean)
+    return cov, mean, n
+
+
+def covariance_matrix(df: DataFrame, vec_col: str = "embedding") -> tuple[np.ndarray, int]:
+    """Back-compat wrapper around :func:`covariance_stats`."""
+    cov, _, n = covariance_stats(df, vec_col)
     return cov, n
+
+
+def pca_fit(
+    df: DataFrame, k: int, vec_col: str = "embedding"
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Full PCA fit: top-k components ``(d, k)`` (sign-fixed for
+    reproducibility), their raw eigenvalues ``(k,)`` of the
+    population-covariance (the per-component projection variances),
+    the corpus mean vector ``(d,)``, and the row count."""
+    cov, mean, n = covariance_stats(df, vec_col)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]
+    for c in range(comps.shape[1]):
+        j = int(np.argmax(np.abs(comps[:, c])))
+        if comps[j, c] < 0:
+            comps[:, c] = -comps[:, c]
+    return comps, evals[order], mean, n
 
 
 def pca_components(
@@ -69,7 +96,7 @@ def pca_components(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Top-k principal components ``(d, k)`` and explained-variance
     ratios ``(k,)``, sign-fixed for reproducibility."""
-    cov, _ = covariance_matrix(df, vec_col)
+    cov, _, _ = covariance_stats(df, vec_col)
     evals, evecs = np.linalg.eigh(cov)  # ascending
     order = np.argsort(evals)[::-1][:k]
     comps = evecs[:, order]

@@ -169,6 +169,85 @@ def q_vector_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@register(
+    "q_vector_pca_invariants",
+    # The eigendecomposition itself is driver-side numpy (not
+    # SQL-expressible), but its defining invariants ARE engine-checkable:
+    # the oracle pins the residuals the distributed projection pass must
+    # reproduce to < 0.5 micro-units.  A wrong eigenvalue, a dropped
+    # partition, or a mean/sign error turns a residual into O(λ)·1e6.
+    oracle=f"""
+    SELECT CAST(component AS INTEGER) AS component,
+           CAST(var_resid_micro AS BIGINT) AS var_resid_micro,
+           CAST(mean_resid_micro AS BIGINT) AS mean_resid_micro,
+           CAST(orth_resid_micro AS BIGINT) AS orth_resid_micro
+    FROM (VALUES {", ".join(f"({c + 1}, 0, 0, 0)" for c in range(_PCA_K))})
+      AS t(component, var_resid_micro, mean_resid_micro, orth_resid_micro)
+    ORDER BY component
+    """,
+    doc="Driver-visible PCA correctness surface: per-component "
+    "eigen-invariants computed by a distributed aggregation over the "
+    "projected corpus and returned as micro-unit residuals that must "
+    "be exactly 0 — (a) population variance of projections equals the "
+    "component's eigenvalue (Var[X·w_c] = λ_c), (b) projection mean "
+    "equals mean·w_c, (c) components are orthonormal (CᵀC = I, "
+    "computed from the same fitted matrix). Complements the rows-only "
+    "q_vector_pca_project check with value-level verification the "
+    "oracle can see. (operators/pca.py)",
+    tags=("llm", "vector", "pca"),
+)
+def q_vector_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from ..operators.pca import pca_fit, project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps, evals, mean, _ = pca_fit(emb, _PCA_K)
+    k = comps.shape[1]
+    orth = np.abs(comps.T @ comps - np.eye(k)).max(axis=1)
+    mean_proj = mean @ comps  # expected projection mean per component
+    lam_lit = ", ".join(f"{float(v)!r}D" for v in evals)
+    mp_lit = ", ".join(f"{float(v)!r}D" for v in mean_proj)
+    orth_lit = ", ".join(f"{float(v)!r}D" for v in orth)
+
+    proj = project(emb, comps)
+    ex = proj.select(
+        F.posexplode(F.col("pca")).alias("cidx", "p")
+    ).withColumn("component", (F.col("cidx") + 1).cast("int"))
+    agg = ex.groupBy("component").agg(
+        F.count("*").alias("n"),
+        F.sum("p").alias("s1"),
+        F.sum(F.expr("p * p")).alias("s2"),
+    )
+    return (
+        agg.withColumn(
+            "var_resid_micro",
+            F.expr(
+                f"CAST(round(abs(s2 / n - (s1 / n) * (s1 / n) "
+                f"- element_at(array({lam_lit}), component)) * 1e6) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "mean_resid_micro",
+            F.expr(
+                f"CAST(round(abs(s1 / n "
+                f"- element_at(array({mp_lit}), component)) * 1e6) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "orth_resid_micro",
+            F.expr(
+                f"CAST(round(element_at(array({orth_lit}), component) * 1e6) "
+                f"AS BIGINT)"
+            ),
+        )
+        .select(
+            "component", "var_resid_micro", "mean_resid_micro", "orth_resid_micro"
+        )
+        .orderBy("component")
+    )
+
+
 # ------------------------------------------------- snapshot diff
 
 
