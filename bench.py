@@ -84,6 +84,9 @@ BENCH_QUERIES = [
     "q_corpus_snapshot_diff",
     "q_dedup_cross_source_chunks",
     "q_pack_length_buckets",
+    # Round 3: composed end-to-end pipeline + PCA invariant surface
+    "q_pipeline_corpus_end_to_end",
+    "q_vector_pca_invariants",
 ]
 
 

@@ -440,36 +440,53 @@ def cosine_dup_pairs(
     :func:`..functions.caching.release_operator_caches`.
     """
     banded = track_persist(_banded(vectors, id_col, vec_col, impl=impl))
-    # Score INSIDE the band join, then dedup duplicate candidates (a
-    # pair colliding in several bands) with a map-side-combinable
-    # groupBy on bare (id1, id2, cos) — the cosine is bit-identical in
-    # every band (exact int arithmetic), so min(cos) IS the cosine.
-    # The earlier shape deduped (id1, id2) rows that still carried both
-    # d-dim vectors + norms (~1 KB/row) through the exchange; this one
-    # ships 24 bytes/pair and re-computes the dot per colliding band —
-    # map-side CPU traded for the ANN tier's heaviest shuffle.  The
-    # threshold filter also runs map-side, pre-shuffle.
+    # Candidate generation emits BARE (id1, id2) — the earlier shape
+    # carried both d-dim vectors + norms (~1 KB/row) through the
+    # duplicate-candidate dedup exchange; this one ships 16 bytes/pair.
+    # (Scoring inside the band join instead was measured 3× WORSE at
+    # sf0.1: a pair collides in several bands, and the interpreted
+    # 64-dim dot then runs once per collision instead of once per
+    # unique pair — dedup-first also computes each dot exactly once.)
     #
     # ``max_bucket`` routes over-cap (band, key) buckets — the hot-band
     # shape a near-dup-heavy corpus produces — through the exact
     # cell-decomposed side path (:func:`.skew.bounded_self_pairs`):
     # identical pair set, bounded per-task fan-in.
-    cos = F.expr(V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n"))
-    pairs = bounded_self_pairs(
+    cand = bounded_self_pairs(
         banded,
         key_cols=("band", "key"),
         id_col="id",
         select_cols=lambda: [
             F.col("l.id").alias("id1"),
             F.col("r.id").alias("id2"),
-            cos.alias("cos_sim"),
         ],
         cap=max_bucket,
+    ).distinct()
+    # Re-attach vectors from the already-persisted banded index (band 0
+    # holds every vector exactly once) and verify with ONE exact cosine
+    # per unique pair.  Broadcast both verify legs: the candidate list
+    # outnumbers the vector table by orders of magnitude (same measured
+    # trade as the Jaccard verify, operators/dedup.py) — at corpus
+    # sizes beyond broadcast, store the vector table bucketed by id so
+    # the verify co-locates without re-shuffling candidates (SCALE.md).
+    vecs = banded.filter(F.col("band") == 0).select("id", "v", "n")
+    s1 = F.broadcast(
+        vecs.select(
+            F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1")
+        )
     )
+    s2 = F.broadcast(
+        vecs.select(
+            F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2")
+        )
+    )
+    cos = F.expr(V.spark_cosine(V.spark_dot("v1", "v2"), "n1", "n2"))
     return track_persist(
-        pairs.filter(F.col("cos_sim") >= threshold)
-        .groupBy("id1", "id2")
-        .agg(F.min("cos_sim").alias("cos_sim"))
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id1", "id2", "cos_sim")
     )
 
 
