@@ -78,14 +78,14 @@ def brute_force_topk(
     )
 
 
-def _sign_key(band: int) -> F.Column:
-    """Sign pattern of the band's LSH_PLANES hyperplanes, packed into a
+def _sign_key(band: int, n_planes: int = LSH_PLANES) -> F.Column:
+    """Sign pattern of the band's ``n_planes`` hyperplanes, packed into a
     bigint. Plane p component j = ((p*131 + j*29) mod P mod 2001) - 1000
     — a fixed pseudo-random integer vector, identical in every
     engine/run. Operates on the scaled-vector column ``v``."""
     bits = []
-    for pl in range(LSH_PLANES):
-        p_idx = band * LSH_PLANES + pl
+    for pl in range(n_planes):
+        p_idx = band * n_planes + pl
         # The plane coefficients are compile-time constants — emit them
         # as an array literal. The earlier transform(sequence(...))
         # form rebuilt the plane and ran an extra interpreted lambda
@@ -105,15 +105,14 @@ def _sign_key(band: int) -> F.Column:
     return F.expr(key)
 
 
-def _plane_matrix():
-    """The (DIM × LSH_PLANES·LSH_BANDS) hyperplane coefficient matrix —
-    the same fixed pseudo-random integers :func:`_sign_key` inlines."""
+def _plane_matrix(n_total: int = LSH_PLANES * LSH_BANDS):
+    """The (DIM × ``n_total``) hyperplane coefficient matrix — the same
+    fixed pseudo-random integers :func:`_sign_key` inlines."""
     import numpy as np
 
-    n_planes = LSH_PLANES * LSH_BANDS
     return np.array(
         [
-            [((p_idx * 131 + j * 29) % P) % 2001 - 1000 for p_idx in range(n_planes)]
+            [((p_idx * 131 + j * 29) % P) % 2001 - 1000 for p_idx in range(n_total)]
             for j in range(DIM)
         ],
         dtype="int64",
@@ -125,6 +124,8 @@ def duck_cosine_dup_pairs_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes_per_band: int = LSH_PLANES,
+    bands: int = LSH_BANDS,
 ) -> str:
     """DuckDB oracle twin of :func:`cosine_dup_pairs` — reproduces the
     LSH *candidate set* bit-for-bit (same integer-scaled vectors, same
@@ -132,7 +133,9 @@ def duck_cosine_dup_pairs_sql(
     verify, so even the approximate tier is fully cross-engine-checked.
     Every arithmetic step is exact: int64-scaled components, plane
     dots < 2⁵³ (double-exact in list_inner_product), integer bit
-    packing, and the cosine's int-dot/sqrt form."""
+    packing, and the cosine's int-dot/sqrt form.  ``planes_per_band`` /
+    ``bands`` must match the builder's LSH geometry."""
+    LSH_PLANES, LSH_BANDS = planes_per_band, bands  # mirror builder names
     n_planes = LSH_PLANES * LSH_BANDS
     return f"""
     WITH planes AS (
@@ -311,10 +314,25 @@ def duck_ivf_topk_sql(
 
 
 def _banded(
-    vectors: DataFrame, id_col: str, vec_col: str, impl: str = "arrow"
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    impl: str = "arrow",
+    n_planes: int = LSH_PLANES,
+    n_bands: int = LSH_BANDS,
 ) -> DataFrame:
     """(id, v, n, band, key): one row per (vector, band) with the band's
     packed sign key — the LSH bucket address.
+
+    ``n_planes`` / ``n_bands`` are the LSH geometry: 2^n_planes buckets
+    per band (candidate density knob), n_bands independent shots at a
+    collision (recall knob).  The defaults are tuned for the
+    weak-similarity test corpus; DENSER corpora need deeper keys — at
+    20k near-dup-clustered vectors the 6-plane default saturates (64
+    buckets/band, ~2000 candidates per true pair — measured in
+    SCALE.md), while 12 planes × 16 bands keeps recall ≈ 0.93 for
+    cos ≥ 0.9 at ~1/4000 of the pair space.  Rule of thumb:
+    n_planes ≈ log2(corpus / target_bucket_occupancy).
 
     ``impl="arrow"`` computes all 48 plane dots per vector as one numpy
     int64 matmul inside ``mapInPandas`` (the dense-kernel pandas-UDF
@@ -333,8 +351,8 @@ def _banded(
     contract is asserted so violations fail loudly in either impl.
     """
     if impl == "arrow":
-        planes = _plane_matrix()
-        scale, n_bands, n_planes = V.SCALE, LSH_BANDS, LSH_PLANES
+        planes = _plane_matrix(n_planes * n_bands)
+        scale = V.SCALE
 
         # NOTE: self-contained closure — pickled to executor workers
         # that may not have this package importable (the verification
@@ -409,8 +427,11 @@ def _banded(
         F.explode(
             F.array(
                 *[
-                    F.struct(F.lit(b).alias("band"), _sign_key(b).alias("key"))
-                    for b in range(LSH_BANDS)
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _sign_key(b, n_planes).alias("key"),
+                    )
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bk"),
@@ -424,6 +445,8 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     impl: str = "arrow",
     max_bucket: int | None = None,
+    n_planes: int = LSH_PLANES,
+    n_bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Exact cosine-threshold pairs, LSH-bucketed candidate generation.
 
@@ -439,7 +462,12 @@ def cosine_dup_pairs(
     banding, twice) again.  Release via
     :func:`..functions.caching.release_operator_caches`.
     """
-    banded = track_persist(_banded(vectors, id_col, vec_col, impl=impl))
+    banded = track_persist(
+        _banded(
+            vectors, id_col, vec_col, impl=impl,
+            n_planes=n_planes, n_bands=n_bands,
+        )
+    )
     # Candidate generation emits BARE (id1, id2) — the earlier shape
     # carried both d-dim vectors + norms (~1 KB/row) through the
     # duplicate-candidate dedup exchange; this one ships 16 bytes/pair.

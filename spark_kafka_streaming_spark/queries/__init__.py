@@ -56,7 +56,9 @@ _ROUND3_WINDOW = [
     "q_subquery_in_uncorrelated",
     # touched this round
     "q_dedup_minhash_lsh",
+    "q_dedup_minhash_lsh_guarded",
     "q_dedup_embedding_lsh",
+    "q_dedup_embedding_lsh_deep",
     "q_dedup_embedding_cosine",
     "q_similarity_ann_lsh",
     "q_similarity_ann_ivf",

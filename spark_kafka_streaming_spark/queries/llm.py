@@ -105,9 +105,7 @@ def _duck_minhash_bands() -> str:
     return " UNION ALL ".join(selects)
 
 
-@register(
-    "q_dedup_minhash_lsh",
-    oracle=f"""
+_MINHASH_PAIRS_ORACLE = f"""
     WITH {_DUCK_SHINGLE_CTE},
     bands AS ({_duck_minhash_bands()}),
     cand AS (
@@ -128,7 +126,12 @@ def _duck_minhash_bands() -> str:
     SELECT id1, id2, jaccard FROM verified
     WHERE jaccard >= 0.5
     ORDER BY id1, id2
-    """,
+    """
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=_MINHASH_PAIRS_ORACLE,
     doc="MinHash(K=32) + LSH(8 bands × 4 rows) near-dup pairs with exact "
     "Jaccard verification of candidates. The band equi-join is the only "
     "shuffle — the 100 TB near-dup path. Signatures are engine-portable "
@@ -139,6 +142,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = signature_table(spark, sf_dir)
     return minhash_lsh_pairs(
         None, jaccard_threshold=0.5, sigs=sigs
+    ).orderBy("id1", "id2")
+
+
+@register(
+    "q_dedup_minhash_lsh_guarded",
+    # IDENTICAL oracle to q_dedup_minhash_lsh: the skew guard is a
+    # physical decomposition only — any output drift is a bug.
+    oracle=_MINHASH_PAIRS_ORACLE,
+    doc="The MinHash-LSH pair query with the hot-bucket skew guard "
+    "forced on at max_bucket=1, so EVERY multi-member (band, key) "
+    "bucket runs through the salted cell-decomposed side path "
+    "(operators/skew.py::bounded_self_pairs) — and the driver proves "
+    "cross-engine that the decomposition emits the exact same pair "
+    "set as the plain self-join. Production caps are far larger "
+    "(10⁴–10⁵); 1 maximizes driver-visible coverage of the guard.",
+    tags=("llm", "dedup", "lsh", "skew"),
+)
+def q_dedup_minhash_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = signature_table(spark, sf_dir)
+    return minhash_lsh_pairs(
+        None, jaccard_threshold=0.5, sigs=sigs, max_bucket=1
     ).orderBy("id1", "id2")
 
 
@@ -609,3 +633,31 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_dup_pairs(emb, threshold=0.45).orderBy("id1", "id2")
+
+
+def _duck_emb_lsh_deep_oracle() -> str:
+    from ..operators.similarity import duck_cosine_dup_pairs_sql
+
+    return duck_cosine_dup_pairs_sql(0.45, planes_per_band=12, bands=16)
+
+
+@register(
+    "q_dedup_embedding_lsh_deep",
+    oracle=_duck_emb_lsh_deep_oracle(),
+    doc="The embedding-LSH pair query at the DEEP dense-corpus geometry "
+    "(12 planes × 16 bands = 4096 buckets/band): the knob that keeps "
+    "candidate generation bounded when corpus density saturates the "
+    "default 64-bucket bands (measured at sf1: 43M candidates for 20k "
+    "true pairs at the default vs ~1/4000 of the pair space here — "
+    "SCALE.md). Oracle reproduces the deep geometry's hyperplanes, "
+    "keys, candidates, and cosines bit-for-bit, proving the "
+    "parameterized banding cross-engine.",
+    tags=("llm", "dedup", "embedding", "lsh", "scale"),
+)
+def q_dedup_embedding_lsh_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(
+        emb, threshold=0.45, n_planes=12, n_bands=16
+    ).orderBy("id1", "id2")
