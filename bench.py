@@ -84,9 +84,12 @@ BENCH_QUERIES = [
     "q_corpus_snapshot_diff",
     "q_dedup_cross_source_chunks",
     "q_pack_length_buckets",
-    # Round 3: composed end-to-end pipeline + PCA invariant surface
+    # Round 3: composed end-to-end pipeline + PCA invariant surface,
+    # skew-guarded MinHash, deep-geometry embedding LSH
     "q_pipeline_corpus_end_to_end",
     "q_vector_pca_invariants",
+    "q_dedup_minhash_lsh_guarded",
+    "q_dedup_embedding_lsh_deep",
 ]
 
 

@@ -157,6 +157,7 @@ def shard_by_token_budget(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_parts: int = 32,
+    n_tok_col: str | None = None,
 ) -> DataFrame:
     """Assign each document to a training shard of ~``budget`` tokens.
 
@@ -165,11 +166,19 @@ def shard_by_token_budget(
     source-ordered data, which trains badly), then packed greedily in
     that order: shard = starting-token-offset div budget.
 
+    ``n_tok_col``: pre-computed token-count column to use instead of
+    re-tokenizing ``text_col`` — pipelines whose upstream quality gate
+    already tokenized every document pass it through rather than paying
+    the split() pass twice.
+
     Returns ``id_col, n_tok, cum (inclusive), shard_id``.
     """
-    d = df.withColumn(
-        "n_tok", F.expr(f"CAST(size({TH.spark_tokens(text_col)}) AS BIGINT)")
-    ).withColumn(
+    n_tok = (
+        F.col(n_tok_col).cast("bigint")
+        if n_tok_col
+        else F.expr(f"CAST(size({TH.spark_tokens(text_col)}) AS BIGINT)")
+    )
+    d = df.withColumn("n_tok", n_tok).withColumn(
         "ord", F.expr(TH.spark_str_hash(f"CAST({id_col} AS STRING)"))
     )
     d = global_running_sum(

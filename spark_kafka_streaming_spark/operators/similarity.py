@@ -526,6 +526,8 @@ def lsh_topk(
     vec_col: str = "embedding",
     multi_probe: bool = True,
     impl: str = "arrow",
+    n_planes: int = LSH_PLANES,
+    n_bands: int = LSH_BANDS,
 ) -> DataFrame:
     """ANN top-k: candidates from shared LSH buckets, then exact cosine
     rank.
@@ -540,18 +542,26 @@ def lsh_topk(
     index size and build cost stay flat — the multi-probe trade at
     100 TB: extra reads, no extra state).
     """
-    c = track_persist(_banded(corpus, id_col, vec_col, impl=impl)).select(
+    c = track_persist(
+        _banded(
+            corpus, id_col, vec_col, impl=impl,
+            n_planes=n_planes, n_bands=n_bands,
+        )
+    ).select(
         F.col("id").alias("c_id"),
         F.col("v").alias("c_v"),
         F.col("n").alias("c_n"),
         "band",
         "key",
     )
-    q = _banded(queries, id_col, vec_col, impl=impl)
+    q = _banded(
+        queries, id_col, vec_col, impl=impl,
+        n_planes=n_planes, n_bands=n_bands,
+    )
     if multi_probe:
         # key plus its one-bit-flip variants (XOR each plane's bit).
         variants = ", ".join(
-            ["key"] + [f"key ^ {1 << b}L" for b in range(LSH_PLANES)]
+            ["key"] + [f"key ^ {1 << b}L" for b in range(n_planes)]
         )
         q = q.select(
             "id", "v", "n", "band",

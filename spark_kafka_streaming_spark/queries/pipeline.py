@@ -212,9 +212,10 @@ def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     clean = train.join(hits, "doc_id", "left_anti")
 
-    # 5. token-budget shards over exactly the surviving set.
+    # 5. token-budget shards over exactly the surviving set, reusing the
+    #    quality gate's token counts instead of re-tokenizing.
     shards = shard_by_token_budget(
-        clean.select("doc_id", "text"), _SHARD_BUDGET
+        clean.select("doc_id", "n_tokens"), _SHARD_BUDGET, n_tok_col="n_tokens"
     )
     return (
         clean.select("doc_id", "quality")
