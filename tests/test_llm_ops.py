@@ -220,6 +220,27 @@ def test_lsh_banding_arrow_equals_sql(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_lsh_banding_parity_at_deep_geometry(spark, sf_dir):
+    """The arrow/sql parity holds at a NON-default LSH geometry too —
+    the parameterization (n_planes, n_bands) must drive the same plane
+    indices, bit packing, and band fan-out in both impls (12×16 is the
+    measured dense-corpus configuration, SCALE.md)."""
+    from spark_kafka_streaming_spark.operators.similarity import _banded
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(60)
+    kw = dict(n_planes=12, n_bands=16)
+    a = {
+        (r.id, r.band): (r.key, r.n)
+        for r in _banded(emb, "vec_id", "embedding", impl="arrow", **kw).collect()
+    }
+    b = {
+        (r.id, r.band): (r.key, r.n)
+        for r in _banded(emb, "vec_id", "embedding", impl="sql", **kw).collect()
+    }
+    assert a == b and len(a) == 60 * 16
+
+
 def test_signature_frame_arrow_equals_sql(spark, sf_dir):
     """The Arrow signature kernel and the HOF-expression form are the
     same derivation bit-for-bit: identical hs sequences (first-
