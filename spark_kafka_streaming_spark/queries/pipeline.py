@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
+from ..functions.caching import track_persist
 from ..operators.dedup import exact_dedup, minhash_lsh_pairs
 from ..operators.sharding import shard_by_token_budget
 from ..operators.signatures import signature_table
@@ -167,31 +168,46 @@ _ORACLE = f"""
 def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
 
-    # 1. exact dedup — deterministic min-id survivor per content group;
-    #    re-join the survivor's text by id (the groupBy key may be the
-    #    sha256 digest, never the body, at shuffle time).
-    surv = (
+    # 1. exact dedup — deterministic min-id survivor per content group
+    #    (the groupBy key may be the sha256 digest, never the body, at
+    #    shuffle time).  PERSIST the slim id set: it feeds two plan legs
+    #    (signature semi-join, survivor re-join) — un-persisted, the
+    #    full-corpus groupBy runs once per leg.  8 bytes/doc — the
+    #    persist that stays cheap at any corpus size, unlike caching
+    #    survivor TEXT.
+    surv_ids = track_persist(
         exact_dedup(docs.select("doc_id", "text"), ["text"], "doc_id")
         .select("doc_id")
-        .join(docs.select("doc_id", "text"), "doc_id")
     )
 
     # 2. near-dup drop over the survivors: the shared per-corpus
     #    signature table is filtered to the surviving ids (signatures
     #    are per-doc functions of text, so this equals recomputing them
     #    from the survivor set), then banded + verified as usual.
-    sigs = signature_table(spark, sf_dir).join(
-        surv.select("doc_id"), "doc_id", "semi"
-    )
+    sigs = signature_table(spark, sf_dir).join(surv_ids, "doc_id", "semi")
     pairs = minhash_lsh_pairs(None, jaccard_threshold=_JACCARD, sigs=sigs)
-    near = surv.join(
-        pairs.select(F.col("id2").alias("doc_id")).distinct(),
-        "doc_id",
-        "left_anti",
+    near = (
+        docs.select("doc_id", "text")
+        .join(surv_ids, "doc_id", "semi")
+        .join(
+            pairs.select(F.col("id2").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
     )
 
-    # 3. quality gate (null quality — zero-token docs — fails the gate).
-    passed = quality_score(near).filter(F.col("quality") >= _MIN_QUALITY)
+    # 3. quality gate (null quality — zero-token docs — fails the gate),
+    #    then drop the held-out eval slice from the training set.
+    #    PERSIST the slim (id, quality, n_tokens) projection: it feeds
+    #    the contamination probe, the anti-join, the sharder, and the
+    #    final join — and caching it means the tokenize pass over the
+    #    surviving corpus runs exactly once.
+    train = track_persist(
+        quality_score(near)
+        .filter(F.col("quality") >= _MIN_QUALITY)
+        .where(F.expr(f"doc_id % {_EVAL_MOD} <> 0"))
+        .select("doc_id", "quality", "n_tokens")
+    )
 
     # 4. decontamination: eval shingle set from the RAW corpus slice
     #    (benchmarks are external to the cleaning chain), broadcast;
@@ -202,7 +218,6 @@ def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode("hs").alias("h"))
         .distinct()
     )
-    train = passed.where(F.expr(f"doc_id % {_EVAL_MOD} <> 0"))
     hits = (
         all_sigs.join(train.select("doc_id"), "doc_id", "semi")
         .select("doc_id", F.explode("hs").alias("h"))
