@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "q_vector_pca_invariants",
     "q_dedup_minhash_lsh_guarded",
     "q_dedup_embedding_lsh_deep",
+    "q_dedup_clusters_embedding",
 ]
 
 

@@ -59,6 +59,7 @@ _ROUND3_WINDOW = [
     "q_dedup_minhash_lsh_guarded",
     "q_dedup_embedding_lsh",
     "q_dedup_embedding_lsh_deep",
+    "q_dedup_clusters_embedding",
     "q_dedup_embedding_cosine",
     "q_similarity_ann_lsh",
     "q_similarity_ann_ivf",

@@ -661,3 +661,56 @@ def q_dedup_embedding_lsh_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_dup_pairs(
         emb, threshold=0.45, n_planes=12, n_bands=16
     ).orderBy("id1", "id2")
+
+
+def _duck_emb_cluster_oracle() -> str:
+    from ..operators.similarity import duck_cosine_dup_pairs_sql
+
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {duck_cosine_dup_pairs_sql(0.45)}
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION
+      SELECT id2, id1 FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT e.vec_id,
+           COALESCE(c.cluster_id, e.vec_id) AS cluster_id,
+           COALESCE(c.cluster_id, e.vec_id) = e.vec_id AS is_survivor
+    FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+    ORDER BY e.vec_id
+    """
+
+
+@register(
+    "q_dedup_clusters_embedding",
+    oracle=_duck_emb_cluster_oracle(),
+    doc="Full dedup resolution on the EMBEDDING tier: hyperplane-LSH "
+    "cosine pairs → connected components (min-label propagation, "
+    "O(diameter) shuffle-bounded rounds) → canonical min-id survivor "
+    "per cluster — the embedding twin of q_dedup_clusters_minhash, so "
+    "both near-dup modalities close the pairs→survivors loop. The "
+    "oracle recomputes the LSH pair set bit-for-bit and the components "
+    "by recursive transitive closure. (operators/clusters.py, "
+    "operators/similarity.py)",
+    tags=("llm", "dedup", "embedding", "clusters"),
+)
+def q_dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clusters import dedup_survivors
+    from ..operators.similarity import cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = cosine_dup_pairs(emb, threshold=0.45)
+    return dedup_survivors(
+        pairs, emb.select("vec_id"), id_col="vec_id"
+    ).orderBy("vec_id")
