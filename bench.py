@@ -91,6 +91,12 @@ BENCH_QUERIES = [
     "q_dedup_minhash_lsh_guarded",
     "q_dedup_embedding_lsh_deep",
     "q_dedup_clusters_embedding",
+    # Round 3: corpus organization wave — clustering, semantic dedup,
+    # weighted sampling, split manifest
+    "q_cluster_kmeans",
+    "q_dedup_semantic",
+    "q_sample_weighted_pps",
+    "q_split_train_val_test",
 ]
 
 

@@ -1,0 +1,196 @@
+"""Fixed-iteration Lloyd k-means over integer-scaled embeddings.
+
+The reference engine has no clustering operator; this is part of the
+training-data-pipeline surface (corpus bucketing, SemDeDup's cluster
+stage, IVF coarse quantizers are all k-means assignments).  The design
+is the standard distributed Lloyd split:
+
+* **assign** is map-only: the k centroids are compile-time array
+  literals broadcast inside the plan, each row computes k exact int64
+  squared-L2 distances and takes the (dist, cid)-lexicographic argmin.
+  No shuffle, no UDF — whole-stage codegen end to end.
+* **update** is one posexplode + groupBy(cluster, pos) integer-sum —
+  map-side combinable, the shuffle carries one row per
+  (cluster × dim × task), never per vector (same shape as
+  :func:`.vector_agg.group_centroids`).
+* the k×d centroid table syncs through the driver between iterations —
+  the same mini-driver reduction every distributed k-means performs
+  (Spark MLlib's KMeans does exactly this per step).
+
+Cross-engine exactness: components are ``round(x · 1e7)`` int64s
+(:mod:`..functions.vectors`), so distances are exact integers
+(bounded by 4·d·(0.53·SCALE)² ≈ 7.1e15 < 2^53, so even the oracle's
+double-typed arithmetic is exact), and the centroid update
+``round(sum / count)`` divides a < 2^53 integer sum by a count —
+identical IEEE operands → identical quotient in Spark, DuckDB, and the
+driver.  Ties in the argmin break on centroid id.  Empty clusters drop
+out (both engines rebuild the centroid set from surviving groups).
+
+At 100 TB per-dimension cluster sums stay exact while the per-cluster
+row count is < 2^53 / (0.53·SCALE) ≈ 1.7e9; beyond that, pre-aggregate
+per partition and widen to DECIMAL — noted here, not needed at any
+tested scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..functions.caching import track_persist
+
+
+def _lit_vec(vals: list[int]) -> str:
+    return "array(" + ", ".join(f"{v}L" for v in vals) + ")"
+
+
+def _dist_expr(cn: int, cvec: list[int]) -> str:
+    """Exact squared L2 distance |x−c|² = n_x + n_c − 2·x·c (int64)."""
+    return f"(n + {cn}L - 2 * {V.spark_dot('v', _lit_vec(cvec))})"
+
+
+def scaled_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, v: array<bigint> scaled components, n: bigint self-dot)."""
+    return df.select(
+        F.col(id_col),
+        F.expr(V.spark_scaled(vec_col)).alias("v"),
+    ).withColumn("n", F.expr(V.spark_dot("v", "v")))
+
+
+def assign_clusters(sv: DataFrame, cents: list[tuple[int, list[int], int]]) -> DataFrame:
+    """Map-only nearest-centroid assignment.
+
+    ``cents``: [(cid, scaled components, self-dot)].  Adds ``cluster``
+    and ``dist2`` (exact int64 squared L2 in scaled units).  Argmin via
+    array_min over (dist, cid) structs — lexicographic, so ties break
+    on the lower centroid id, matching the oracle's ORDER BY dist, cid.
+    """
+    best: Column = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.expr(_dist_expr(cn, cv)).alias("d"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, cv, cn in cents
+            ]
+        )
+    )
+    return sv.withColumn("_b", best).withColumn(
+        "cluster", F.col("_b.cid")
+    ).withColumn("dist2", F.col("_b.d")).drop("_b")
+
+
+def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[int], int]]:
+    """One Lloyd update: exact per-(cluster, pos) integer sums, then the
+    engines' shared ``round(sum / count)`` quantization, driver-side.
+
+    The collect is k×d rows (512 for k=8, d=64) — the centroid table,
+    not data.  round() here must match Spark/DuckDB double round
+    (half away from zero on an exact < 2^53 quotient).
+    """
+    rows = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "c"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("c").alias("s"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    import math
+
+    acc: dict[int, dict[int, int]] = {}
+    for r in rows:
+        # half-away-from-zero on the exact double quotient (|s| < 2^53),
+        # the scalar form of vectors.np_scaled — matches both engines'
+        # round(CAST(s AS DOUBLE) / cnt).
+        q = r["s"] / r["cnt"]
+        if q >= 0:
+            f = math.floor(q)
+            comp = int(f + (1 if q - f >= 0.5 else 0))
+        else:
+            c = math.ceil(q)
+            comp = int(c - (1 if c - q >= 0.5 else 0))
+        acc.setdefault(r["cluster"], {})[r["pos"]] = comp
+    cents = []
+    for cid in sorted(acc):
+        vec = [acc[cid][p] for p in range(len(acc[cid]))]
+        cents.append((cid, vec, sum(c * c for c in vec)))
+    return cents
+
+
+def initial_centroids(sv: DataFrame, k: int, id_col: str = "vec_id") -> list[tuple[int, list[int], int]]:
+    """Deterministic seed: the k lowest-id vectors, cid = 0..k−1 in id
+    order (k rows to the driver — the centroid table, not data)."""
+    rows = sv.orderBy(id_col).limit(k).collect()
+    return [(i, list(r["v"]), int(r["n"])) for i, r in enumerate(rows)]
+
+
+def kmeans_assignments(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``iters`` Lloyd rounds; return (id, cluster, dist2) plus the
+    scaled vector columns (v, n) for downstream consumers (SemDeDup).
+
+    iters=1 means: assign to the seed centroids, update once, assign to
+    the updated centroids — i.e. the returned assignment always reflects
+    the *latest* centroids, and ``iters`` counts update steps.
+    """
+    sv = track_persist(scaled_vectors(df, id_col, vec_col))
+    cents = initial_centroids(sv, k, id_col)
+    for _ in range(iters):
+        cents = _update_centroids(assign_clusters(sv, cents))
+    return assign_clusters(sv, cents)
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    tau: float = 0.45,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embeddings, then drop within-cluster semantic near-duplicates.
+
+    The clustering IS the scale move: candidate pairs form only inside
+    a cluster, so the quadratic all-pairs cosine never happens —
+    per-cluster pair counts are (n/k)² instead of n².  Survivor rule is
+    deterministic: a vector is dropped iff some *lower-id* member of
+    its cluster has cosine ≥ ``tau`` with it (greedy keep-lowest-id,
+    the SQL-expressible form of SemDeDup's keep-one-per-group).
+
+    Returns one row per input vector: (id, cluster, kept).  Cosines are
+    computed from exact int64 dots (engine-identical doubles).
+
+    At 100 TB: assignment is map-only; the within-cluster self-join
+    shuffles on ``cluster`` — for adversarial distributions (one giant
+    cluster) route the pair generation through
+    :func:`.skew.bounded_self_pairs` with key_cols=["cluster"], or
+    raise k (SemDeDup's own remedy: the paper uses k ≈ 11k clusters at
+    LAION scale, keeping buckets small).
+    """
+    a = kmeans_assignments(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    a = track_persist(a.select(F.col(id_col).alias("id"), "cluster", "v", "n"))
+    l, r = a.alias("l"), a.alias("r")
+    sim = F.expr(V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n"))
+    drops = (
+        l.join(r, (F.col("l.cluster") == F.col("r.cluster")) & (F.col("l.id") < F.col("r.id")))
+        .where(sim >= F.lit(tau))
+        .select(F.col("r.id").alias("id"))
+        .distinct()
+    )
+    return (
+        a.join(drops.withColumn("_drop", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("_drop"), F.lit(True)).alias("kept"),
+        )
+    )

@@ -24,6 +24,7 @@ from . import llm5  # noqa: F401,E402
 from . import events2  # noqa: F401,E402
 from . import formats  # noqa: F401,E402
 from . import llm6  # noqa: F401,E402
+from . import llm7  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -41,6 +42,10 @@ from . import tpch3  # noqa: F401,E402
 # shuffle, signature consumers), so the driver re-proves them all.
 _ROUND3_WINDOW = [
     "q_pipeline_corpus_end_to_end",
+    "q_cluster_kmeans",
+    "q_dedup_semantic",
+    "q_sample_weighted_pps",
+    "q_split_train_val_test",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

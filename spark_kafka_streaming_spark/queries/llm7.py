@@ -1,0 +1,247 @@
+"""Round-3 pipeline wave: k-means clustering, SemDeDup, weighted
+(PPS) sampling, and dataset splitting.
+
+These extend the training-data-pipeline surface past dedup/filtering
+into corpus *organization*: clustering for curriculum/bucketing and
+IVF coarse quantizers, SemDeDup (the embedding-clustered semantic
+dedup of Abbas et al. 2023), size-weighted sampling for corpus
+subsetting, and deterministic train/val/test splits.  No analog in the
+reference (its analytics end at windowed word counts —
+``KafkaWordCount.scala:53-73``); this is the §2c north-star surface.
+
+Every query here is exactly reproducible in DuckDB: vector math on
+int64-scaled components, sampling/splits on the md5 portable-hash
+family, centroid updates on < 2^53 integer sums (see
+``operators/kmeans.py`` for the exactness argument).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+from ..functions import vectors as V
+from ..operators.kmeans import kmeans_assignments, semantic_dedup
+from ..operators.sharding import global_running_sum
+from ..sources.batch import load_table
+from .registry import register
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+SEMDEDUP_TAU = 0.45
+PPS_K = 50  # weighted-sample target size
+
+
+# ------------------------------------------------------------ k-means
+
+
+def _duck_kmeans_cte(k: int, iters: int) -> tuple[str, str]:
+    """(WITH-clause body, final-assignment CTE name) for ``iters``
+    Lloyd update steps — generated, so the SQL twin follows the exact
+    same schedule as the Spark loop: seed → [assign → update]×iters →
+    final assign."""
+    dot_sc = V.duck_dot("s.v", "c.v")
+    parts = [
+        f"sv AS (SELECT vec_id, {V.duck_scaled('embedding')} AS v FROM embeddings)",
+        f"sn AS (SELECT vec_id, v, CAST({V.duck_dot('v', 'v')} AS BIGINT) AS n FROM sv)",
+        f"""c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v, n
+      FROM sn ORDER BY vec_id LIMIT {k})""",
+    ]
+    cur = "c0"
+    for i in range(iters + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT s.vec_id, c.cid,
+               CAST(s.n + c.n - 2 * {dot_sc} AS BIGINT) AS dist,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                 ORDER BY CAST(s.n + c.n - 2 * {dot_sc} AS BIGINT), c.cid) AS rn
+        FROM sn s CROSS JOIN {cur} c) WHERE rn = 1)"""
+        )
+        if i < iters:
+            parts.append(
+                f"""u{i} AS (
+      SELECT a.cid, unnest(generate_series(0, len(s.v) - 1)) AS pos, unnest(s.v) AS x
+      FROM a{i} a JOIN sn s USING (vec_id))"""
+            )
+            parts.append(
+                f"""c{i + 1}p AS (
+      SELECT cid, pos, CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM u{i} GROUP BY cid, pos)"""
+            )
+            parts.append(
+                f"""c{i + 1}l AS (SELECT cid, list(c ORDER BY pos) AS v FROM c{i + 1}p GROUP BY cid)"""
+            )
+            parts.append(
+                f"""c{i + 1} AS (SELECT cid, v, CAST({V.duck_dot('v', 'v')} AS BIGINT) AS n FROM c{i + 1}l)"""
+            )
+            cur = f"c{i + 1}"
+    return ",\n    ".join(parts), f"a{iters}"
+
+
+_KMEANS_CTE, _KMEANS_FINAL = _duck_kmeans_cte(KMEANS_K, KMEANS_ITERS)
+
+
+@register(
+    "q_cluster_kmeans",
+    oracle=f"""
+    WITH {_KMEANS_CTE}
+    SELECT vec_id, cid AS cluster, dist AS dist2
+    FROM {_KMEANS_FINAL}
+    ORDER BY vec_id
+    """,
+    doc="Fixed-iteration Lloyd k-means (k=8, 2 update steps, lowest-id "
+    "seeds): map-only assignment against literal broadcast centroids, "
+    "posexplode+groupBy(cluster,pos) integer-sum update, k×d driver "
+    "sync per step (the MLlib pattern). Exact int64 distances → the "
+    "whole trajectory (assignments AND centroids) is bit-identical in "
+    "DuckDB, which replays the same schedule in generated CTEs. "
+    "(operators/kmeans.py)",
+    tags=("llm", "clustering", "vectors"),
+)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        kmeans_assignments(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+        .select("vec_id", "cluster", "dist2")
+        .orderBy("vec_id")
+    )
+
+
+# ----------------------------------------------------------- SemDeDup
+
+_SEM_CTE, _SEM_FINAL = _duck_kmeans_cte(KMEANS_K, 1)
+
+
+@register(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH {_SEM_CTE},
+    m AS (
+      SELECT a.vec_id, a.cid, s.v, s.n
+      FROM {_SEM_FINAL} a JOIN sn s USING (vec_id)
+    ),
+    drops AS (
+      SELECT DISTINCT r.vec_id
+      FROM m l JOIN m r ON l.cid = r.cid AND l.vec_id < r.vec_id
+      WHERE CAST({V.duck_dot('l.v', 'r.v')} AS DOUBLE)
+            / (sqrt(CAST(l.n AS DOUBLE)) * sqrt(CAST(r.n AS DOUBLE)))
+            >= {SEMDEDUP_TAU}
+    )
+    SELECT m.vec_id, m.cid AS cluster,
+           m.vec_id NOT IN (SELECT vec_id FROM drops) AS kept
+    FROM m
+    ORDER BY m.vec_id
+    """,
+    doc="SemDeDup (arXiv:2303.09540): k-means clusters bound the "
+    "candidate space, cosine>=tau within a cluster drops the higher "
+    "id. The cluster stage IS the scale move — pairs form only inside "
+    "a cluster ((n/k)^2, never n^2); adversarial single-cluster "
+    "corpora route through skew.bounded_self_pairs or a larger k "
+    "(the paper's own remedy). Exact int64 dots make the cosine "
+    "threshold engine-identical. (operators/kmeans.py)",
+    tags=("llm", "dedup", "vectors"),
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=KMEANS_K, tau=SEMDEDUP_TAU, iters=1).orderBy(
+        "vec_id"
+    )
+
+
+# ------------------------------------------- weighted (PPS) sampling
+
+
+@register(
+    "q_sample_weighted_pps",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS wt,
+             {TH.duck_str_hash_raw('CAST(doc_id AS VARCHAR)')} AS h
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, wt, h,
+             SUM(wt) OVER (ORDER BY h, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(wt) OVER () AS total
+      FROM w
+    )
+    SELECT CAST((cum * {PPS_K}) // total AS BIGINT) AS pick, doc_id, wt
+    FROM c
+    WHERE (cum - wt) * {PPS_K} // total < cum * {PPS_K} // total
+    ORDER BY pick, doc_id
+    """,
+    doc="Systematic PPS sampling (probability proportional to size, "
+    "n_chars weights): items in portable-hash order, exact integer "
+    "cumulative weights, row selected where floor(cum*k/W) advances — "
+    "k strata, one hit each, zero floats. The Spark cumsum is the "
+    "scale-safe two-phase prefix sum (range partition -> local window "
+    "-> broadcast offsets), not a single-partition window; DuckDB's "
+    "naive SUM OVER bit-matches it because integer sums are "
+    "associative. (operators/sharding.py::global_running_sum)",
+    tags=("llm", "sampling"),
+)
+def q_sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("wt"),
+        F.expr(TH.spark_str_hash_raw("CAST(doc_id AS STRING)")).alias("h"),
+    )
+    c = global_running_sum(w, "wt", ["h", "doc_id"])
+    total = c.groupBy().agg(F.sum("wt").alias("t"))
+    return (
+        c.crossJoin(F.broadcast(total))
+        .where(
+            F.expr(f"((cum - wt) * {PPS_K}) DIV t") < F.expr(f"(cum * {PPS_K}) DIV t")
+        )
+        .select(
+            F.expr(f"CAST((cum * {PPS_K}) DIV t AS BIGINT)").alias("pick"),
+            "doc_id",
+            "wt",
+        )
+        .orderBy("pick", "doc_id")
+    )
+
+
+# --------------------------------------------- train/val/test split
+
+
+@register(
+    "q_split_train_val_test",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {TH.duck_str_hash_raw('CAST(doc_id AS VARCHAR)')} % 100 AS b
+      FROM documents
+    )
+    SELECT CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM s
+    GROUP BY split, lang
+    ORDER BY split, lang
+    """,
+    doc="Deterministic 80/10/10 train/val/test split manifest: bucket "
+    "by portable content-free hash of the id (stable across runs, "
+    "engines, and table growth — a doc never migrates splits), "
+    "reported per (split, lang). Map-side only; the groupBy output is "
+    "O(splits x langs). (functions/texthash.py)",
+    tags=("llm", "sampling"),
+)
+def q_split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.expr(TH.spark_str_hash_raw("CAST(doc_id AS STRING)")) % 100
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "lang", "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("split", "lang")
+    )

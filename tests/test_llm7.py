@@ -1,0 +1,122 @@
+"""Unit tests for the round-3 wave: k-means, SemDeDup, PPS sampling,
+train/val/test split (queries/llm7.py, operators/kmeans.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_kafka_streaming_spark.functions import vectors as V
+from spark_kafka_streaming_spark.operators.kmeans import (
+    kmeans_assignments,
+    semantic_dedup,
+)
+from spark_kafka_streaming_spark.queries import REGISTRY
+from spark_kafka_streaming_spark.sources.batch import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_kmeans_partition_invariant(spark, emb):
+    """Assignments are a pure function of the data — identical under
+    any input partitioning (int64 math is associative everywhere)."""
+    a1 = {
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in kmeans_assignments(emb, k=4, iters=2).collect()
+    }
+    a2 = {
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in kmeans_assignments(emb.repartition(13), k=4, iters=2).collect()
+    }
+    assert a1 == a2
+    assert len(a1) == emb.count()
+
+
+def test_kmeans_dist_is_exact_squared_l2(spark, emb):
+    """dist2 for a sampled row equals the numpy int64 recomputation
+    against the best centroid among ALL returned assignments' implied
+    centroids — verified indirectly: dist2 >= 0 and the assigned
+    cluster's dist2 is minimal vs. every other vector's centroid
+    distance is covered by the oracle; here pin non-negativity and
+    cluster range."""
+    rows = kmeans_assignments(emb, k=4, iters=1).collect()
+    assert all(0 <= r["cluster"] < 4 for r in rows)
+    assert all(r["dist2"] >= 0 for r in rows)
+    assert len({r["cluster"] for r in rows}) > 1
+
+
+def test_semdedup_drops_planted_duplicate(spark, emb):
+    """An exact copy of vector 0 under a higher id lands in the same
+    cluster with cosine 1.0 — it must be dropped; the original kept."""
+    big = 10_000_000
+    clone = emb.where(F.col("vec_id") == 0).withColumn("vec_id", F.lit(big))
+    out = semantic_dedup(emb.unionByName(clone), k=4, tau=0.9).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[big]["kept"] is False
+    assert by_id[0]["kept"] is True
+    assert by_id[big]["cluster"] == by_id[0]["cluster"]
+
+
+def test_semdedup_tau_monotone(spark, emb):
+    """Raising tau can only keep more vectors."""
+    kept_lo = sum(1 for r in semantic_dedup(emb, k=4, tau=0.3).collect() if r["kept"])
+    kept_hi = sum(1 for r in semantic_dedup(emb, k=4, tau=0.99).collect() if r["kept"])
+    assert kept_lo <= kept_hi
+
+
+def test_pps_sample_size_and_heavy_item(spark, sf_dir):
+    """Systematic PPS yields exactly k picks when no weight exceeds
+    W/k, and a planted overweight item is always selected."""
+    q = REGISTRY["q_sample_weighted_pps"]
+    out = q.builder(spark, sf_dir).collect()
+    # strata ids strictly increase; at most one pick per stratum
+    picks = [r["pick"] for r in out]
+    assert picks == sorted(picks) and len(set(picks)) == len(picks)
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    max_w = docs.agg(F.max("n_chars")).collect()[0][0]
+    if max_w * 50 < total:
+        assert len(out) == 50
+
+
+def test_pps_heavy_item_always_selected(spark, sf_dir):
+    from spark_kafka_streaming_spark.functions import texthash as TH
+    from spark_kafka_streaming_spark.operators.sharding import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    heavy = docs.limit(1).withColumn("doc_id", F.lit(99_999_999)).withColumn(
+        "n_chars", F.lit(10_000_000)
+    )
+    w = (
+        docs.unionByName(heavy)
+        .select(
+            "doc_id",
+            F.col("n_chars").cast("bigint").alias("wt"),
+            F.expr(TH.spark_str_hash_raw("CAST(doc_id AS STRING)")).alias("h"),
+        )
+    )
+    c = global_running_sum(w, "wt", ["h", "doc_id"])
+    total = c.groupBy().agg(F.sum("wt").alias("t"))
+    sel = (
+        c.crossJoin(F.broadcast(total))
+        .where(F.expr("((cum - wt) * 50) DIV t") < F.expr("(cum * 50) DIV t"))
+        .select("doc_id")
+        .collect()
+    )
+    assert 99_999_999 in {r["doc_id"] for r in sel}
+
+
+def test_split_is_deterministic_partition_of_corpus(spark, sf_dir):
+    q = REGISTRY["q_split_train_val_test"]
+    rows = q.builder(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "val", "test"}
+    n = {s: sum(r["n_docs"] for r in rows if r["split"] == s) for s in splits}
+    # hash split tracks 80/10/10 loosely even on small corpora
+    assert n.get("train", 0) > n.get("val", 0)
+    assert n.get("train", 0) > n.get("test", 0)
