@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "q_dedup_semantic",
     "q_sample_weighted_pps",
     "q_split_train_val_test",
+    "q_similarity_ann_ivf_refined",
 ]
 
 

@@ -30,6 +30,17 @@ At 100 TB per-dimension cluster sums stay exact while the per-cluster
 row count is < 2^53 / (0.53·SCALE) ≈ 1.7e9; beyond that, pre-aggregate
 per partition and widen to DECIMAL — noted here, not needed at any
 tested scale.
+
+Sibling: :func:`..operators.similarity.kmeans_refine` is the
+*driver-free* Lloyd variant used inside :func:`.similarity.ivf_topk`
+(cosine assignment via broadcast-join + window, centroids stay a
+DataFrame).  This module's literal-centroid form trades one k×d driver
+sync per step for a join-free, window-free assignment — the right
+shape when the assignment feeds further map-side work (SemDeDup) or
+when k·d is tiny next to the corpus; the join form is right when the
+centroid table must remain lineage-tracked plan state.  Both update
+rules share the exact same ``round(sum/count)`` quantization, so the
+trajectories are engine-reproducible either way.
 """
 
 from __future__ import annotations

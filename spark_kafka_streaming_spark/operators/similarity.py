@@ -260,13 +260,47 @@ def duck_ivf_topk_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> str:
-    """DuckDB oracle twin of :func:`ivf_topk` with ``kmeans_iters=0``:
-    same deterministic seed centroids (smallest-id vectors), same
-    (cos desc, cell) cell ranking, same n-way corpus replication, same
-    probe set, same exact cosines and final rank tiebreak."""
+    """DuckDB oracle twin of :func:`ivf_topk`: same deterministic seed
+    centroids (smallest-id vectors), optionally the same
+    ``kmeans_iters`` Lloyd refinements (:func:`kmeans_refine` replayed
+    in generated CTEs — cosine assignment with (cos desc, cell)
+    tiebreak, per-position ``round(sum/count)`` mean, exactly the
+    engine's schedule), same n-way corpus replication, same probe set,
+    same exact cosines and final rank tiebreak."""
     cell_cos = V.duck_cosine(V.duck_dot("s.v", "c.cent_v"), "s.n", "c.cent_n")
     pair_cos = V.duck_cosine(V.duck_dot("s1.v", "s2.v"), "s1.n", "s2.n")
+    refine = []
+    cur = "cents"
+    for i in range(kmeans_iters):
+        refine.append(
+            f"""r{i}a AS (
+      SELECT id, cell, v FROM (
+        SELECT s.id, c.cell, s.v,
+               row_number() OVER (PARTITION BY s.id
+                   ORDER BY {cell_cos} DESC, c.cell) AS rk
+        FROM scaled s CROSS JOIN {cur} c
+      ) WHERE rk = 1
+    ),
+    r{i}u AS (
+      SELECT cell, unnest(generate_series(0, len(v) - 1)) AS pos, unnest(v) AS x
+      FROM r{i}a
+    ),
+    r{i}m AS (
+      SELECT cell, pos,
+             CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean
+      FROM r{i}u GROUP BY cell, pos
+    ),
+    r{i}c AS (
+      SELECT cell, list(mean ORDER BY pos) AS cent_v FROM r{i}m GROUP BY cell
+    ),
+    cents{i + 1} AS (
+      SELECT cell, cent_v, {V.duck_dot('cent_v', 'cent_v')} AS cent_n FROM r{i}c
+    )"""
+        )
+        cur = f"cents{i + 1}"
+    refine_sql = ("," + ",\n    ".join(refine)) if refine else ""
     return f"""
     WITH scaled AS (
       SELECT {id_col} AS id, {V.duck_scaled(vec_col)} AS v,
@@ -276,13 +310,13 @@ def duck_ivf_topk_sql(
     cents AS (
       SELECT id AS cell, v AS cent_v, n AS cent_n
       FROM scaled ORDER BY id LIMIT {n_cells}
-    ),
+    ){refine_sql},
     corpus_cells AS (
       SELECT id, cell FROM (
         SELECT s.id, c.cell,
                row_number() OVER (PARTITION BY s.id
                    ORDER BY {cell_cos} DESC, c.cell) AS cr
-        FROM scaled s CROSS JOIN cents c
+        FROM scaled s CROSS JOIN {cur} c
       ) WHERE cr <= {n_assign}
     ),
     query_cells AS (
@@ -290,7 +324,7 @@ def duck_ivf_topk_sql(
         SELECT s.id, c.cell,
                row_number() OVER (PARTITION BY s.id
                    ORDER BY {cell_cos} DESC, c.cell) AS cr
-        FROM (SELECT * FROM scaled WHERE {query_pred}) s CROSS JOIN cents c
+        FROM (SELECT * FROM scaled WHERE {query_pred}) s CROSS JOIN {cur} c
       ) WHERE cr <= {n_probe}
     ),
     cand AS (

@@ -46,6 +46,7 @@ _ROUND3_WINDOW = [
     "q_dedup_semantic",
     "q_sample_weighted_pps",
     "q_split_train_val_test",
+    "q_similarity_ann_ivf_refined",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

@@ -207,6 +207,37 @@ def q_sample_weighted_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------- IVF with a learned quantizer
+
+
+def _duck_ivf_refined_oracle() -> str:
+    from ..operators.similarity import duck_ivf_topk_sql
+
+    return duck_ivf_topk_sql(5, "id < 10", kmeans_iters=1)
+
+
+@register(
+    "q_similarity_ann_ivf_refined",
+    oracle=_duck_ivf_refined_oracle(),
+    doc="IVF ANN with a LEARNED coarse quantizer: one Lloyd refinement "
+    "over the seed cells before indexing (similarity.kmeans_refine — "
+    "the all-DataFrame, driver-free Lloyd variant: broadcast-join "
+    "assignment by cosine, posexplode integer-mean update). Closes the "
+    "round-2 gap where only the kmeans_iters=0 path was oracle-able: "
+    "the DuckDB twin now replays the refinement trajectory in "
+    "generated CTEs, so centroid learning itself is driver-checked. "
+    "(operators/similarity.py::ivf_topk)",
+    tags=("llm", "similarity", "ivf", "clustering"),
+)
+def q_similarity_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, kmeans_iters=1
+    ).orderBy("query_id", "rn")
+
+
 # --------------------------------------------- train/val/test split
 
 
