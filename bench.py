@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "q_sample_weighted_pps",
     "q_split_train_val_test",
     "q_similarity_ann_ivf_refined",
+    "q_ann_recall_lsh",
 ]
 
 

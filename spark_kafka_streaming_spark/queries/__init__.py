@@ -47,6 +47,7 @@ _ROUND3_WINDOW = [
     "q_sample_weighted_pps",
     "q_split_train_val_test",
     "q_similarity_ann_ivf_refined",
+    "q_ann_recall_lsh",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

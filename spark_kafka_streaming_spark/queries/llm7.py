@@ -238,6 +238,82 @@ def q_similarity_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+# ----------------------------------------------- ANN recall harness
+
+
+def _duck_ann_recall_oracle() -> str:
+    from ..operators.similarity import duck_lsh_topk_sql
+
+    brute = f"""
+    WITH sv AS (
+      SELECT vec_id, {V.duck_scaled('embedding')} AS v FROM embeddings
+    ),
+    sn AS (SELECT vec_id, v, {V.duck_dot('v', 'v')} AS n FROM sv),
+    q AS (SELECT * FROM sn WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST({V.duck_dot('q.v', 'c.v')} AS DOUBLE)
+               / (sqrt(CAST(q.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE)))
+               AS cos_sim
+      FROM q JOIN sn c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rn FROM scored
+    ) t WHERE rn <= 5
+    """
+    return f"""
+    WITH brute AS (SELECT query_id, neighbor_id FROM ({brute}) b),
+    approx AS (
+      SELECT query_id, neighbor_id FROM ({duck_lsh_topk_sql(5, "id < 10")}) a
+    )
+    SELECT b.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """
+
+
+@register(
+    "q_ann_recall_lsh",
+    oracle=_duck_ann_recall_oracle(),
+    doc="ANN self-evaluation: recall@5 of the hyperplane-LSH top-k "
+    "against the exact brute-force top-k, per query — the "
+    "measure-don't-guess harness a production ANN deployment runs on "
+    "every index build (both legs reuse the catalog's oracle-checked "
+    "operators; the joint query makes the quality number itself "
+    "driver-checkable). Scale: brute force runs on the SAMPLED query "
+    "set only — recall estimation never needs the full |Q|. "
+    "(operators/similarity.py)",
+    tags=("llm", "similarity", "evaluation"),
+)
+def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk, lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = (
+        lsh_topk(q, emb, k=5)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        brute.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"),
+            (F.sum(F.coalesce("_hit", F.lit(0))) / 5.0).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # --------------------------------------------- train/val/test split
 
 
