@@ -99,6 +99,8 @@ BENCH_QUERIES = [
     "q_split_train_val_test",
     "q_similarity_ann_ivf_refined",
     "q_ann_recall_lsh",
+    "q_vector_pq_encode",
+    "q_similarity_pq_adc",
 ]
 
 

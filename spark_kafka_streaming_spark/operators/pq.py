@@ -1,0 +1,340 @@
+"""Product quantization (PQ): train per-subspace codebooks and encode
+vectors as M small codes (Jégou et al., "Product Quantization for
+Nearest Neighbor Search", TPAMI 2011).
+
+PQ is the standard memory-scale move for billion-vector ANN: a d=64
+float vector (256 B) becomes M=8 codes (8 B) against M codebooks of
+k=16 centroids each; search then runs over codes with per-query lookup
+tables.  This module implements codebook training (seeded + Lloyd
+refinement) and encoding as pure DataFrame ops.
+
+The layout trick that keeps this Spark-first: subspaces are ROWS, not
+generated columns.  Each vector explodes into M (vec_id, sub_id,
+subvector) rows, so ONE generic assignment join / ONE generic update
+aggregation trains all M codebooks simultaneously — the plan does not
+grow with M, and the DuckDB oracle needs no per-subspace SQL
+generation either (it replays the same reshape with unnest +
+list_slice).
+
+Exactness: subvectors are the same int64-scaled components as the rest
+of the vector tier (:mod:`..functions.vectors`), so distances are
+exact 8-dim integer sums and the centroid update is the shared
+``round(sum/count)`` quantization — the full training trajectory and
+every emitted code is engine-reproducible (same argument as
+:mod:`.kmeans`, which this module's update step mirrors; assignment
+here is L2 like :mod:`.kmeans`, driver-free like
+:func:`.similarity.kmeans_refine`).
+
+100 TB: the reshape is map-only (M× row fan-out of slim rows); the
+assignment is a broadcast join against M·k centroids (tiny) + a window
+over (vec_id, sub_id) groups of k rows; the update shuffles one row
+per (sub_id, cell, pos, task) after map-side combine.  Codebooks would
+be trained on a sample and persisted per corpus snapshot like the
+dedup signature table; encoding is then embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import vectors as V
+from ..functions.caching import track_persist
+
+M_SUBS = 8  # subspaces
+SUB_DIM = 8  # dims per subspace (M_SUBS * SUB_DIM = embedding dim)
+K_CODES = 16  # centroids per subspace codebook
+
+
+def _subspace_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, sub_id, sv: array<bigint>, sn: bigint) — one row per
+    (vector, subspace); the reshape that makes subspaces data."""
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {M_SUBS - 1}), "
+                    f"m -> slice({V.spark_scaled(vec_col)}, m * {SUB_DIM} + 1, {SUB_DIM}))"
+                )
+            ).alias("sub_id", "sv"),
+        )
+        .withColumn("sn", F.expr(V.spark_dot("sv", "sv")))
+    )
+
+
+def _nearest_code(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """Per (id, sub_id): the (dist, cell)-argmin codebook entry.
+    ``cents``: (sub_id, cell, cv, cn)."""
+    w = Window.partitionBy("id", "sub_id").orderBy("dist2", "cell")
+    return (
+        sub.join(F.broadcast(cents), "sub_id")
+        .withColumn(
+            "dist2",
+            F.col("sn") + F.col("cn") - 2 * F.expr(V.spark_dot("sv", "cv")),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+
+
+def pq_codebooks(
+    sub: DataFrame,
+    iters: int = 1,
+) -> DataFrame:
+    """Train the M codebooks over subspace rows: k lowest-id seed
+    slices + ``iters`` Lloyd refinements.  Returns (sub_id, cell, cv,
+    cn); ``cell`` is the seed vector's id (stable label, like IVF)."""
+    seed_ids = sub.select("id").distinct().orderBy("id").limit(K_CODES)
+    cents = (
+        sub.join(F.broadcast(seed_ids), "id")
+        .select(
+            "sub_id",
+            F.col("id").alias("cell"),
+            F.col("sv").alias("cv"),
+            F.col("sn").alias("cn"),
+        )
+    )
+    for _ in range(iters):
+        assigned = _nearest_code(sub, cents)
+        cents = (
+            assigned.select("sub_id", "cell", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub_id", "cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("m"))
+            .withColumn("c", F.expr("CAST(round(CAST(s AS DOUBLE) / m) AS BIGINT)"))
+            .groupBy("sub_id", "cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "c"))).alias("pc"))
+            .select(
+                "sub_id",
+                "cell",
+                F.expr("transform(pc, e -> e.c)").alias("cv"),
+            )
+            .withColumn("cn", F.expr(V.spark_dot("cv", "cv")))
+        )
+    return cents
+
+
+def pq_encode(
+    df: DataFrame,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train M per-subspace codebooks (k lowest-id seed slices +
+    ``iters`` Lloyd refinements) and encode every vector.
+
+    Returns one row per (vector, subspace): (id_col, sub_id,
+    code, dist2) where ``code`` is the seed-id-labeled codebook cell
+    and ``dist2`` the exact int64 subspace reconstruction error.
+    """
+    sub = track_persist(_subspace_rows(df, id_col, vec_col))
+    cents = pq_codebooks(sub, iters)
+    return _nearest_code(sub, cents).select(
+        F.col("id").alias(id_col),
+        "sub_id",
+        F.col("cell").alias("code"),
+        "dist2",
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes: the
+    corpus lives as M codes per vector, queries stay exact; distance ≈
+    Σ_m |q_m − codebook_m[code_m]|², computed via a per-query lookup
+    table instead of touching corpus vectors.
+
+    Plan shape: the LUT (|Q|·M·k partial distances — tiny) broadcasts
+    into a join with the code table on (sub_id, code); the per-pair sum
+    shuffles slim (q_id, neighbor_id, partial) rows; a window takes the
+    top-k by (adist asc, neighbor_id).  At very large |Q|, production
+    systems pivot codes wide and resolve the LUT map-side per batch —
+    the join form here keeps the whole thing one declarative plan and
+    shuffles no vector payloads.
+
+    Approximate by construction (quantization error), but fully
+    deterministic: codes, LUT entries, and sums are exact int64.
+    """
+    sub = track_persist(_subspace_rows(corpus, id_col, vec_col))
+    cents = track_persist(pq_codebooks(sub, iters))
+    codes = _nearest_code(sub, cents).select(
+        F.col("id").alias("n_id"), "sub_id", F.col("cell").alias("code")
+    )
+    qsub = _subspace_rows(queries, id_col, vec_col)
+    lut = (
+        qsub.join(F.broadcast(cents), "sub_id")
+        .select(
+            F.col("id").alias("q_id"),
+            "sub_id",
+            F.col("cell").alias("code"),
+            (
+                F.col("sn") + F.col("cn") - 2 * F.expr(V.spark_dot("sv", "cv"))
+            ).alias("pdist"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy("adist", "n_id")
+    return (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("pdist").alias("adist"))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            "adist",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def _duck_pq_ctes(
+    iters: int,
+    table: str,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list[str], str]:
+    """Shared CTE list (through codebook training) + final cents name."""
+    dot_sc = V.duck_dot("s.sv", "c.cv")
+    parts = [
+        f"""sv AS (
+      SELECT {id_col} AS id, {V.duck_scaled(vec_col)} AS v FROM {table}
+    )""",
+        f"""sub AS (
+      SELECT id, m AS sub_id,
+             list_slice(v, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS sv
+      FROM sv, (SELECT unnest(generate_series(0, {M_SUBS - 1})) AS m)
+    )""",
+        f"""subn AS (
+      SELECT id, sub_id, sv, CAST({V.duck_dot('sv', 'sv')} AS BIGINT) AS sn
+      FROM sub
+    )""",
+        f"""seeds AS (
+      SELECT DISTINCT id FROM subn ORDER BY id LIMIT {K_CODES}
+    )""",
+        """cents0 AS (
+      SELECT s.sub_id, s.id AS cell, s.sv AS cv, s.sn AS cn
+      FROM subn s JOIN seeds USING (id)
+    )""",
+    ]
+    cur = "cents0"
+    for i in range(iters):
+        parts.append(
+            f"""a{i} AS (
+      SELECT id, sub_id, sv, cell FROM (
+        SELECT s.id, s.sub_id, s.sv, c.cell,
+               row_number() OVER (PARTITION BY s.id, s.sub_id
+                 ORDER BY s.sn + c.cn - 2 * {dot_sc}, c.cell) AS rk
+        FROM subn s JOIN {cur} c USING (sub_id)
+      ) WHERE rk = 1
+    )"""
+        )
+        parts.append(
+            f"""u{i} AS (
+      SELECT sub_id, cell,
+             unnest(generate_series(0, len(sv) - 1)) AS pos, unnest(sv) AS x
+      FROM a{i}
+    )"""
+        )
+        parts.append(
+            f"""m{i} AS (
+      SELECT sub_id, cell, pos,
+             CAST(round(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+      FROM u{i} GROUP BY sub_id, cell, pos
+    )"""
+        )
+        parts.append(
+            f"""cents{i + 1} AS (
+      SELECT sub_id, cell, cv, CAST({V.duck_dot('cv', 'cv')} AS BIGINT) AS cn
+      FROM (SELECT sub_id, cell, list(c ORDER BY pos) AS cv
+            FROM m{i} GROUP BY sub_id, cell)
+    )"""
+        )
+        cur = f"cents{i + 1}"
+    return parts, cur
+
+
+def duck_pq_encode_sql(
+    iters: int = 1,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_encode`: same reshape, same seed
+    slices, same Lloyd schedule, same (dist, cell) tiebreak."""
+    dot_sc = V.duck_dot("s.sv", "c.cv")
+    parts, cur = _duck_pq_ctes(iters, table, id_col, vec_col)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    final AS (
+      SELECT id, sub_id, cell, dist2 FROM (
+        SELECT s.id, s.sub_id, c.cell,
+               CAST(s.sn + c.cn - 2 * {dot_sc} AS BIGINT) AS dist2,
+               row_number() OVER (PARTITION BY s.id, s.sub_id
+                 ORDER BY s.sn + c.cn - 2 * {dot_sc}, c.cell) AS rk
+        FROM subn s JOIN {cur} c USING (sub_id)
+      ) WHERE rk = 1
+    )
+    SELECT id AS {id_col}, CAST(sub_id AS INT) AS sub_id, code, dist2
+    FROM (SELECT id, sub_id, cell AS code, dist2 FROM final)
+    ORDER BY {id_col}, sub_id
+    """
+    )
+
+
+def duck_pq_adc_sql(
+    k: int,
+    query_pred: str,
+    iters: int = 1,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_adc_topk`: same codebooks and codes,
+    same per-(query, subspace, cell) LUT partial distances, same
+    summed asymmetric distance and (adist, neighbor) tiebreak.
+    ``query_pred`` filters query ids (over column ``id``)."""
+    dot_sc = V.duck_dot("s.sv", "c.cv")
+    parts, cur = _duck_pq_ctes(iters, table, id_col, vec_col)
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f""",
+    codes AS (
+      SELECT id AS n_id, sub_id, cell AS code FROM (
+        SELECT s.id, s.sub_id, c.cell,
+               row_number() OVER (PARTITION BY s.id, s.sub_id
+                 ORDER BY s.sn + c.cn - 2 * {dot_sc}, c.cell) AS rk
+        FROM subn s JOIN {cur} c USING (sub_id)
+      ) WHERE rk = 1
+    ),
+    lut AS (
+      SELECT s.id AS q_id, s.sub_id, c.cell AS code,
+             CAST(s.sn + c.cn - 2 * {dot_sc} AS BIGINT) AS pdist
+      FROM (SELECT * FROM subn WHERE {query_pred}) s
+      JOIN {cur} c USING (sub_id)
+    ),
+    scored AS (
+      SELECT l.q_id, cd.n_id, CAST(SUM(l.pdist) AS BIGINT) AS adist
+      FROM codes cd JOIN lut l ON l.sub_id = cd.sub_id AND l.code = cd.code
+      GROUP BY l.q_id, cd.n_id
+    )
+    SELECT query_id, neighbor_id, adist, rn FROM (
+      SELECT q_id AS query_id, n_id AS neighbor_id, adist,
+             CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adist, n_id) AS INT) AS rn
+      FROM scored WHERE q_id <> n_id
+    ) WHERE rn <= {k}
+    ORDER BY query_id, rn
+    """
+    )

@@ -48,6 +48,8 @@ _ROUND3_WINDOW = [
     "q_split_train_val_test",
     "q_similarity_ann_ivf_refined",
     "q_ann_recall_lsh",
+    "q_vector_pq_encode",
+    "q_similarity_pq_adc",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

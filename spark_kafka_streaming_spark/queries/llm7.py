@@ -238,6 +238,64 @@ def q_similarity_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+# ------------------------------------------- product quantization
+
+
+def _duck_pq_oracle() -> str:
+    from ..operators.pq import duck_pq_encode_sql
+
+    return duck_pq_encode_sql(iters=1)
+
+
+@register(
+    "q_vector_pq_encode",
+    oracle=_duck_pq_oracle(),
+    doc="Product quantization (Jegou et al. 2011): train 8 per-subspace "
+    "codebooks (16 centroids each, seed slices + 1 Lloyd step) and "
+    "encode every vector as 8 codes + exact reconstruction errors. "
+    "Subspaces are ROWS (posexplode of slices), so one generic "
+    "assignment join and one generic update aggregation train all "
+    "codebooks at once — the plan is M-independent, and the oracle "
+    "replays the identical reshape with unnest+list_slice. The "
+    "billion-vector memory move: 256 B float vector -> 8 B of codes. "
+    "(operators/pq.py)",
+    tags=("llm", "vectors", "quantization", "clustering"),
+)
+def q_vector_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_encode(emb, iters=1).orderBy("vec_id", "sub_id")
+
+
+def _duck_pq_adc_oracle() -> str:
+    from ..operators.pq import duck_pq_adc_sql
+
+    return duck_pq_adc_sql(5, "id < 10", iters=1)
+
+
+@register(
+    "q_similarity_pq_adc",
+    oracle=_duck_pq_adc_oracle(),
+    doc="PQ asymmetric-distance (ADC) top-k: corpus as 8 codes per "
+    "vector, queries exact; distance = sum of per-subspace LUT "
+    "entries — the memory-bound third ANN scale path next to LSH and "
+    "IVF (no corpus vectors touched at query time, only codes). "
+    "Broadcast LUT join + slim (query, neighbor) partial-sum shuffle. "
+    "Approximate by quantization, deterministic by exact int64 math — "
+    "oracle replays codebooks, codes, LUT, and tiebreaks bit-for-bit. "
+    "(operators/pq.py)",
+    tags=("llm", "similarity", "quantization"),
+)
+def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, iters=1
+    ).orderBy("query_id", "rn")
+
+
 # ----------------------------------------------- ANN recall harness
 
 
