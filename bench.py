@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "q_ann_recall_lsh",
     "q_vector_pq_encode",
     "q_similarity_pq_adc",
+    "q_profile_documents",
+    "q_text_quality_classifier",
 ]
 
 

@@ -50,6 +50,8 @@ _ROUND3_WINDOW = [
     "q_ann_recall_lsh",
     "q_vector_pq_encode",
     "q_similarity_pq_adc",
+    "q_profile_documents",
+    "q_text_quality_classifier",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

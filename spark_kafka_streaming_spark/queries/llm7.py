@@ -372,6 +372,115 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- corpus profiling
+
+
+@register(
+    "q_profile_documents",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+    doc="Per-language corpus profile: counts, empties, char-length "
+    "min/max/sum/avg, distinct sources — the data-quality dashboard "
+    "every ingest runs first. One partial-aggregable pass; avg is the "
+    "exact-sum/count division per the registry decimal rule. "
+    "(map-side combine; output is O(langs))",
+    tags=("llm", "profiling"),
+)
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum(
+                F.when(
+                    F.col("text").isNull() | (F.col("text") == ""), 1
+                ).otherwise(0)
+            ).alias("n_empty"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("sum_chars"),
+        )
+        .withColumn(
+            "avg_chars",
+            F.col("sum_chars").cast("double") / F.col("n_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ------------------------------------ linear quality classifier gate
+
+
+@register(
+    "q_text_quality_classifier",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS DOUBLE) AS n_tok,
+             CAST(n_chars AS DOUBLE) AS n_chr,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','to','and','in','is','it')))
+                  AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             0.004 * n_tok + 0.0005 * n_chr + 0.8 * (n_stop / n_tok) - 0.6
+               AS score
+      FROM (SELECT * FROM f) t WHERE n_tok > 0
+    )
+    SELECT doc_id, score, score > 0.0 AS keep
+    FROM z ORDER BY doc_id
+    """,
+    doc="fastText-style linear quality gate: a literal weight vector "
+    "over cheap text features (token count, char count, stopword "
+    "ratio), thresholded on the LINEAR score — mathematically the "
+    "same decision as sigmoid > 0.5 but engine-exact (exp() differs "
+    "in last-ulp between libms; the linear form is sums/products of "
+    "identical doubles in a fixed order). Map-only, codegen, no UDF. "
+    "A real trained classifier drops in by replacing the literals. "
+    "(operators/text.py features)",
+    tags=("llm", "quality"),
+)
+def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stop = "('the','a','of','to','and','in','is','it')"
+    f = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(filter(split(text, ' '), t -> t <> '')) AS DOUBLE)"
+        ).alias("n_tok"),
+        F.col("n_chars").cast("double").alias("n_chr"),
+        F.expr(
+            f"CAST(size(filter(split(text, ' '), t -> t IN {stop})) AS DOUBLE)"
+        ).alias("n_stop"),
+    ).where(F.col("n_tok") > 0)
+    score = (
+        0.004 * F.col("n_tok")
+        + 0.0005 * F.col("n_chr")
+        + 0.8 * (F.col("n_stop") / F.col("n_tok"))
+        - 0.6
+    )
+    return (
+        f.select("doc_id", score.alias("score"))
+        .withColumn("keep", F.col("score") > 0.0)
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------------- train/val/test split
 
 
