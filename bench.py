@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "q_similarity_pq_adc",
     "q_profile_documents",
     "q_text_quality_classifier",
+    "q_mix_temperature_lang",
 ]
 
 

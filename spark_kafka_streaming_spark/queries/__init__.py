@@ -52,6 +52,7 @@ _ROUND3_WINDOW = [
     "q_similarity_pq_adc",
     "q_profile_documents",
     "q_text_quality_classifier",
+    "q_mix_temperature_lang",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

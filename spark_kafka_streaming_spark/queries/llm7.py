@@ -481,6 +481,81 @@ def q_text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------- temperature-balanced language mixing
+
+
+@register(
+    "q_mix_temperature_lang",
+    oracle=f"""
+    WITH n AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    w AS (
+      SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS wt FROM n
+    ),
+    tot AS (SELECT SUM(n_docs) AS total, SUM(wt) AS wsum FROM w),
+    quota AS (
+      SELECT w.lang, w.n_docs,
+             CAST(round(w.wt / t.wsum * t.total) AS BIGINT) AS target
+      FROM w CROSS JOIN tot t
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.lang, q.target,
+             ROW_NUMBER() OVER (PARTITION BY d.lang
+               ORDER BY {TH.duck_str_hash_raw('CAST(d.doc_id AS VARCHAR)')},
+                        d.doc_id) AS rk
+      FROM documents d JOIN quota q ON q.lang = d.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           MIN(target) AS target
+    FROM ranked WHERE rk <= target
+    GROUP BY lang ORDER BY lang
+    """,
+    # sqrt is IEEE-correctly-rounded in every engine, so T=0.5
+    # temperature reweighting (w_l = n_l^T) is engine-exact — unlike
+    # pow(x, 0.7), whose last-ulp drift across libms would break the
+    # oracle. The division/multiplication chain runs on identical
+    # operands in identical order.
+    doc="Temperature-balanced language mixing (the multilingual "
+    "sampling of mBERT/XLM, T=0.5): per-language quotas proportional "
+    "to n^T upweight tail languages; documents are then picked by "
+    "portable-hash rank within language — deterministic, no RNG. "
+    "Output is the per-language sample manifest (sampled vs quota). "
+    "Rank-within-group is a partitioned window (no global sort); at "
+    "100 TB a label exceeding a partition budget salts through "
+    "operators/skew.py. (operators/mixing.py family)",
+    tags=("llm", "sampling", "mixing"),
+)
+def q_mix_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    w = n.withColumn("wt", F.sqrt(F.col("n_docs").cast("double")))
+    tot = w.groupBy().agg(
+        F.sum("n_docs").alias("total"), F.sum("wt").alias("wsum")
+    )
+    quota = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("CAST(round(wt / wsum * total) AS BIGINT)").alias("target"),
+    )
+    rk_w = Window.partitionBy("lang").orderBy(
+        F.expr(TH.spark_str_hash_raw("CAST(doc_id AS STRING)")), "doc_id"
+    )
+    ranked = (
+        docs.join(F.broadcast(quota), "lang")
+        .withColumn("rk", F.row_number().over(rk_w))
+        .where(F.col("rk") <= F.col("target"))
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(F.count("*").alias("n_sampled"), F.min("target").alias("target"))
+        .orderBy("lang")
+    )
+
+
 # --------------------------------------------- train/val/test split
 
 

@@ -169,3 +169,20 @@ def test_pq_adc_approximates_bruteforce(spark, emb):
         for r in pq_adc_topk(q, emb, k=5, iters=1).collect()
     }
     assert len(exact & approx) / len(exact) >= 0.15
+
+
+def test_temperature_mixing_flattens_distribution(spark, sf_dir):
+    """T=0.5 quotas sit between uniform and proportional: the majority
+    language's sampled share must be below its corpus share, and no
+    language samples more than its quota or its availability."""
+    q = REGISTRY["q_mix_temperature_lang"]
+    rows = q.builder(spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    counts = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    total = sum(counts.values())
+    sampled = {r["lang"]: r["n_sampled"] for r in rows}
+    for r in rows:
+        assert r["n_sampled"] <= r["target"]
+        assert r["n_sampled"] <= counts[r["lang"]]
+    top = max(counts, key=counts.get)
+    assert sampled[top] / sum(sampled.values()) <= counts[top] / total + 1e-9
