@@ -186,3 +186,53 @@ def test_temperature_mixing_flattens_distribution(spark, sf_dir):
         assert r["n_sampled"] <= counts[r["lang"]]
     top = max(counts, key=counts.get)
     assert sampled[top] / sum(sampled.values()) <= counts[top] / total + 1e-9
+
+
+def test_kmeans_assignment_is_streaming_compatible(spark, emb, tmp_path):
+    """The assignment stage is map-only (literal centroids, no
+    shuffle), so the SAME operator runs unchanged on a stream —
+    stream-static scoring of incoming vectors against a trained
+    codebook. Assignments must equal the batch run row-for-row."""
+    import json as _json
+    import os as _os
+
+    from spark_kafka_streaming_spark.operators.kmeans import (
+        _update_centroids,
+        assign_clusters,
+        initial_centroids,
+        scaled_vectors,
+    )
+    from spark_kafka_streaming_spark.streaming.pipeline import start_sink
+
+    sv = scaled_vectors(emb)
+    cents = _update_centroids(assign_clusters(sv, initial_centroids(sv, 4)))
+    batch = {
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in assign_clusters(sv, cents).collect()
+    }
+
+    src = str(tmp_path / "vec_stream")
+    _os.makedirs(src, exist_ok=True)
+    rows = emb.collect()
+    with open(_os.path.join(src, "b1.json"), "w") as f:
+        for r in rows:
+            f.write(
+                _json.dumps({"vec_id": r["vec_id"], "embedding": list(r["embedding"])})
+                + "\n"
+            )
+    stream = spark.readStream.schema("vec_id bigint, embedding array<float>").json(src)
+    assigned = assign_clusters(scaled_vectors(stream), cents).select(
+        "vec_id", "cluster", "dist2"
+    )
+    q = start_sink(
+        assigned, "memory", query_name="vec_assign",
+        checkpoint=str(tmp_path / "ck_vec"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(30)
+    streamed = {
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in spark.sql("SELECT * FROM vec_assign").collect()
+    }
+    assert streamed == batch
