@@ -264,13 +264,18 @@ def main() -> None:
             return time.perf_counter() - t0
 
         timings["sig_table_build"] = round(min(_sig_rebuild() for _ in range(2)), 4)
-        # min of two timed passes per query: per-pass times at this
-        # scale carry up to 2x GC/host noise; the minimum reflects the
-        # plan's actual cost.
+        # min of two timed passes per query — plus a third pass when
+        # the first two disagree by >1.5x, which marks a sustained
+        # host-noise window (observed: co-load can slow BOTH passes of
+        # an untouched query ~2-3x; a delayed retry usually lands
+        # outside the window). The minimum reflects the plan's cost.
         for name in BENCH_QUERIES:
-            timings[name] = round(
-                min(run_query(spark, name, SF_DIR) for _ in range(2)), 4
-            )
+            a = run_query(spark, name, SF_DIR)
+            b = run_query(spark, name, SF_DIR)
+            best = min(a, b)
+            if max(a, b) > 1.5 * best:
+                best = min(best, run_query(spark, name, SF_DIR))
+            timings[name] = round(best, 4)
         bench_streaming_drain(spark, SF_DIR)  # warm
         timings["stream_events_windowed_drain"] = round(
             bench_streaming_drain(spark, SF_DIR), 4
