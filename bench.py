@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "q_profile_documents",
     "q_text_quality_classifier",
     "q_mix_temperature_lang",
+    "q_chunk_sliding_rag",
 ]
 
 

@@ -74,3 +74,44 @@ def chunk_dup_stats(
             F.expr("CAST(n_dup_chunks AS DOUBLE) / n_chunks"),
         )
     )
+
+
+def sliding_chunks(
+    df: DataFrame,
+    width: int = 32,
+    stride: int = 24,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-style sliding-window chunking: overlapping ``width``-token
+    windows every ``stride`` tokens (overlap = width − stride keeps
+    passage boundaries from splitting answers).
+
+    Emits (id, chunk_idx, chunk_text, n_tok, chunk_hash) — the
+    retrieval-corpus prep step.  The final short window is KEPT here
+    (unlike :func:`chunk_hashes`, whose fixed-width chunks exist only
+    to be compared): a tail passage still embeds and retrieves.  A doc
+    with ≤ width tokens yields exactly one chunk.
+
+    Map-only: one row per window, no shuffle; chunk count per doc is
+    ⌈max(n_tok − width, 0) / stride⌉ + 1.  At 100 TB the chunk table
+    is written partitioned by a hash bucket of ``chunk_hash`` so the
+    downstream chunk-dedup equi-join is co-located.
+    """
+    toks = TH.spark_tokens(text_col)
+    n_win = f"(CAST(greatest(size(t) - {width}, 0) + {stride} - 1 AS INT) DIV {stride} + 1)"
+    chunk = f"concat_ws(' ', slice(t, i * {stride} + 1, {width}))"
+    return (
+        df.withColumn("t", F.expr(toks))
+        .where(F.expr("size(t) > 0"))
+        .select(
+            id_col,
+            F.posexplode(
+                F.expr(f"transform(sequence(0, {n_win} - 1), i -> {chunk})")
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .withColumn(
+            "n_tok", F.expr("size(filter(split(chunk_text, ' '), x -> x <> ''))")
+        )
+        .withColumn("chunk_hash", F.expr(TH.spark_str_hash("chunk_text")))
+    )

@@ -53,6 +53,7 @@ _ROUND3_WINDOW = [
     "q_profile_documents",
     "q_text_quality_classifier",
     "q_mix_temperature_lang",
+    "q_chunk_sliding_rag",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

@@ -372,6 +372,53 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- RAG sliding chunking
+
+
+@register(
+    "q_chunk_sliding_rag",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TH.duck_tokens('text')} AS t FROM documents
+    ),
+    win AS (
+      SELECT doc_id, t,
+             unnest(generate_series(0,
+               (greatest(len(t) - 32, 0) + 23) // 24)) AS i
+      FROM t WHERE len(t) > 0
+    ),
+    c AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             array_to_string(list_slice(t, i * 24 + 1, i * 24 + 32), ' ')
+               AS chunk_text
+      FROM win
+    )
+    SELECT doc_id, chunk_idx, chunk_text,
+           CAST(len({TH.duck_tokens('chunk_text')}) AS INT) AS n_tok,
+           {TH.duck_str_hash('chunk_text')} AS chunk_hash
+    FROM c
+    ORDER BY doc_id, chunk_idx
+    """,
+    doc="RAG retrieval-corpus prep: overlapping 32-token windows every "
+    "24 tokens (8-token overlap keeps passages from splitting "
+    "answers), with per-chunk token counts and portable hashes. "
+    "Map-only — one row per window, zero shuffle; at 100 TB the chunk "
+    "table writes bucketed by chunk_hash so downstream chunk dedup "
+    "and embedding joins are co-located. "
+    "(operators/chunks.py::sliding_chunks)",
+    tags=("llm", "chunking", "rag"),
+)
+def q_chunk_sliding_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.chunks import sliding_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        sliding_chunks(docs, width=32, stride=24)
+        .withColumn("n_tok", F.col("n_tok").cast("int"))
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
 # ------------------------------------------------- corpus profiling
 
 

@@ -236,3 +236,34 @@ def test_kmeans_assignment_is_streaming_compatible(spark, emb, tmp_path):
         for r in spark.sql("SELECT * FROM vec_assign").collect()
     }
     assert streamed == batch
+
+
+def test_sliding_chunks_cover_and_overlap(spark, sf_dir):
+    """Every document's token stream is fully covered: chunk 0 starts
+    at token 1, consecutive chunks start exactly stride apart, and the
+    last chunk reaches the final token. Short docs yield one chunk."""
+    from spark_kafka_streaming_spark.operators.chunks import sliding_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = sliding_chunks(docs, width=32, stride=24).collect()
+    toks = {
+        r["doc_id"]: [t for t in r["text"].split(" ") if t]
+        for r in docs.select("doc_id", "text").collect()
+    }
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        t = toks[doc_id]
+        n = len(t)
+        expected = max(0, (max(n - 32, 0) + 23) // 24) + 1
+        assert len(chunks) == expected
+        for r in chunks:
+            start = r["chunk_idx"] * 24
+            want = t[start : start + 32]
+            assert r["chunk_text"].split(" ") == want
+            assert r["n_tok"] == len(want)
+        # last chunk reaches the end of the token stream
+        last = chunks[-1]
+        assert last["chunk_idx"] * 24 + last["n_tok"] == n
