@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "q_text_quality_classifier",
     "q_mix_temperature_lang",
     "q_chunk_sliding_rag",
+    "q_decontaminate_by_split",
 ]
 
 

@@ -54,6 +54,7 @@ _ROUND3_WINDOW = [
     "q_text_quality_classifier",
     "q_mix_temperature_lang",
     "q_chunk_sliding_rag",
+    "q_decontaminate_by_split",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

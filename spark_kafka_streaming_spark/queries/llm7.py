@@ -372,6 +372,95 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------- contamination governance by split
+
+
+@register(
+    "q_decontaminate_by_split",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {TH.duck_shingle_hashes('text')} AS hs FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT h FROM (
+        SELECT unnest(hs) AS h FROM sh WHERE doc_id % 97 = 0
+      )
+    ),
+    tr AS (
+      SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % 97 <> 0
+    ),
+    hits AS (
+      SELECT tr.doc_id, COUNT(*) AS n_hits
+      FROM tr JOIN ev USING (h) GROUP BY tr.doc_id
+    ),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {TH.duck_str_hash_raw('CAST(doc_id AS VARCHAR)')} % 100 < 80
+                  THEN 'train'
+                  WHEN {TH.duck_str_hash_raw('CAST(doc_id AS VARCHAR)')} % 100 < 90
+                  THEN 'val' ELSE 'test' END AS split
+      FROM documents WHERE doc_id % 97 <> 0
+    )
+    SELECT sp.split,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(hits.doc_id) AS BIGINT) AS n_contaminated,
+           CAST(COUNT(hits.doc_id) AS DOUBLE) / COUNT(*) AS contamination_rate,
+           CAST(COALESCE(SUM(hits.n_hits), 0) AS BIGINT) AS total_hits
+    FROM sp LEFT JOIN hits ON hits.doc_id = sp.doc_id
+    GROUP BY sp.split ORDER BY sp.split
+    """,
+    doc="Contamination governance report: benchmark-overlap hits "
+    "(word 3-grams vs the held-out eval slice) aggregated per "
+    "train/val/test split — the release-gate number a data audit "
+    "signs off on. Composes two oracle-checked operators "
+    "(decontaminate x split) so the COMPOSITION is driver-checked, "
+    "the round-2 lesson that per-operator oracles miss cross-operator "
+    "bugs. Eval shingle set broadcasts; corpus never shuffles. "
+    "(operators/decontaminate.py + q_split_train_val_test)",
+    tags=("llm", "decontaminate", "governance"),
+)
+def q_decontaminate_by_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.signatures import signature_table
+
+    sigs = signature_table(spark, sf_dir).select("doc_id", "hs")
+    ev = (
+        sigs.where(F.expr("doc_id % 97 = 0"))
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    tr = sigs.where(F.expr("doc_id % 97 <> 0")).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    b = F.expr(TH.spark_str_hash_raw("CAST(doc_id AS STRING)")) % 100
+    sp = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.expr("doc_id % 97 <> 0"))
+        .select(
+            "doc_id",
+            F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split"),
+        )
+    )
+    return (
+        sp.join(hits.withColumnRenamed("doc_id", "h_doc"),
+                sp["doc_id"] == F.col("h_doc"), "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count("h_doc").alias("n_contaminated"),
+            (F.count("h_doc").cast("double") / F.count("*")).alias(
+                "contamination_rate"
+            ),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).cast("bigint").alias("total_hits"),
+        )
+        .orderBy("split")
+    )
+
+
 # --------------------------------------------- RAG sliding chunking
 
 

@@ -6,7 +6,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 import pytest
 
-from spark_kafka_streaming_spark.functions import vectors as V
 from spark_kafka_streaming_spark.operators.kmeans import (
     kmeans_assignments,
     semantic_dedup,
