@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "q_mix_temperature_lang",
     "q_chunk_sliding_rag",
     "q_decontaminate_by_split",
+    "q_dedup_tier_agreement",
+    "q_curriculum_select",
 ]
 
 

@@ -55,6 +55,8 @@ _ROUND3_WINDOW = [
     "q_mix_temperature_lang",
     "q_chunk_sliding_rag",
     "q_decontaminate_by_split",
+    "q_dedup_tier_agreement",
+    "q_curriculum_select",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

@@ -372,6 +372,145 @@ def q_ann_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------ curriculum selection per cluster
+
+
+@register(
+    "q_curriculum_select",
+    oracle=f"""
+    WITH {_SEM_CTE},
+    feat AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                  AS DOUBLE) AS n_tok,
+             CAST(n_chars AS DOUBLE) AS n_chr,
+             CAST(len(list_filter(string_split(text, ' '),
+                  t -> t IN ('the','a','of','to','and','in','is','it')))
+                  AS DOUBLE) AS n_stop
+      FROM documents
+    ),
+    z AS (
+      SELECT doc_id,
+             0.004 * n_tok + 0.0005 * n_chr + 0.8 * (n_stop / n_tok) - 0.6
+               AS score
+      FROM feat WHERE n_tok > 0
+    ),
+    j AS (
+      SELECT a.cid, a.vec_id AS doc_id, z.score
+      FROM {_SEM_FINAL} a JOIN z ON z.doc_id = a.vec_id
+    )
+    SELECT cid AS cluster, doc_id, score, rk FROM (
+      SELECT cid, doc_id, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cid
+                 ORDER BY score DESC, doc_id) AS INT) AS rk
+      FROM j
+    ) t WHERE rk <= 3
+    ORDER BY cluster, rk
+    """,
+    doc="Curriculum/exemplar selection: the top-3 quality-scored "
+    "documents per embedding cluster — diversity from the k-means "
+    "partition, quality from the linear classifier (the "
+    "cluster-then-rank shape of DEITA/prototype selection). Composes "
+    "two oracle-checked operators (kmeans x classifier) joined on the "
+    "1:1 doc/vec id correspondence of the test corpus; per-cluster "
+    "window top-k, no global sort. (operators/kmeans.py + "
+    "q_text_quality_classifier)",
+    tags=("llm", "clustering", "quality", "sampling"),
+)
+def q_curriculum_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    clusters = kmeans_assignments(emb, k=KMEANS_K, iters=1).select(
+        F.col("vec_id").alias("doc_id"), "cluster"
+    )
+    scores = q_text_quality_classifier(spark, sf_dir).select("doc_id", "score")
+    w = Window.partitionBy("cluster").orderBy(F.desc("score"), "doc_id")
+    return (
+        clusters.join(scores, "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= 3)
+        .select("cluster", "doc_id", "score", "rk")
+        .orderBy("cluster", "rk")
+    )
+
+
+# ----------------------------------------- dedup tier agreement audit
+
+
+def _duck_tier_agreement_oracle() -> str:
+    from .llm import _MINHASH_PAIRS_ORACLE, _duck_simhash_bands
+
+    simhash = f"""
+    WITH sims AS (
+      SELECT doc_id, {TH.duck_simhash('text')} AS sim FROM documents
+    ),
+    bands AS ({_duck_simhash_bands()}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+             l.sim AS sim1, r.sim AS sim2
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    )
+    SELECT id1, id2 FROM cand WHERE bit_count(xor(sim1, sim2)) <= 1
+    """
+    return f"""
+    WITH mh AS (SELECT id1, id2 FROM ({_MINHASH_PAIRS_ORACLE}) m),
+    sh AS (SELECT id1, id2 FROM ({simhash}) s)
+    SELECT COALESCE(mh.id1 IS NOT NULL, FALSE) AS in_minhash,
+           COALESCE(sh.id1 IS NOT NULL, FALSE) AS in_simhash,
+           COUNT(*) AS n_pairs,
+           MIN(COALESCE(mh.id1, sh.id1)) AS min_id1
+    FROM mh FULL OUTER JOIN sh
+      ON mh.id1 = sh.id1 AND mh.id2 = sh.id2
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+@register(
+    "q_dedup_tier_agreement",
+    oracle=_duck_tier_agreement_oracle(),
+    doc="Dedup tier-agreement audit: MinHash-LSH pairs (Jaccard>=0.5) "
+    "vs SimHash pairs (hamming<=1) as a full-outer membership "
+    "contingency — the cross-validation a pipeline runs before "
+    "trusting one tier's drops (agreement high -> either tier "
+    "suffices; low -> thresholds are mistuned). Composes two "
+    "oracle-checked tiers so the comparison itself is driver-checked; "
+    "both legs read the shared signature table build. "
+    "(operators/dedup.py)",
+    tags=("llm", "dedup", "evaluation"),
+)
+def q_dedup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_pairs, simhash_pairs
+    from ..operators.signatures import signature_table
+
+    sigs = signature_table(spark, sf_dir)
+    mh = (
+        minhash_lsh_pairs(None, jaccard_threshold=0.5, sigs=sigs)
+        .select("id1", "id2", F.lit(True).alias("in_mh"))
+    )
+    sh = (
+        simhash_pairs(None, max_hamming=1, sigs=sigs)
+        .select(
+            F.col("id1").alias("s1"), F.col("id2").alias("s2"),
+            F.lit(True).alias("in_sh"),
+        )
+    )
+    j = mh.join(
+        sh, (mh["id1"] == sh["s1"]) & (mh["id2"] == sh["s2"]), "full_outer"
+    )
+    return (
+        j.select(
+            F.coalesce("in_mh", F.lit(False)).alias("in_minhash"),
+            F.coalesce("in_sh", F.lit(False)).alias("in_simhash"),
+            F.coalesce("id1", "s1").alias("any_id1"),
+        )
+        .groupBy("in_minhash", "in_simhash")
+        .agg(F.count("*").alias("n_pairs"), F.min("any_id1").alias("min_id1"))
+        .orderBy("in_minhash", "in_simhash")
+    )
+
+
 # --------------------------------- contamination governance by split
 
 
