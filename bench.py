@@ -108,6 +108,7 @@ BENCH_QUERIES = [
     "q_decontaminate_by_split",
     "q_dedup_tier_agreement",
     "q_curriculum_select",
+    "q_similarity_ivfpq",
 ]
 
 

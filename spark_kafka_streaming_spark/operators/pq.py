@@ -49,13 +49,23 @@ K_CODES = 16  # centroids per subspace codebook
 def _subspace_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     """(id, sub_id, sv: array<bigint>, sn: bigint) — one row per
     (vector, subspace); the reshape that makes subspaces data."""
+    return _subspace_rows_scaled(df, id_col, V.spark_scaled(vec_col))
+
+
+def _subspace_rows_scaled(
+    df: DataFrame, id_col: str, scaled_expr: str, keep: list[str] | None = None
+) -> DataFrame:
+    """Subspace reshape over an ALREADY-SCALED int64 array expression
+    (IVFPQ feeds residual vectors here).  ``keep`` carries extra
+    columns (e.g. the IVF cell) through the explode."""
     return (
         df.select(
             F.col(id_col).alias("id"),
+            *[F.col(c) for c in (keep or [])],
             F.posexplode(
                 F.expr(
                     f"transform(sequence(0, {M_SUBS - 1}), "
-                    f"m -> slice({V.spark_scaled(vec_col)}, m * {SUB_DIM} + 1, {SUB_DIM}))"
+                    f"m -> slice({scaled_expr}, m * {SUB_DIM} + 1, {SUB_DIM}))"
                 )
             ).alias("sub_id", "sv"),
         )
@@ -196,33 +206,17 @@ def pq_adc_topk(
     )
 
 
-def _duck_pq_ctes(
-    iters: int,
-    table: str,
-    id_col: str,
-    vec_col: str,
-) -> tuple[list[str], str]:
-    """Shared CTE list (through codebook training) + final cents name."""
+def _duck_codebook_ctes(iters: int, subn: str = "subn") -> tuple[list[str], str]:
+    """Codebook-training CTEs over an existing subspace-rows CTE named
+    ``subn`` (columns id, sub_id, sv, sn) + final cents name."""
     dot_sc = V.duck_dot("s.sv", "c.cv")
     parts = [
-        f"""sv AS (
-      SELECT {id_col} AS id, {V.duck_scaled(vec_col)} AS v FROM {table}
-    )""",
-        f"""sub AS (
-      SELECT id, m AS sub_id,
-             list_slice(v, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS sv
-      FROM sv, (SELECT unnest(generate_series(0, {M_SUBS - 1})) AS m)
-    )""",
-        f"""subn AS (
-      SELECT id, sub_id, sv, CAST({V.duck_dot('sv', 'sv')} AS BIGINT) AS sn
-      FROM sub
-    )""",
         f"""seeds AS (
-      SELECT DISTINCT id FROM subn ORDER BY id LIMIT {K_CODES}
+      SELECT DISTINCT id FROM {subn} ORDER BY id LIMIT {K_CODES}
     )""",
-        """cents0 AS (
+        f"""cents0 AS (
       SELECT s.sub_id, s.id AS cell, s.sv AS cv, s.sn AS cn
-      FROM subn s JOIN seeds USING (id)
+      FROM {subn} s JOIN seeds USING (id)
     )""",
     ]
     cur = "cents0"
@@ -233,7 +227,7 @@ def _duck_pq_ctes(
         SELECT s.id, s.sub_id, s.sv, c.cell,
                row_number() OVER (PARTITION BY s.id, s.sub_id
                  ORDER BY s.sn + c.cn - 2 * {dot_sc}, c.cell) AS rk
-        FROM subn s JOIN {cur} c USING (sub_id)
+        FROM {subn} s JOIN {cur} c USING (sub_id)
       ) WHERE rk = 1
     )"""
         )
@@ -260,6 +254,31 @@ def _duck_pq_ctes(
         )
         cur = f"cents{i + 1}"
     return parts, cur
+
+
+def _duck_pq_ctes(
+    iters: int,
+    table: str,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list[str], str]:
+    """Shared CTE list (through codebook training) + final cents name."""
+    parts = [
+        f"""sv AS (
+      SELECT {id_col} AS id, {V.duck_scaled(vec_col)} AS v FROM {table}
+    )""",
+        f"""sub AS (
+      SELECT id, m AS sub_id,
+             list_slice(v, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS sv
+      FROM sv, (SELECT unnest(generate_series(0, {M_SUBS - 1})) AS m)
+    )""",
+        f"""subn AS (
+      SELECT id, sub_id, sv, CAST({V.duck_dot('sv', 'sv')} AS BIGINT) AS sn
+      FROM sub
+    )""",
+    ]
+    cb, cur = _duck_codebook_ctes(iters, "subn")
+    return parts + cb, cur
 
 
 def duck_pq_encode_sql(
@@ -329,6 +348,205 @@ def duck_pq_adc_sql(
       FROM codes cd JOIN lut l ON l.sub_id = cd.sub_id AND l.code = cd.code
       GROUP BY l.q_id, cd.n_id
     )
+    SELECT query_id, neighbor_id, adist, rn FROM (
+      SELECT q_id AS query_id, n_id AS neighbor_id, adist,
+             CAST(row_number() OVER (PARTITION BY q_id
+                 ORDER BY adist, n_id) AS INT) AS rn
+      FROM scored WHERE q_id <> n_id
+    ) WHERE rn <= {k}
+    ORDER BY query_id, rn
+    """
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ (the FAISS IVFADC index, Jégou et al. 2011 §IV): coarse
+    IVF cells + ONE shared PQ codebook over cell RESIDUALS.  The
+    canonical billion-vector layout — cells bound the search to
+    n_probe inverted lists, residual quantization keeps the codes
+    accurate near the cell centroid, and the corpus is stored as
+    (cell, 8 codes) per vector.
+
+    Distance ≈ Σ_m |(q − cent_cell)_m − codebook_m[code_m]|², via a
+    per-(query, probed-cell) residual LUT.  Everything exact int64
+    (residual = componentwise int subtraction), so the whole index
+    build AND search replays bit-for-bit in the DuckDB twin.
+
+    Scale: corpus assignment + residual + encoding are one broadcast
+    join each (centroids/codebooks are tiny literals at any corpus
+    size); the search joins the code table against a broadcast LUT of
+    |Q|·n_probe·M·k entries and shuffles slim (q, n, partial) rows —
+    only vectors in probed cells ever score, and no raw vectors move.
+    """
+    scaled = corpus.select(
+        F.col(id_col).alias("id"),
+        F.expr(V.spark_scaled(vec_col)).alias("v"),
+    ).withColumn("n", F.expr(V.spark_dot("v", "v")))
+    cents = track_persist(
+        scaled.orderBy("id")
+        .limit(n_cells)
+        .select(
+            F.col("id").alias("ivf_cell"),
+            F.col("v").alias("cent_v"),
+            F.col("n").alias("cent_n"),
+        )
+    )
+
+    def _assign(side: DataFrame, rank_max: int) -> DataFrame:
+        w = Window.partitionBy("id").orderBy("celldist", "ivf_cell")
+        return (
+            side.join(F.broadcast(cents), F.lit(True))
+            .withColumn(
+                "celldist",
+                F.col("n") + F.col("cent_n") - 2 * F.expr(V.spark_dot("v", "cent_v")),
+            )
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") <= rank_max)
+            .withColumn("r", F.expr("zip_with(v, cent_v, (x, y) -> x - y)"))
+            .select("id", "ivf_cell", "r")
+        )
+
+    csub = track_persist(
+        _subspace_rows_scaled(_assign(scaled, 1), "id", "r", keep=["ivf_cell"])
+    )
+    cb = track_persist(pq_codebooks(csub, iters))
+    codes = _nearest_code(csub, cb).select(
+        F.col("id").alias("n_id"), "ivf_cell", "sub_id", F.col("cell").alias("code")
+    )
+
+    qscaled = queries.select(
+        F.col(id_col).alias("id"),
+        F.expr(V.spark_scaled(vec_col)).alias("v"),
+    ).withColumn("n", F.expr(V.spark_dot("v", "v")))
+    qsub = _subspace_rows_scaled(_assign(qscaled, n_probe), "id", "r", keep=["ivf_cell"])
+    lut = qsub.join(F.broadcast(cb), "sub_id").select(
+        F.col("id").alias("q_id"),
+        "ivf_cell",
+        "sub_id",
+        F.col("cell").alias("code"),
+        (
+            F.col("sn") + F.col("cn") - 2 * F.expr(V.spark_dot("sv", "cv"))
+        ).alias("pdist"),
+    )
+    w = Window.partitionBy("q_id").orderBy("adist", "n_id")
+    return (
+        codes.join(F.broadcast(lut), ["ivf_cell", "sub_id", "code"])
+        .groupBy("q_id", "n_id")
+        .agg(F.sum("pdist").alias("adist"))
+        .filter(F.col("q_id") != F.col("n_id"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("n_id").alias("neighbor_id"),
+            "adist",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def duck_ivfpq_sql(
+    k: int,
+    query_pred: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    iters: int = 1,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`ivfpq_topk`: same seed cells, same L2
+    cell assignment, same integer residuals, same shared residual
+    codebooks (via the generic codebook CTEs), same LUT and
+    (adist, neighbor) tiebreak.  ``query_pred`` filters over ``id``."""
+    dot_sc = V.duck_dot("s.v", "c.cent_v")
+    dot_cb = V.duck_dot("s.sv", "c.cv")
+    head = [
+        f"""scaled AS (
+      SELECT {id_col} AS id, {V.duck_scaled(vec_col)} AS v,
+             CAST({V.duck_dot(V.duck_scaled(vec_col), V.duck_scaled(vec_col))}
+                  AS BIGINT) AS n
+      FROM {table}
+    )""",
+        f"""cents AS (
+      SELECT id AS ivf_cell, v AS cent_v, n AS cent_n
+      FROM scaled ORDER BY id LIMIT {n_cells}
+    )""",
+        f"""ca AS (
+      SELECT id, ivf_cell, r FROM (
+        SELECT s.id, c.ivf_cell,
+               list_transform(list_zip(s.v, c.cent_v), x -> x[1] - x[2]) AS r,
+               row_number() OVER (PARTITION BY s.id
+                 ORDER BY s.n + c.cent_n - 2 * {dot_sc}, c.ivf_cell) AS crk
+        FROM scaled s CROSS JOIN cents c
+      ) WHERE crk = 1
+    )""",
+        f"""sub AS (
+      SELECT id, ivf_cell, m AS sub_id,
+             list_slice(r, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS sv
+      FROM ca, (SELECT unnest(generate_series(0, {M_SUBS - 1})) AS m)
+    )""",
+        f"""subn AS (
+      SELECT id, ivf_cell, sub_id, sv,
+             CAST({V.duck_dot('sv', 'sv')} AS BIGINT) AS sn
+      FROM sub
+    )""",
+    ]
+    cb, cur = _duck_codebook_ctes(iters, "subn")
+    tail = [
+        f"""codes AS (
+      SELECT id AS n_id, ivf_cell, sub_id, cell AS code FROM (
+        SELECT s.id, s.ivf_cell, s.sub_id, c.cell,
+               row_number() OVER (PARTITION BY s.id, s.sub_id
+                 ORDER BY s.sn + c.cn - 2 * {dot_cb}, c.cell) AS rk
+        FROM subn s JOIN {cur} c USING (sub_id)
+      ) WHERE rk = 1
+    )""",
+        f"""qa AS (
+      SELECT id, ivf_cell, r FROM (
+        SELECT s.id, c.ivf_cell,
+               list_transform(list_zip(s.v, c.cent_v), x -> x[1] - x[2]) AS r,
+               row_number() OVER (PARTITION BY s.id
+                 ORDER BY s.n + c.cent_n - 2 * {dot_sc}, c.ivf_cell) AS crk
+        FROM (SELECT * FROM scaled WHERE {query_pred}) s CROSS JOIN cents c
+      ) WHERE crk <= {n_probe}
+    )""",
+        f"""qsub AS (
+      SELECT id, ivf_cell, m AS sub_id,
+             list_slice(r, m * {SUB_DIM} + 1, m * {SUB_DIM} + {SUB_DIM}) AS sv
+      FROM qa, (SELECT unnest(generate_series(0, {M_SUBS - 1})) AS m)
+    )""",
+        f"""qsubn AS (
+      SELECT id, ivf_cell, sub_id, sv,
+             CAST({V.duck_dot('sv', 'sv')} AS BIGINT) AS sn
+      FROM qsub
+    )""",
+        f"""lut AS (
+      SELECT s.id AS q_id, s.ivf_cell, s.sub_id, c.cell AS code,
+             CAST(s.sn + c.cn - 2 * {dot_cb} AS BIGINT) AS pdist
+      FROM qsubn s JOIN {cur} c USING (sub_id)
+    )""",
+        """scored AS (
+      SELECT l.q_id, cd.n_id, CAST(SUM(l.pdist) AS BIGINT) AS adist
+      FROM codes cd
+      JOIN lut l ON l.ivf_cell = cd.ivf_cell
+                AND l.sub_id = cd.sub_id AND l.code = cd.code
+      GROUP BY l.q_id, cd.n_id
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(head + cb + tail)
+        + f"""
     SELECT query_id, neighbor_id, adist, rn FROM (
       SELECT q_id AS query_id, n_id AS neighbor_id, adist,
              CAST(row_number() OVER (PARTITION BY q_id

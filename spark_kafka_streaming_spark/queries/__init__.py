@@ -57,6 +57,7 @@ _ROUND3_WINDOW = [
     "q_decontaminate_by_split",
     "q_dedup_tier_agreement",
     "q_curriculum_select",
+    "q_similarity_ivfpq",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

@@ -296,6 +296,34 @@ def q_similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rn")
 
 
+def _duck_ivfpq_oracle() -> str:
+    from ..operators.pq import duck_ivfpq_sql
+
+    return duck_ivfpq_sql(5, "id < 10", iters=1)
+
+
+@register(
+    "q_similarity_ivfpq",
+    oracle=_duck_ivfpq_oracle(),
+    doc="IVFPQ (FAISS IVFADC, Jegou et al. 2011 SIV): coarse IVF cells "
+    "+ one shared PQ codebook over cell RESIDUALS — the canonical "
+    "billion-vector index. Corpus stored as (cell, 8 codes); a query "
+    "probes 4 of 16 cells and scores codes via per-(query,cell) "
+    "residual LUTs — only probed cells' codes are touched, no raw "
+    "vectors move at query time. Residuals are exact int subtractions, "
+    "so index build AND search replay bit-for-bit in DuckDB. "
+    "(operators/pq.py::ivfpq_topk)",
+    tags=("llm", "similarity", "ivf", "quantization"),
+)
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pq import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb.filter(F.col("vec_id") < 10), emb, k=5, iters=1
+    ).orderBy("query_id", "rn")
+
+
 # ----------------------------------------------- ANN recall harness
 
 

@@ -266,3 +266,27 @@ def test_sliding_chunks_cover_and_overlap(spark, sf_dir):
         # last chunk reaches the end of the token stream
         last = chunks[-1]
         assert last["chunk_idx"] * 24 + last["n_tok"] == n
+
+
+def test_ivfpq_beats_random_and_stays_in_probed_cells(spark, emb):
+    """IVFPQ recall has two loss sources (cell pruning 4/16 + PQ
+    quantization); random top-5 overlap is ~0.01 per pair — pin
+    aggregate recall >= 0.1, and sanity: k results per query, ranks
+    1..k, no self-matches."""
+    from spark_kafka_streaming_spark.operators.pq import ivfpq_topk
+    from spark_kafka_streaming_spark.operators.similarity import brute_force_topk
+
+    q = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_topk(q, emb, k=5, iters=1).collect()
+    by_q = {}
+    for r in out:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rn"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, emb, k=5).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in out}
+    assert len(exact & approx) / len(exact) >= 0.1
