@@ -290,3 +290,65 @@ def test_ivfpq_beats_random_and_stays_in_probed_cells(spark, emb):
     }
     approx = {(r["query_id"], r["neighbor_id"]) for r in out}
     assert len(exact & approx) / len(exact) >= 0.1
+
+
+def test_streaming_pq_index_maintenance(spark, emb, tmp_path):
+    """Streaming vector-index maintenance: a static codebook (trained
+    once on the reference corpus), incoming vectors encoded per
+    micro-batch and APPENDED to a parquet code table via foreachBatch
+    — the streaming half of an IVFPQ/ADC deployment. The accumulated
+    code table must equal the batch encoding of the same vectors
+    (codes are a pure function of vector x codebook, so append-only
+    maintenance is exact)."""
+    import json as _json
+    import os as _os
+
+    from spark_kafka_streaming_spark.operators.pq import (
+        _nearest_code,
+        _subspace_rows,
+        pq_codebooks,
+    )
+
+    sub = _subspace_rows(emb, "vec_id", "embedding")
+    cents = pq_codebooks(sub, iters=1)
+    cents.persist().count()
+    expected = {
+        (r["id"], r["sub_id"], r["cell"])
+        for r in _nearest_code(sub, cents).collect()
+    }
+
+    src = str(tmp_path / "vec_src")
+    out = str(tmp_path / "codes_out")
+    _os.makedirs(src, exist_ok=True)
+    rows = emb.collect()
+    half = len(rows) // 2
+    for name, batch in [("b1.json", rows[:half]), ("b2.json", rows[half:])]:
+        with open(_os.path.join(src, name), "w") as f:
+            for r in batch:
+                f.write(_json.dumps(
+                    {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                ) + "\n")
+
+    stream = spark.readStream.schema(
+        "vec_id bigint, embedding array<float>"
+    ).option("maxFilesPerTrigger", 1).json(src)
+
+    def encode_batch(batch_df, batch_id):
+        codes = _nearest_code(
+            _subspace_rows(batch_df, "vec_id", "embedding"), cents
+        ).select("id", "sub_id", "cell")
+        codes.write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", str(tmp_path / "ck_codes"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["id"], r["sub_id"], r["cell"])
+        for r in spark.read.parquet(out).collect()
+    }
+    cents.unpersist()
+    assert got == expected
