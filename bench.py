@@ -109,6 +109,12 @@ BENCH_QUERIES = [
     "q_dedup_tier_agreement",
     "q_curriculum_select",
     "q_similarity_ivfpq",
+    # Round 3: sketch + search-index wave
+    "q_sketch_count_min",
+    "q_sketch_hll",
+    "q_text_inverted_index",
+    "q_ngram_novelty",
+    "q_decontaminate_bloom",
 ]
 
 

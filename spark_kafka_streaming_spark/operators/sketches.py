@@ -1,0 +1,252 @@
+"""Mergeable distributed sketches: Count-Min, HyperLogLog registers,
+and Bloom-filter membership — engine-portable and exactly replayable.
+
+Why sketches are a first-class 100 TB surface: each one compresses an
+unbounded keyed stream into a **fixed-size, mergeable** summary —
+per-partition partial sketches combine by element-wise `+` / `max` /
+`|`, so Spark's map-side partial aggregation reduces the shuffle to
+O(sketch size) regardless of input rows, and the same merge runs
+across micro-batches in a stream (see ``tests/test_llm8.py``).  The
+reference has no sketch surface at all (its only aggregate is the
+windowed word count, ``KafkaWordCount.scala:70-73``).
+
+Unlike the engine-native sketches (``approx_count_distinct`` — HLL++
+with engine-specific internals, catalog entry ``q_agg_approx`` is
+rows-only for that reason), everything here is built on the portable
+md5-based hash family of :mod:`..functions.texthash`, so every
+register / counter / bit is reproduced **bit-for-bit** by the DuckDB
+oracles: the sketch *content* is driver-checkable, not just its
+estimate's error bound.
+
+Geometry here is test-sized (CMS 4×64, HLL m=64, Bloom 992 bits);
+production sizing scales the same plans — the shuffle stays
+O(sketch), e.g. CMS 4×2^16 or a 2^30-bit Bloom are still single
+broadcast-able rows-per-bucket tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+
+P = TH.P
+
+# ------------------------------------------------------------ Count-Min
+
+CMS_D = 4  #: hash rows
+CMS_W = 64  #: buckets per row (production: 2^16+; error ~ 2N/W)
+
+#: Per-row hash family g_i(h) = ((CA[i]*h + CB[i]) mod P) mod W —
+#: pairwise-independent over the portable base hash h ∈ [0, P).
+CMS_A = [TH._coeff(i, 7) for i in range(CMS_D)]
+CMS_B = [TH._coeff(i, 8) for i in range(CMS_D)]
+
+
+def _cms_bucket_sql(i: int, h: str) -> str:
+    return f"(({CMS_A[i]} * {h} + {CMS_B[i]}) % {P}) % {CMS_W}"
+
+
+def cms_build(keyed: DataFrame, key_col: str) -> DataFrame:
+    """Count-Min sketch of ``key_col`` occurrences: ``(r, b, cnt)``.
+
+    One map-only pass fans each row out to ``CMS_D`` (row, bucket)
+    cells; the groupBy has only ``CMS_D × CMS_W`` groups, so map-side
+    partial aggregation collapses the shuffle to O(sketch) per
+    partition — the fan-out never hits the wire.  Sketches merge by
+    summing ``cnt`` cell-wise (used by the streaming test).  The md5
+    base hash is materialized once per row; the D bucket derivations
+    are cheap integer folds over it.
+    """
+    base = keyed.select(
+        F.expr(TH.spark_str_hash(f"CAST({key_col} AS STRING)")).alias("h")
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.expr(_cms_bucket_sql(i, "h")).cast("int").alias("b"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+    return (
+        base.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.r").alias("r"), F.col("c.b").alias("b"))
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:
+    """Point-query the sketch for each distinct key in ``keys``:
+    ``key_col, est_cnt`` with ``est = min_i sketch[i][g_i(h)]``.
+
+    The sketch is broadcast (fixed size by construction); the probe is
+    a map-side join however large the key list is.
+    """
+    base = keys.select(
+        key_col,
+        F.expr(TH.spark_str_hash(f"CAST({key_col} AS STRING)")).alias("h"),
+    )
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.expr(_cms_bucket_sql(i, "h")).cast("int").alias("b"),
+            )
+            for i in range(CMS_D)
+        ]
+    )
+    probes = base.select(key_col, F.explode(cells).alias("c")).select(
+        key_col, F.col("c.r").alias("r"), F.col("c.b").alias("b")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+
+
+def duck_cms_bucket_sql(h: str) -> str:
+    """DuckDB: bucket for hash-row index column ``i`` (0..D-1)."""
+    arms = " ".join(
+        f"WHEN {i} THEN (({CMS_A[i]} * {h} + {CMS_B[i]}) % {P}) % {CMS_W}"
+        for i in range(CMS_D)
+    )
+    return f"(CASE i {arms} END)"
+
+
+# ------------------------------------------------------- HyperLogLog
+
+HLL_B = 6  #: bucket-index bits
+HLL_M = 1 << HLL_B  #: 64 registers (production: 2^12+)
+HLL_WBITS = 60 - HLL_B  #: rank bits left of the 60-bit portable hash
+#: alpha_m for m=64 (Flajolet et al. 2007, Fig. 3 constants).
+HLL_ALPHA = 0.709
+#: Scaled-integer harmonic sum: S = Σ 2^(SHIFT - r); empty register
+#: (r=0) contributes 2^SHIFT.  m·2^SHIFT = 2^61 < 2^63 stays exact.
+HLL_SHIFT = HLL_WBITS + 1
+
+
+def hll_rank_sql(w: str) -> str:
+    """Leading-zero rank of the ``HLL_WBITS``-bit suffix ``w`` — via
+    ``length(bin(w))`` (binary repr has no leading zeros in both
+    engines), so the register math is exact-integer everywhere."""
+    return (
+        f"CASE WHEN {w} = 0 THEN {HLL_WBITS + 1} "
+        f"ELSE {HLL_WBITS} - length(bin({w})) + 1 END"
+    )
+
+
+def hll_registers(keyed: DataFrame, key_col: str) -> DataFrame:
+    """HLL register table ``(bucket, r)`` — r=0 for untouched buckets.
+
+    Map-only hash + a ``HLL_M``-group max-aggregation (map-side
+    combinable: the shuffle is O(m) per partition).  Registers merge
+    across sketches by bucket-wise ``max``.
+    """
+    spark = keyed.sparkSession
+    base = keyed.select(
+        F.expr(
+            TH.spark_str_hash_raw(f"CAST({key_col} AS STRING)")
+        ).alias("hr")
+    )
+    touched = (
+        base.select(
+            F.expr(f"CAST(hr DIV {1 << HLL_WBITS} AS INT)").alias("bucket"),
+            F.expr(
+                hll_rank_sql(f"(hr % {1 << HLL_WBITS})")
+            ).cast("int").alias("rank"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    spine = spark.range(HLL_M).select(F.col("id").cast("int").alias("bucket"))
+    return (
+        spine.join(touched, "bucket", "left")
+        .select("bucket", F.coalesce("r", F.lit(0)).cast("int").alias("r"))
+    )
+
+
+def duck_hll_rank_sql(w: str) -> str:
+    return (
+        f"CASE WHEN {w} = 0 THEN {HLL_WBITS + 1} "
+        f"ELSE {HLL_WBITS} - length(bin({w})) + 1 END"
+    )
+
+
+# ---------------------------------------------------------- Bloom
+
+BLOOM_K = 3  #: hash functions
+BLOOM_WORD_BITS = 62  #: bits used per int64 word (62 avoids signed
+#: shift overflow in either engine: 1::BIGINT << 62 is the max safe)
+BLOOM_WORDS = 16
+BLOOM_M = BLOOM_WORDS * BLOOM_WORD_BITS  #: 992 bits (production: 2^30+)
+
+BLOOM_A = [TH._coeff(j, 13) for j in range(BLOOM_K)]
+BLOOM_B = [TH._coeff(j, 14) for j in range(BLOOM_K)]
+
+
+def _bloom_bit_sql(j: int, h: str) -> str:
+    return f"(({BLOOM_A[j]} * {h} + {BLOOM_B[j]}) % {P}) % {BLOOM_M}"
+
+
+def bloom_build(hashes: DataFrame, h_col: str = "h") -> DataFrame:
+    """Bloom bitmap of a hash set: ``(word, bm)`` — ``BLOOM_WORDS``
+    rows of OR-ed bit masks.  Fixed size however large the input set;
+    merges with other bitmaps by word-wise ``bit_or``."""
+    bits = F.array(
+        *[F.expr(_bloom_bit_sql(j, h_col)).alias(f"b{j}") for j in range(BLOOM_K)]
+    )
+    return (
+        hashes.select(F.explode(bits).alias("bit"))
+        .select(
+            F.expr(f"CAST(bit DIV {BLOOM_WORD_BITS} AS INT)").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("bm"))
+    )
+
+
+def bloom_probe(hashes: DataFrame, bitmap: DataFrame, h_col: str = "h",
+                keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Rows of ``hashes`` whose ``h_col`` tests positive (all
+    ``BLOOM_K`` bits set).  The bitmap join is broadcast — a 100 TB
+    probe side is one map-side pass; false positives are inherent
+    (callers wanting exactness verify the survivors against the real
+    set, which is now candidate-sized, not corpus-sized)."""
+    cols = [*keep_cols, h_col]
+    bits = F.array(
+        *[F.expr(_bloom_bit_sql(j, h_col)).alias(f"b{j}") for j in range(BLOOM_K)]
+    )
+    probe = hashes.select(*cols, F.explode(bits).alias("bit")).select(
+        *cols,
+        F.expr(f"CAST(bit DIV {BLOOM_WORD_BITS} AS INT)").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
+    return (
+        probe.join(F.broadcast(bitmap), "word")
+        .groupBy(*cols)
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN (bm & mask) <> 0 THEN 1 ELSE 0 END")
+            ).alias("n_set")
+        )
+        .where(F.col("n_set") == BLOOM_K)
+        .select(*cols)
+    )
+
+
+def duck_bloom_bit_sql(h: str) -> str:
+    """DuckDB: bit index for hash-function index column ``j``."""
+    arms = " ".join(
+        f"WHEN {j} THEN (({BLOOM_A[j]} * {h} + {BLOOM_B[j]}) % {P}) % {BLOOM_M}"
+        for j in range(BLOOM_K)
+    )
+    return f"(CASE j {arms} END)"

@@ -25,6 +25,7 @@ from . import events2  # noqa: F401,E402
 from . import formats  # noqa: F401,E402
 from . import llm6  # noqa: F401,E402
 from . import llm7  # noqa: F401,E402
+from . import llm8  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -58,6 +59,12 @@ _ROUND3_WINDOW = [
     "q_dedup_tier_agreement",
     "q_curriculum_select",
     "q_similarity_ivfpq",
+    # third wave: sketches + search indexing (operators/sketches.py)
+    "q_sketch_count_min",
+    "q_sketch_hll",
+    "q_text_inverted_index",
+    "q_ngram_novelty",
+    "q_decontaminate_bloom",
     "q_vector_pca_invariants",
     "q_vector_gram_matrix",
     "q_vector_pca_project",

@@ -1,0 +1,431 @@
+"""Round-3 third wave: mergeable sketches and corpus-search indexing.
+
+* Count-Min sketch + point-query error audit (``q_sketch_count_min``)
+* portable HyperLogLog registers + raw estimate (``q_sketch_hll``)
+* inverted-index construction with skew-capped postings
+  (``q_text_inverted_index``)
+* per-document n-gram novelty scoring (``q_ngram_novelty``)
+* Bloom-filter benchmark decontamination (``q_decontaminate_bloom``)
+
+The sketch tier is the 100 TB answer to "keyed statistics over more
+keys than fit anywhere": each sketch is fixed-size and mergeable, so
+partial aggregation collapses the shuffle to O(sketch) and the same
+merge runs per micro-batch on a stream (``tests/test_llm8.py``).
+Unlike the engine-native ``approx_count_distinct`` (rows-only entry
+``q_agg_approx`` — HLL++ internals are engine-specific), these are
+built on the portable md5 hash family, so DuckDB reproduces every
+register/counter/bit exactly.
+
+No analog in the reference — its one aggregate is the windowed word
+count (``KafkaWordCount.scala:70-73``); the inverted index is the
+batch-corpus generalization of exactly that word count into a search
+structure.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+from ..operators import sketches as SK
+from ..operators.signatures import signature_table
+from ..sources.batch import load_table
+from .registry import register
+
+_EVAL_MOD = 97  # same eval slice as q_decontaminate_ngram (llm3.py)
+_TOPK_USERS = 20
+_POSTINGS_CAP = 5
+
+_CMS_VALUES = "(VALUES " + ", ".join(f"({i})" for i in range(SK.CMS_D)) + ") t(i)"
+_BLOOM_VALUES = "(VALUES " + ", ".join(f"({j})" for j in range(SK.BLOOM_K)) + ") t(j)"
+
+
+# --------------------------------------------------------- Count-Min
+
+
+_DUCK_H = TH.duck_str_hash("CAST(user_id AS VARCHAR)")
+
+
+@register(
+    "q_sketch_count_min",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id, {_DUCK_H} AS h FROM events
+    ),
+    cells AS (
+      SELECT i AS r, CAST({SK.duck_cms_bucket_sql('h')} AS INT) AS b
+      FROM keyed CROSS JOIN {_CMS_VALUES}
+    ),
+    sk AS (
+      SELECT r, b, COUNT(*) AS cnt FROM cells GROUP BY r, b
+    ),
+    truth AS (
+      SELECT user_id, h, COUNT(*) AS true_cnt FROM keyed GROUP BY user_id, h
+    ),
+    probes AS (
+      SELECT user_id, true_cnt, i AS r,
+             CAST({SK.duck_cms_bucket_sql('h')} AS INT) AS b
+      FROM truth CROSS JOIN {_CMS_VALUES}
+    ),
+    est AS (
+      SELECT user_id, true_cnt, MIN(cnt) AS est_cnt
+      FROM probes JOIN sk USING (r, b)
+      GROUP BY user_id, true_cnt
+    )
+    SELECT user_id, true_cnt, est_cnt, est_cnt - true_cnt AS overcount
+    FROM est
+    ORDER BY true_cnt DESC, user_id
+    LIMIT {_TOPK_USERS}
+    """,
+    doc="Count-Min sketch over event user_ids ({d}×{w} geometry) and "
+    "its point-query audit for the top-{k} users: estimate = min over "
+    "the d hash rows, overcount = collision inflation (never "
+    "negative — CMS errs one-sidedly). The sketch is a fixed-size "
+    "mergeable summary: map-side partial agg makes the build shuffle "
+    "O(d·w) per partition regardless of corpus size, and the probe "
+    "broadcasts the sketch. operators/sketches.py; portable hash "
+    "family ⇒ every counter matches DuckDB exactly.".format(
+        d=SK.CMS_D, w=SK.CMS_W, k=_TOPK_USERS
+    ),
+    tags=("sketch", "llm"),
+)
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sketch = SK.cms_build(ev, "user_id")
+    truth = ev.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    est = SK.cms_estimate(truth.select("user_id"), sketch, "user_id")
+    return (
+        truth.join(est, "user_id")
+        .select(
+            "user_id",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overcount"),
+        )
+        .orderBy(F.desc("true_cnt"), "user_id")
+        .limit(_TOPK_USERS)
+    )
+
+
+# ------------------------------------------------------- HyperLogLog
+
+
+#: alpha·m²·2^SHIFT — the raw-estimate numerator as one double literal
+#: shared by both engines (division by the exact integer harmonic sum
+#: is then bit-identical IEEE).
+_HLL_NUM = SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M * float(1 << SK.HLL_SHIFT)
+
+_DUCK_HRAW = TH.duck_str_hash_raw("CAST(user_id AS VARCHAR)")
+
+
+@register(
+    "q_sketch_hll",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT {_DUCK_HRAW} AS hr FROM events
+    ),
+    touched AS (
+      SELECT CAST(hr // {1 << SK.HLL_WBITS} AS INT) AS bucket,
+             MAX({SK.duck_hll_rank_sql(f"(hr % {1 << SK.HLL_WBITS})")}) AS r
+      FROM hashed GROUP BY bucket
+    ),
+    regs AS (
+      SELECT s.bucket, CAST(COALESCE(t.r, 0) AS INT) AS r
+      FROM (SELECT CAST(unnest(generate_series(0, {SK.HLL_M - 1})) AS INT)
+              AS bucket) s
+      LEFT JOIN touched t USING (bucket)
+    ),
+    summary AS (
+      SELECT CAST({SK.HLL_M} AS BIGINT) AS m,
+             CAST(SUM((1::BIGINT) << ({SK.HLL_SHIFT} - r)) AS BIGINT)
+               AS sum_scaled,
+             CAST(SUM(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_empty
+      FROM regs
+    )
+    SELECT m, sum_scaled, n_empty,
+           CAST({_HLL_NUM!r} AS DOUBLE) / CAST(sum_scaled AS DOUBLE)
+             AS raw_est,
+           (SELECT COUNT(DISTINCT user_id) FROM events) AS true_distinct
+    FROM summary
+    """,
+    doc="Portable HyperLogLog over event user_ids: m={m} registers "
+    "from the 60-bit md5 hash (top {b} bits pick the bucket, leading "
+    "zeros of the rest set the rank), harmonic sum kept as an exact "
+    "scaled integer Σ2^(SHIFT−r), raw estimate α·m²/S as one shared "
+    "double literal divided by that integer — so even the estimate is "
+    "bit-identical cross-engine. n_empty makes the linear-counting "
+    "correction derivable. The register table is the mergeable unit "
+    "(bucket-wise max); build shuffle is O(m) per partition. "
+    "Complements rows-only q_agg_approx (engine-native HLL++). "
+    "operators/sketches.py.".format(m=SK.HLL_M, b=SK.HLL_B),
+    tags=("sketch", "llm"),
+)
+def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    regs = SK.hll_registers(ev, "user_id")
+    summary = regs.agg(
+        F.lit(SK.HLL_M).cast("bigint").alias("m"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {SK.HLL_SHIFT} - r)")
+        ).alias("sum_scaled"),
+        F.sum(F.expr("CASE WHEN r = 0 THEN 1 ELSE 0 END")).alias("n_empty"),
+    )
+    truth = ev.agg(F.countDistinct("user_id").alias("true_distinct"))
+    return summary.crossJoin(F.broadcast(truth)).select(
+        "m",
+        "sum_scaled",
+        "n_empty",
+        F.expr(f"{_HLL_NUM!r}D / CAST(sum_scaled AS DOUBLE)").alias("raw_est"),
+        "true_distinct",
+    )
+
+
+# -------------------------------------------------- inverted index
+
+
+@register(
+    "q_text_inverted_index",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TH.duck_tokens('text')}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY term, doc_id
+    ),
+    rk AS (
+      SELECT term, doc_id, tf,
+             ROW_NUMBER() OVER (PARTITION BY term
+                                ORDER BY tf DESC, doc_id) AS rk
+      FROM tf
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           list(doc_id ORDER BY rk) FILTER (WHERE rk <= {_POSTINGS_CAP})
+             AS top_docs
+    FROM rk
+    GROUP BY term
+    ORDER BY term
+    """,
+    doc="Inverted-index build over the document corpus: per term, "
+    "document frequency, total term frequency, and the posting list "
+    "capped at the top-{k} documents by (tf desc, doc_id) — the "
+    "skew guard that keeps a stop-word's postings bounded per task at "
+    "corpus scale (full postings would concentrate the head term's "
+    "entire docset in one group). One shuffle on term with map-side "
+    "partial tf aggregation; the batch-corpus generalization of the "
+    "reference's streaming word count (KafkaWordCount.scala:70-73) "
+    "into a search structure.".format(k=_POSTINGS_CAP),
+    tags=("text", "llm"),
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TH.spark_tokens("text"))).alias("term")
+    )
+    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
+    ranked = tf.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("total_tf"),
+            F.expr(
+                f"transform(array_sort(collect_list(CASE WHEN rk <= "
+                f"{_POSTINGS_CAP} THEN struct(rk, doc_id) END)), "
+                f"s -> s.doc_id)"
+            ).alias("top_docs"),
+        )
+        .orderBy("term")
+    )
+
+
+# ------------------------------------------------- n-gram novelty
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {TH.duck_shingle_hashes('text')} AS hs FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest(hs) AS h FROM sh
+    ),
+    fw AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY h) AS first_doc FROM ex
+    ),
+    nov AS (
+      SELECT doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM fw GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN COALESCE(n.n_shingles, 0) = 0 THEN CAST(0 AS DOUBLE)
+                ELSE CAST(n.n_novel AS DOUBLE) / CAST(n.n_shingles AS DOUBLE)
+           END AS novelty
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN nov n USING (doc_id)
+    ORDER BY doc_id
+    """,
+    doc="Per-document n-gram novelty: the fraction of a document's "
+    "distinct word 3-gram shingles first seen at that doc_id (min "
+    "doc_id per shingle across the corpus) — the data-curriculum / "
+    "crawl-ordering signal (low novelty ⇒ boilerplate or near-dup of "
+    "earlier data). Reads the shared signature table, so the "
+    "tokenize→shingle→hash pass is amortized with the dedup tier; one "
+    "shuffle on shingle hash (window min), one map-side-combined "
+    "groupBy doc. Exact division of exact integers ⇒ bit-identical "
+    "score cross-engine.",
+    tags=("text", "dedup", "llm"),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = signature_table(spark, sf_dir).select("doc_id", "hs")
+    ex = sigs.select("doc_id", F.explode("hs").alias("h"))
+    fw = ex.select(
+        "doc_id",
+        F.min("doc_id").over(Window.partitionBy("h")).alias("first_doc"),
+    )
+    nov = fw.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(
+            F.expr("CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END")
+        ).alias("n_novel"),
+    )
+    return (
+        sigs.select("doc_id")
+        .join(nov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias(
+                "n_shingles"
+            ),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+            F.expr(
+                "CASE WHEN COALESCE(n_shingles, 0) = 0 THEN CAST(0 AS DOUBLE) "
+                "ELSE CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) END"
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# -------------------------------------------- Bloom decontamination
+
+
+_DUCK_BLOOM_WORD = f"CAST(bit // {SK.BLOOM_WORD_BITS} AS INT)"
+_DUCK_BLOOM_MASK = (
+    f"((1::BIGINT) << CAST(bit % {SK.BLOOM_WORD_BITS} AS INT))"
+)
+
+
+@register(
+    "q_decontaminate_bloom",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {TH.duck_shingle_hashes('text')} AS hs FROM documents
+    ),
+    ev AS (
+      SELECT DISTINCT h FROM (
+        SELECT unnest(hs) AS h FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+      )
+    ),
+    evbits AS (
+      SELECT {SK.duck_bloom_bit_sql('h')} AS bit
+      FROM ev CROSS JOIN {_BLOOM_VALUES}
+    ),
+    bm AS (
+      SELECT {_DUCK_BLOOM_WORD} AS word, bit_or({_DUCK_BLOOM_MASK}) AS bm
+      FROM evbits GROUP BY 1
+    ),
+    tr AS (
+      SELECT doc_id, unnest(hs) AS h FROM sh WHERE doc_id % {_EVAL_MOD} <> 0
+    ),
+    trbits AS (
+      SELECT doc_id, h, {SK.duck_bloom_bit_sql('h')} AS bit
+      FROM tr CROSS JOIN {_BLOOM_VALUES}
+    ),
+    probe AS (
+      SELECT doc_id, h,
+             SUM(CASE WHEN (bm.bm & {_DUCK_BLOOM_MASK}) <> 0
+                 THEN 1 ELSE 0 END) AS n_set
+      FROM trbits JOIN bm ON bm.word = {_DUCK_BLOOM_WORD}
+      GROUP BY doc_id, h
+    ),
+    pos AS (
+      SELECT doc_id, COUNT(*) AS n_bloom_hits
+      FROM probe WHERE n_set = {SK.BLOOM_K}
+      GROUP BY doc_id
+    ),
+    exact AS (
+      SELECT tr.doc_id, COUNT(*) AS n_exact_hits
+      FROM tr JOIN ev USING (h)
+      GROUP BY tr.doc_id
+    )
+    SELECT p.doc_id,
+           p.n_bloom_hits,
+           CAST(COALESCE(e.n_exact_hits, 0) AS BIGINT) AS n_exact_hits,
+           p.n_bloom_hits - CAST(COALESCE(e.n_exact_hits, 0) AS BIGINT)
+             AS n_false_pos
+    FROM pos p LEFT JOIN exact e USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+    doc="Bloom-filter benchmark decontamination: the eval slice's "
+    "(doc_id % {mod} = 0) shingle set is compressed into a {m}-bit "
+    "k={k} Bloom bitmap ({w} int64 words, built by bit_or "
+    "aggregation) and broadcast; training docs count bloom-positive "
+    "shingles in one map-side probe, then the exact broadcast join "
+    "reports the false positives. This is the beyond-broadcast form "
+    "of q_decontaminate_ngram: the bitmap is FIXED-size however large "
+    "the eval suite grows, so the 100 TB corpus side still never "
+    "shuffles; exactness is recovered by verifying only the "
+    "bloom-positive survivors. Deterministic hash family ⇒ the FP "
+    "set itself is reproduced bit-for-bit by DuckDB. "
+    "operators/sketches.py.".format(
+        mod=_EVAL_MOD, m=SK.BLOOM_M, k=SK.BLOOM_K, w=SK.BLOOM_WORDS
+    ),
+    tags=("sketch", "decontaminate", "llm"),
+)
+def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = signature_table(spark, sf_dir).select("doc_id", "hs")
+    ev = (
+        sigs.where(F.expr(f"doc_id % {_EVAL_MOD} = 0"))
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+    )
+    bitmap = SK.bloom_build(ev, "h")
+    tr = sigs.where(F.expr(f"doc_id % {_EVAL_MOD} <> 0")).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    pos = (
+        SK.bloom_probe(tr, bitmap, "h", keep_cols=("doc_id",))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_bloom_hits"))
+    )
+    exact = (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_exact_hits"))
+    )
+    return (
+        pos.join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bloom_hits",
+            F.coalesce("n_exact_hits", F.lit(0)).cast("bigint").alias(
+                "n_exact_hits"
+            ),
+            (
+                F.col("n_bloom_hits")
+                - F.coalesce("n_exact_hits", F.lit(0)).cast("bigint")
+            ).alias("n_false_pos"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,244 @@
+"""Unit tests for the sketch + search-index wave (queries/llm8.py,
+operators/sketches.py): Count-Min, HyperLogLog, Bloom, inverted index,
+n-gram novelty — semantic properties beyond the DuckDB mirror, plus
+the streaming mergeability story."""
+
+from __future__ import annotations
+
+import json as _json
+
+import pyspark.sql.functions as F
+import pytest
+
+from spark_kafka_streaming_spark.operators import sketches as SK
+from spark_kafka_streaming_spark.queries import REGISTRY
+from spark_kafka_streaming_spark.sources.batch import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+# ------------------------------------------------------------ Count-Min
+
+
+def test_cms_overestimates_only(spark, sf_dir, events):
+    """CMS error is one-sided: est >= true for EVERY key (not just the
+    top-20 the catalog query returns)."""
+    sketch = SK.cms_build(events, "user_id")
+    truth = events.groupBy("user_id").agg(F.count("*").alias("true_cnt"))
+    est = SK.cms_estimate(truth.select("user_id"), sketch, "user_id")
+    bad = (
+        truth.join(est, "user_id")
+        .where(F.col("est_cnt") < F.col("true_cnt"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_cms_rows_each_sum_to_n(events):
+    """Every hash row of the sketch distributes all N updates."""
+    n = events.count()
+    per_row = {
+        r["r"]: r["s"]
+        for r in SK.cms_build(events, "user_id")
+        .groupBy("r")
+        .agg(F.sum("cnt").alias("s"))
+        .collect()
+    }
+    assert per_row == {i: n for i in range(SK.CMS_D)}
+
+
+def _sketch_cells(df):
+    return {(r["r"], r["b"]): r["cnt"] for r in df.collect()}
+
+
+def test_cms_merges_cellwise(events):
+    """sketch(A ∪ B) == sketch(A) + sketch(B) cell-wise — the property
+    that makes partial aggregation and cross-batch merging exact."""
+    a = SK.cms_build(events.where("event_id % 2 = 0"), "user_id")
+    b = SK.cms_build(events.where("event_id % 2 = 1"), "user_id")
+    merged: dict = {}
+    for cells in (_sketch_cells(a), _sketch_cells(b)):
+        for k, v in cells.items():
+            merged[k] = merged.get(k, 0) + v
+    assert merged == _sketch_cells(SK.cms_build(events, "user_id"))
+
+
+def test_cms_streaming_incremental_equals_batch(spark, tmp_path, events):
+    """Per-micro-batch sketches merged by cell-wise sum reproduce the
+    one-shot batch sketch exactly — the streaming CMS maintenance
+    pattern (foreachBatch + mergeable summary)."""
+    rows = [
+        {"user_id": r["user_id"]}
+        for r in events.select("user_id").limit(200).collect()
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    half = len(rows) // 2
+    (src / "b0.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:half])
+    )
+    (src / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[half:])
+    )
+
+    acc: dict = {}
+    n_batches = []
+
+    def merge_batch(df, epoch_id):
+        for k, v in _sketch_cells(SK.cms_build(df, "user_id")).items():
+            acc[k] = acc.get(k, 0) + v
+        n_batches.append(epoch_id)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(rows, "user_id BIGINT")
+    assert acc == _sketch_cells(SK.cms_build(batch_df, "user_id"))
+    assert len(n_batches) >= 2  # genuinely incremental
+
+
+# ------------------------------------------------------- HyperLogLog
+
+
+def test_hll_registers_partition_invariant(events):
+    regs = lambda df: {  # noqa: E731
+        (r["bucket"], r["r"])
+        for r in SK.hll_registers(df, "user_id").collect()
+    }
+    assert regs(events) == regs(events.repartition(13))
+
+
+def test_hll_merges_by_max(events):
+    a = {
+        r["bucket"]: r["r"]
+        for r in SK.hll_registers(
+            events.where("event_id % 2 = 0"), "user_id"
+        ).collect()
+    }
+    b = {
+        r["bucket"]: r["r"]
+        for r in SK.hll_registers(
+            events.where("event_id % 2 = 1"), "user_id"
+        ).collect()
+    }
+    merged = {k: max(a.get(k, 0), b.get(k, 0)) for k in range(SK.HLL_M)}
+    full = {
+        r["bucket"]: r["r"]
+        for r in SK.hll_registers(events, "user_id").collect()
+    }
+    assert merged == full
+
+
+def test_hll_estimate_in_range(spark, sf_dir):
+    """The query returns the raw estimate plus n_empty, which is
+    exactly what the standard small-range (linear counting) correction
+    needs: when raw_est <= 2.5m and registers are empty, use
+    m·ln(m/V).  The corrected estimate lands within a generous factor
+    of truth even at test-scale cardinalities; production m=2^12+
+    gives ~1.04/sqrt(m) relative error."""
+    import math
+
+    row = REGISTRY["q_sketch_hll"].builder(spark, sf_dir).collect()[0]
+    assert row["m"] == SK.HLL_M
+    assert row["true_distinct"] > 0
+    est = row["raw_est"]
+    if est <= 2.5 * row["m"] and row["n_empty"] > 0:
+        est = row["m"] * math.log(row["m"] / row["n_empty"])
+    assert 0.5 * row["true_distinct"] <= est <= 2.0 * row["true_distinct"]
+
+
+# ------------------------------------------------------------ Bloom
+
+
+def test_bloom_no_false_negatives(spark, sf_dir):
+    """Every exact eval-overlap shingle tests bloom-positive, so
+    n_bloom_hits >= n_exact_hits per doc, and every doc flagged by the
+    exact decontamination pass appears in the bloom pass."""
+    res = REGISTRY["q_decontaminate_bloom"].builder(spark, sf_dir)
+    rows = res.collect()
+    assert all(r["n_bloom_hits"] >= r["n_exact_hits"] for r in rows)
+    assert all(r["n_false_pos"] >= 0 for r in rows)
+    exact = REGISTRY["q_decontaminate_ngram"].builder(spark, sf_dir)
+    exact_docs = {r["doc_id"] for r in exact.collect()}
+    bloom_docs = {r["doc_id"] for r in rows}
+    assert exact_docs <= bloom_docs
+
+
+def test_bloom_probe_accepts_own_members(spark):
+    """Membership is exact for inserted elements (FPs only for
+    non-members)."""
+    hs = spark.range(100).select((F.col("id") * 7919 + 13).alias("h"))
+    bitmap = SK.bloom_build(hs, "h")
+    assert SK.bloom_probe(hs, bitmap, "h").count() == 100
+
+
+# --------------------------------------------------- inverted index
+
+
+def test_inverted_index_against_python(spark, sf_dir):
+    """Full recomputation of df/total_tf/top-docs in plain Python over
+    the collected corpus (test corpora are small)."""
+    docs = {
+        r["doc_id"]: [t for t in (r["text"] or "").split(" ") if t]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    tf: dict = {}
+    for d, toks in docs.items():
+        for t in toks:
+            tf[(t, d)] = tf.get((t, d), 0) + 1
+    expected = {}
+    terms = {t for t, _ in tf}
+    for t in terms:
+        posts = sorted(
+            ((d, c) for (tt, d), c in tf.items() if tt == t),
+            key=lambda x: (-x[1], x[0]),
+        )
+        expected[t] = (
+            len(posts),
+            sum(c for _, c in posts),
+            [d for d, _ in posts[:5]],
+        )
+    got = {
+        r["term"]: (r["df"], r["total_tf"], list(r["top_docs"]))
+        for r in REGISTRY["q_text_inverted_index"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected
+
+
+# ------------------------------------------------- n-gram novelty
+
+
+def test_novelty_bounds_and_totals(spark, sf_dir):
+    rows = REGISTRY["q_ngram_novelty"].builder(spark, sf_dir).collect()
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in rows)
+    assert all(r["n_novel"] <= r["n_shingles"] for r in rows)
+    # every distinct shingle is novel in exactly one document
+    from spark_kafka_streaming_spark.operators.signatures import (
+        signature_table,
+    )
+
+    n_distinct = (
+        signature_table(spark, sf_dir)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == n_distinct
+    # the first non-empty doc is fully novel
+    first = next(r for r in rows if r["n_shingles"] > 0)
+    assert first["novelty"] == 1.0
