@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "q_text_inverted_index",
     "q_ngram_novelty",
     "q_decontaminate_bloom",
+    "q_sketch_kmv_setops",
+    "q_corpus_drift_tv",
 ]
 
 

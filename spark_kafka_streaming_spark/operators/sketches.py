@@ -215,32 +215,33 @@ def bloom_build(hashes: DataFrame, h_col: str = "h") -> DataFrame:
 def bloom_probe(hashes: DataFrame, bitmap: DataFrame, h_col: str = "h",
                 keep_cols: tuple[str, ...] = ()) -> DataFrame:
     """Rows of ``hashes`` whose ``h_col`` tests positive (all
-    ``BLOOM_K`` bits set).  The bitmap join is broadcast — a 100 TB
-    probe side is one map-side pass; false positives are inherent
-    (callers wanting exactness verify the survivors against the real
-    set, which is now candidate-sized, not corpus-sized)."""
-    cols = [*keep_cols, h_col]
-    bits = F.array(
-        *[F.expr(_bloom_bit_sql(j, h_col)).alias(f"b{j}") for j in range(BLOOM_K)]
+    ``BLOOM_K`` bits set).
+
+    The bitmap (``BLOOM_WORDS`` int64s by construction) is collected
+    and inlined as an array *literal*, so the probe is a pure map-side
+    filter inside whole-stage codegen — no join, no fan-out, no
+    shuffle, whatever the probe side's size (the same literal-small-
+    side pattern as the k-means centroid assign and the PCA
+    projection).  False positives are inherent; callers wanting
+    exactness verify the survivors against the real set, which is now
+    candidate-sized, not corpus-sized."""
+    words = {r["word"]: r["bm"] for r in bitmap.collect()}
+    lit = (
+        "array("
+        + ", ".join(f"{words.get(i, 0)}L" for i in range(BLOOM_WORDS))
+        + ")"
     )
-    probe = hashes.select(*cols, F.explode(bits).alias("bit")).select(
-        *cols,
-        F.expr(f"CAST(bit DIV {BLOOM_WORD_BITS} AS INT)").alias("word"),
-        F.expr(
-            f"shiftleft(CAST(1 AS BIGINT), CAST(bit % {BLOOM_WORD_BITS} AS INT))"
-        ).alias("mask"),
-    )
-    return (
-        probe.join(F.broadcast(bitmap), "word")
-        .groupBy(*cols)
-        .agg(
-            F.sum(
-                F.expr("CASE WHEN (bm & mask) <> 0 THEN 1 ELSE 0 END")
-            ).alias("n_set")
+    conds = []
+    for j in range(BLOOM_K):
+        bit = _bloom_bit_sql(j, h_col)
+        word = f"CAST({bit} DIV {BLOOM_WORD_BITS} AS INT)"
+        mask = (
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({bit} % {BLOOM_WORD_BITS} AS INT))"
         )
-        .where(F.col("n_set") == BLOOM_K)
-        .select(*cols)
-    )
+        conds.append(f"(element_at({lit}, {word} + 1) & {mask}) <> 0")
+    cols = [*keep_cols, h_col]
+    return hashes.select(*cols).where(F.expr(" AND ".join(conds)))
 
 
 def duck_bloom_bit_sql(h: str) -> str:

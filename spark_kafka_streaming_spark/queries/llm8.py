@@ -404,28 +404,245 @@ def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = sigs.where(F.expr(f"doc_id % {_EVAL_MOD} <> 0")).select(
         "doc_id", F.explode("hs").alias("h")
     )
-    pos = (
-        SK.bloom_probe(tr, bitmap, "h", keep_cols=("doc_id",))
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_bloom_hits"))
-    )
-    exact = (
-        tr.join(F.broadcast(ev), "h")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_exact_hits"))
+    # Bloom has no false negatives, so every exact hit is inside the
+    # bloom-positive subset: one map-only literal-bitmap filter, then a
+    # single groupBy over the (candidate-sized) survivors counts both
+    # tallies — the corpus never shuffles, the candidates shuffle once.
+    pos = SK.bloom_probe(tr, bitmap, "h", keep_cols=("doc_id",))
+    flagged = pos.join(
+        F.broadcast(ev.withColumn("is_eval", F.lit(1))), "h", "left"
     )
     return (
-        pos.join(exact, "doc_id", "left")
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bloom_hits"),
+            F.sum(F.coalesce("is_eval", F.lit(0)))
+            .cast("bigint")
+            .alias("n_exact_hits"),
+        )
         .select(
             "doc_id",
             "n_bloom_hits",
-            F.coalesce("n_exact_hits", F.lit(0)).cast("bigint").alias(
-                "n_exact_hits"
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias(
+                "n_false_pos"
             ),
-            (
-                F.col("n_bloom_hits")
-                - F.coalesce("n_exact_hits", F.lit(0)).cast("bigint")
-            ).alias("n_false_pos"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------ KMV set operations
+
+
+_KMV_K = 32
+#: (k-1)·2^60 as a double literal — 31·2^60 overflows int64, but has
+#: only 5 significant bits so the double is exact; dividing it by the
+#: exact integer h_k is then bit-identical cross-engine.
+_KMV_NUM = float((_KMV_K - 1) * (1 << 60))
+
+_DUCK_UH = TH.duck_str_hash_raw("CAST(user_id AS VARCHAR)")
+
+
+@register(
+    "q_sketch_kmv_setops",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT {_DUCK_UH} AS h FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT {_DUCK_UH} AS h FROM events
+      WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+    ku AS (
+      SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb)
+      ORDER BY h LIMIT {_KMV_K}
+    ),
+    stats AS (
+      SELECT (SELECT MAX(h) FROM ku) AS h_k,
+             (SELECT COUNT(*) FROM ku
+              WHERE h IN (SELECT h FROM ka)
+                AND h IN (SELECT h FROM kb)) AS n_both,
+             (SELECT COUNT(*) FROM ha) AS n_a_true,
+             (SELECT COUNT(*) FROM hb) AS n_b_true,
+             (SELECT COUNT(*) FROM (SELECT h FROM ha UNION
+                                    SELECT h FROM hb)) AS union_true
+    )
+    SELECT CAST({_KMV_K} AS BIGINT) AS k, n_a_true, n_b_true, union_true,
+           h_k,
+           CAST({_KMV_NUM!r} AS DOUBLE) / CAST(h_k AS DOUBLE) AS union_est,
+           CAST(n_both AS BIGINT) AS n_both,
+           (CAST(n_both AS DOUBLE)
+            * (CAST({_KMV_NUM!r} AS DOUBLE) / CAST(h_k AS DOUBLE)))
+             / {_KMV_K} AS inter_est,
+           (SELECT COUNT(*) FROM ha WHERE h IN (SELECT h FROM hb))
+             AS inter_true
+    FROM stats
+    """,
+    doc="KMV (k-minimum-values, k={k}) distinct-set sketch with set "
+    "operations over two user cohorts (clickers vs purchasers): union "
+    "cardinality from the k-th smallest 60-bit hash ((k-1)/h_k "
+    "normalized), intersection from the Jaccard fraction of the union "
+    "sketch present in BOTH cohort sketches (Beyer et al. 2007). Each "
+    "cohort's sketch is k values — a TakeOrdered, mergeable by "
+    "union+truncate, so cohort overlap over 100 TB of events costs "
+    "two bottom-k scans and no set-wide shuffle beyond the distinct. "
+    "True values returned alongside; portable hash ⇒ estimates are "
+    "bit-identical cross-engine. operators/sketches.py family.".format(
+        k=_KMV_K
+    ),
+    tags=("sketch", "llm"),
+)
+def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def cohort(etype: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .select(
+                F.expr(
+                    TH.spark_str_hash_raw("CAST(user_id AS STRING)")
+                ).alias("h")
+            )
+            .distinct()
+        )
+
+    ha, hb = cohort("click"), cohort("purchase")
+    ka = ha.orderBy("h").limit(_KMV_K)
+    kb = hb.orderBy("h").limit(_KMV_K)
+    ku = ka.union(kb).distinct().orderBy("h").limit(_KMV_K)
+    both = (
+        ku.join(ka, "h", "left_semi")
+        .join(kb, "h", "left_semi")
+        .agg(F.count("*").alias("n_both"))
+    )
+    h_k = ku.agg(F.max("h").alias("h_k"))
+    truths = (
+        ha.select(F.lit(1).alias("side"), "h")
+        .union(hb.select(F.lit(2).alias("side"), "h"))
+        .agg(
+            F.sum(F.expr("CASE WHEN side = 1 THEN 1 ELSE 0 END")).alias(
+                "n_a_true"
+            ),
+            F.sum(F.expr("CASE WHEN side = 2 THEN 1 ELSE 0 END")).alias(
+                "n_b_true"
+            ),
+            F.countDistinct("h").alias("union_true"),
+        )
+    )
+    inter = ha.join(hb, "h", "left_semi").agg(
+        F.count("*").alias("inter_true")
+    )
+    return (
+        h_k.crossJoin(F.broadcast(both))
+        .crossJoin(F.broadcast(truths))
+        .crossJoin(F.broadcast(inter))
+        .select(
+            F.lit(_KMV_K).cast("bigint").alias("k"),
+            "n_a_true",
+            "n_b_true",
+            "union_true",
+            "h_k",
+            F.expr(f"{_KMV_NUM!r}D / CAST(h_k AS DOUBLE)").alias("union_est"),
+            F.col("n_both").cast("bigint").alias("n_both"),
+            F.expr(
+                f"(CAST(n_both AS DOUBLE) * ({_KMV_NUM!r}D / "
+                f"CAST(h_k AS DOUBLE))) / {_KMV_K}"
+            ).alias("inter_est"),
+            "inter_true",
+        )
+    )
+
+
+# ------------------------------------------- corpus drift (exact TV)
+
+
+@register(
+    "q_corpus_drift_tv",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TH.duck_tokens('text')}) AS term
+      FROM documents
+    ),
+    ca AS (
+      SELECT term, COUNT(*) AS c FROM tok WHERE doc_id % 2 = 0
+      GROUP BY term
+    ),
+    cb AS (
+      SELECT term, COUNT(*) AS c FROM tok WHERE doc_id % 2 = 1
+      GROUP BY term
+    ),
+    tot AS (
+      SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM ca) AS n1,
+             (SELECT CAST(SUM(c) AS BIGINT) FROM cb) AS n2
+    ),
+    joined AS (
+      SELECT COALESCE(ca.term, cb.term) AS term,
+             CAST(COALESCE(ca.c, 0) AS BIGINT) AS c1,
+             CAST(COALESCE(cb.c, 0) AS BIGINT) AS c2
+      FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+    )
+    SELECT t.n1, t.n2,
+           COUNT(*) AS n_terms_union,
+           CAST(SUM(ABS(c1 * t.n2 - c2 * t.n1)) AS BIGINT) AS tv_scaled,
+           CAST(CAST(SUM(ABS(c1 * t.n2 - c2 * t.n1)) AS BIGINT) AS DOUBLE)
+             / CAST(2 * t.n1 * t.n2 AS DOUBLE) AS tv
+    FROM joined CROSS JOIN tot t
+    GROUP BY t.n1, t.n2
+    """,
+    doc="Corpus drift between two snapshots (even/odd doc_id halves) "
+    "as EXACT total-variation distance over term distributions: "
+    "TV = Σ|c1·N2 − c2·N1| / (2·N1·N2) — the cross-multiplied form "
+    "keeps the sum in exact integers (order-independent; no FP "
+    "accumulation), with ONE final division shared by both engines. "
+    "The distribution-shift monitor for rolling corpus snapshots: one "
+    "shuffle on term (map-side-combined counts), a full-outer merge "
+    "of two vocab-sized tables, no log()/entropy engine drift. At "
+    "production counts the cross products route through DECIMAL(38) "
+    "sums (functions/exact.py pattern).",
+    tags=("text", "llm"),
+)
+def q_corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TH.spark_tokens("text"))).alias("term")
+    )
+    ca = (
+        tok.where("doc_id % 2 = 0")
+        .groupBy("term")
+        .agg(F.count("*").alias("c1"))
+    )
+    cb = (
+        tok.where("doc_id % 2 = 1")
+        .groupBy("term")
+        .agg(F.count("*").alias("c2"))
+    )
+    joined = (
+        ca.join(cb, "term", "full_outer")
+        .select(
+            F.coalesce("c1", F.lit(0)).cast("bigint").alias("c1"),
+            F.coalesce("c2", F.lit(0)).cast("bigint").alias("c2"),
+        )
+    )
+    tot = joined.agg(
+        F.sum("c1").alias("n1"), F.sum("c2").alias("n2")
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.count("*").alias("n_terms_union"),
+            F.sum(F.expr("ABS(c1 * n2 - c2 * n1)")).alias("tv_scaled"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "n_terms_union",
+            "tv_scaled",
+            F.expr(
+                "CAST(tv_scaled AS DOUBLE) / CAST(2 * n1 * n2 AS DOUBLE)"
+            ).alias("tv"),
+        )
     )

@@ -242,3 +242,59 @@ def test_novelty_bounds_and_totals(spark, sf_dir):
     # the first non-empty doc is fully novel
     first = next(r for r in rows if r["n_shingles"] > 0)
     assert first["novelty"] == 1.0
+
+
+# --------------------------------------------------- KMV set ops
+
+
+def test_kmv_structural(spark, sf_dir):
+    row = REGISTRY["q_sketch_kmv_setops"].builder(spark, sf_dir).collect()[0]
+    assert row["n_both"] <= row["k"]
+    assert row["inter_true"] <= min(row["n_a_true"], row["n_b_true"])
+    assert row["union_true"] <= row["n_a_true"] + row["n_b_true"]
+    assert row["union_est"] > 0
+    assert row["inter_est"] <= row["union_est"] + 1e-9
+
+
+def test_kmv_estimator_accuracy(spark):
+    """The (k-1)/h_k estimator over the portable 60-bit hash lands
+    within ~35% of truth for n >> k (1.0/sqrt(k-1) relative error at
+    k=32 is ~18%; allow 2 sigma)."""
+    from spark_kafka_streaming_spark.functions import texthash as TH
+
+    n, k = 2000, 32
+    hs = spark.range(n).select(
+        F.expr(TH.spark_str_hash_raw("CAST(id AS STRING)")).alias("h")
+    )
+    h_k = hs.orderBy("h").limit(k).agg(F.max("h")).collect()[0][0]
+    est = (k - 1) * float(1 << 60) / h_k
+    assert 0.65 * n <= est <= 1.35 * n
+
+
+# ------------------------------------------------- TV corpus drift
+
+
+def test_tv_drift_bounds(spark, sf_dir):
+    row = REGISTRY["q_corpus_drift_tv"].builder(spark, sf_dir).collect()[0]
+    assert 0.0 <= row["tv"] <= 1.0
+    assert row["tv_scaled"] >= 0
+
+
+def test_tv_drift_extremes(spark, sf_dir, tmp_path):
+    """Identical halves → TV = 0; disjoint vocabularies → TV = 1."""
+    from spark_kafka_streaming_spark.queries import REGISTRY as R
+
+    def run(rows):
+        df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, "
+                                   "lang STRING, source STRING, n_chars BIGINT")
+        p = tmp_path / f"d{len(rows)}_{abs(hash(str(rows))) % 99999}"
+        df.write.mode("overwrite").parquet(str(p / "documents.parquet"))
+        return R["q_corpus_drift_tv"].builder(spark, str(p)).collect()[0]
+
+    same = run([(i, "a b c", "en", "s", 5) for i in range(4)])
+    assert same["tv"] == 0.0
+    disjoint = run(
+        [(0, "a a", "en", "s", 3), (2, "a", "en", "s", 1),
+         (1, "b b b", "en", "s", 5), (3, "b", "en", "s", 1)]
+    )
+    assert disjoint["tv"] == 1.0
