@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "q_decontaminate_bloom",
     "q_sketch_kmv_setops",
     "q_corpus_drift_tv",
+    "q_sketch_quantile_hist",
 ]
 
 

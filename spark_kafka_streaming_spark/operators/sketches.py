@@ -251,3 +251,39 @@ def duck_bloom_bit_sql(h: str) -> str:
         for j in range(BLOOM_K)
     )
     return f"(CASE j {arms} END)"
+
+
+# ------------------------------------------------- log2 histogram
+
+#: Scale factor mapping event values to integer "cents" before
+#: log2-bucketing (floor(v·100 + 0.5) — an unambiguous round shared by
+#: both engines; ties in binary doubles resolve identically).
+HIST_SCALE = 100
+
+
+def log_histogram(df: DataFrame, value_col: str) -> DataFrame:
+    """Log2-bucketed histogram sketch of a positive numeric column:
+    ``(bucket, cnt)`` with ``bucket = floor(log2(round(v·100)))``.
+
+    At most 64 buckets whatever the data range — mergeable by
+    bucket-wise sum, map-side combinable, and exactly replayable
+    cross-engine (the log2 is ``length(bin(int))`` — pure integer
+    bit-length, no libm).  The quantile estimator over it interpolates
+    linearly inside the selected bucket (see ``q_sketch_quantile_hist``);
+    relative value error is bounded by the bucket width (2× per
+    bucket; tighter geometries subdivide the mantissa the same way).
+    """
+    vc = (
+        f"CAST(floor({value_col} * {HIST_SCALE} + 0.5D) AS BIGINT)"
+    )
+    return (
+        df.where(F.expr(f"{value_col} IS NOT NULL AND {value_col} > 0"))
+        .select(F.expr(f"CAST(length(bin({vc})) - 1 AS INT)").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def duck_log_bucket_sql(value_col: str) -> str:
+    vc = f"CAST(floor({value_col} * {HIST_SCALE} + 0.5) AS BIGINT)"
+    return f"CAST(length(bin({vc})) - 1 AS INT)"

@@ -646,3 +646,108 @@ def q_corpus_drift_tv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tv"),
         )
     )
+
+
+# -------------------------------------------- quantile histogram
+
+
+_QH_EST = (
+    "(CAST(lo AS DOUBLE) + (CAST(target_rank - cum_before AS DOUBLE) "
+    "/ CAST(cnt AS DOUBLE)) * CAST(lo AS DOUBLE)) / 100.0"
+)
+
+
+@register(
+    "q_sketch_quantile_hist",
+    oracle=f"""
+    WITH vals AS (
+      SELECT value FROM events WHERE value IS NOT NULL AND value > 0
+    ),
+    hist AS (
+      SELECT {SK.duck_log_bucket_sql('value')} AS bucket, COUNT(*) AS cnt
+      FROM vals GROUP BY 1
+    ),
+    cum AS (
+      SELECT bucket, cnt,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cum_before
+      FROM hist
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+    spine AS (
+      SELECT qi, CAST(q AS DOUBLE) AS q
+      FROM (VALUES (1, 0.5), (2, 0.95), (3, 0.99)) s(qi, q)
+    ),
+    ex AS (
+      SELECT quantile_cont(value, [0.5, 0.95, 0.99]) AS exl FROM vals
+    ),
+    picked AS (
+      SELECT s.qi, s.q,
+             CAST(ceiling(s.q * t.n) AS BIGINT) AS target_rank,
+             c.bucket, c.cnt, c.cum_before,
+             ((1::BIGINT) << c.bucket) AS lo
+      FROM spine s CROSS JOIN tot t
+      JOIN cum c
+        ON c.cum_before < CAST(ceiling(s.q * t.n) AS BIGINT)
+       AND CAST(ceiling(s.q * t.n) AS BIGINT) <= c.cum_before + c.cnt
+    )
+    SELECT p.q, p.target_rank, p.bucket,
+           {_QH_EST} AS est_value,
+           e.exl[p.qi] AS exact_value
+    FROM picked p CROSS JOIN ex e
+    ORDER BY p.q
+    """,
+    doc="Mergeable quantile sketch: log2-bucketed histogram of event "
+    "values (integer-cents bit-length buckets — no libm, ≤64 cells "
+    "whatever the range), quantile estimated by linear interpolation "
+    "inside the rank-selected bucket, compared against the exact "
+    "percentile in the same result. Completes the sketch family "
+    "(counts→CMS, distinct→HLL/KMV, membership→Bloom, "
+    "quantiles→histogram): the histogram merges by bucket-wise sum, "
+    "so streaming/partition partial sketches combine exactly; the "
+    "exact leg is the test-scale comparator, the sketch is the 100 TB "
+    "path. operators/sketches.py::log_histogram.",
+    tags=("sketch", "llm"),
+)
+def q_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.where("value IS NOT NULL AND value > 0")
+    hist = SK.log_histogram(ev, "value")
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "bucket",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("cum_before"),
+    )
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    spine = spark.createDataFrame(
+        [(1, 0.5), (2, 0.95), (3, 0.99)], "qi INT, q DOUBLE"
+    )
+    exact = vals.agg(
+        F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("exl")
+    )
+    picked = (
+        spine.crossJoin(F.broadcast(tot))
+        .withColumn("target_rank", F.expr("CAST(ceiling(q * n) AS BIGINT)"))
+        .join(
+            F.broadcast(cum),
+            F.expr(
+                "cum_before < target_rank AND target_rank <= cum_before + cnt"
+            ),
+        )
+        .withColumn("lo", F.expr("shiftleft(CAST(1 AS BIGINT), bucket)"))
+    )
+    return (
+        picked.crossJoin(F.broadcast(exact))
+        .select(
+            "q",
+            "target_rank",
+            "bucket",
+            F.expr(_QH_EST).alias("est_value"),
+            F.expr("element_at(exl, qi)").alias("exact_value"),
+        )
+        .orderBy("q")
+    )

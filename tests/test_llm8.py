@@ -298,3 +298,39 @@ def test_tv_drift_extremes(spark, sf_dir, tmp_path):
          (1, "b b b", "en", "s", 5), (3, "b", "en", "s", 1)]
     )
     assert disjoint["tv"] == 1.0
+
+
+# -------------------------------------------- quantile histogram
+
+
+def test_log_histogram_merges_by_sum(events):
+    a = {
+        r["bucket"]: r["cnt"]
+        for r in SK.log_histogram(
+            events.where("event_id % 2 = 0"), "value"
+        ).collect()
+    }
+    b = {
+        r["bucket"]: r["cnt"]
+        for r in SK.log_histogram(
+            events.where("event_id % 2 = 1"), "value"
+        ).collect()
+    }
+    merged = {k: a.get(k, 0) + b.get(k, 0) for k in set(a) | set(b)}
+    full = {
+        r["bucket"]: r["cnt"]
+        for r in SK.log_histogram(events, "value").collect()
+    }
+    assert merged == full
+
+
+def test_quantile_hist_error_bounded(spark, sf_dir):
+    """The interpolated estimate lives inside the 2x-wide bucket that
+    contains the target rank, so it is within ~2x of the exact
+    percentile (modulo the continuous-interpolation comparator
+    straddling a bucket edge)."""
+    rows = REGISTRY["q_sketch_quantile_hist"].builder(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["exact_value"] > 0
+        assert 0.4 <= r["est_value"] / r["exact_value"] <= 2.5
