@@ -62,6 +62,7 @@ _ROUND3_WINDOW = [
     # third wave: sketches + search indexing (operators/sketches.py)
     "q_sketch_count_min",
     "q_sketch_hll",
+    "q_sketch_quantile_hist",
     "q_text_inverted_index",
     "q_ngram_novelty",
     "q_decontaminate_bloom",
