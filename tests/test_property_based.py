@@ -121,3 +121,72 @@ def test_str_hash_cross_engine_parity(spark, words):
         ).fetchone()[0]
         assert got[w] == duck, (w, got[w], duck)
     con.close()
+
+
+# ------------------------------------------------------------ sketches
+
+
+def _py_cms(keys):
+    """Reference CMS on arbitrary keys via the same hash family."""
+    import hashlib
+
+    from spark_kafka_streaming_spark.operators import sketches as SK
+
+    cells: dict = {}
+    for k in keys:
+        h = int(hashlib.md5(str(k).encode()).hexdigest()[:15], 16) % SK.P
+        for i in range(SK.CMS_D):
+            b = ((SK.CMS_A[i] * h + SK.CMS_B[i]) % SK.P) % SK.CMS_W
+            cells[(i, b)] = cells.get((i, b), 0) + 1
+    return cells
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**9),
+                     min_size=1, max_size=50))
+def test_cms_matches_python_reference(spark, keys):
+    """The Spark CMS build equals a plain-Python reimplementation of
+    the same (md5-prefix, affine-family) sketch on arbitrary keys —
+    the portable-hash claim, property-tested."""
+    from spark_kafka_streaming_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(k,) for k in keys], "user_id BIGINT")
+    got = {
+        (r["r"], r["b"]): r["cnt"]
+        for r in SK.cms_build(df, "user_id").collect()
+    }
+    assert got == _py_cms(keys)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(keys=st.lists(st.integers(min_value=0, max_value=10**6),
+                     min_size=1, max_size=60),
+       split=st.integers(min_value=0, max_value=2**31))
+def test_hll_union_property(spark, keys, split):
+    """HLL register merge(max) over an arbitrary 2-way partition of the
+    keys equals the registers of the whole set — merge correctness on
+    arbitrary data and arbitrary splits."""
+    from spark_kafka_streaming_spark.operators import sketches as SK
+
+    a = [k for k in keys if (k ^ split) % 2 == 0]
+    b = [k for k in keys if (k ^ split) % 2 == 1]
+
+    def regs(ks):
+        if not ks:
+            return {i: 0 for i in range(SK.HLL_M)}
+        df = spark.createDataFrame([(k,) for k in ks], "user_id BIGINT")
+        return {
+            r["bucket"]: r["r"]
+            for r in SK.hll_registers(df, "user_id").collect()
+        }
+
+    ra, rb, rfull = regs(a), regs(b), regs(keys)
+    assert {k: max(ra[k], rb[k]) for k in rfull} == rfull
