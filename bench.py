@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "q_sketch_kmv_setops",
     "q_corpus_drift_tv",
     "q_sketch_quantile_hist",
+    "q_events_resample_gapfill",
+    "q_events_scd2_user_state",
 ]
 
 

@@ -114,3 +114,150 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+@register(
+    "q_events_resample_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(value AS DECIMAL(18,2)) AS v
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type, h, COUNT(*) AS cnt,
+             SUM(v) AS sv
+      FROM b GROUP BY event_type, h
+    ),
+    bounds AS (
+      SELECT MIN(h) AS h0, MAX(h) AS h1 FROM b
+    ),
+    hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    spine AS (
+      SELECT t.event_type, hours.h
+      FROM (SELECT DISTINCT event_type FROM b) t CROSS JOIN hours
+    )
+    SELECT s.event_type, s.h,
+           CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt,
+           CAST(last_value(a.sv IGNORE NULLS) OVER (
+                  PARTITION BY s.event_type ORDER BY s.h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS filled_total
+    FROM spine s LEFT JOIN agg a
+      ON a.event_type = s.event_type AND a.h = s.h
+    ORDER BY s.event_type, s.h
+    """,
+    doc="Time-series resampling with gap fill: hourly per-event-type "
+    "grid from the corpus' min to max hour (sequence + cross join "
+    "with the distinct types), empty buckets carried as cnt=0 and the "
+    "hourly total forward-filled from the last populated bucket "
+    "(last_value IGNORE NULLS over an event-type-partitioned frame). "
+    "The standard dashboard/feature-store densification pass. Scale: "
+    "the aggregation is the normal hourly rollup (map-side "
+    "combinable); the spine is |types|x|hours| — tiny relative to "
+    "events — and the fill window partitions by type, so state is one "
+    "running value per partition. Exact DECIMAL sums; one final cast "
+    "to DOUBLE.",
+    tags=("events", "window", "time"),
+)
+def q_events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.exact import dec
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("h"),
+        dec("value").alias("v"),
+    )
+    agg = b.groupBy("event_type", "h").agg(
+        F.count("*").alias("cnt"), F.sum("v").alias("sv")
+    )
+    bounds = b.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("h")
+    )
+    types = b.select("event_type").distinct()
+    spine = types.crossJoin(F.broadcast(hours))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(agg, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("cnt"),
+            F.last("sv", ignorenulls=True)
+            .over(w)
+            .cast("double")
+            .alias("filled_total"),
+        )
+        .orderBy("event_type", "h")
+    )
+
+
+@register(
+    "q_events_scd2_user_state",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    starts AS (
+      SELECT user_id, event_type, ts AS valid_from, event_id
+      FROM o
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, event_id) AS valid_to
+    FROM starts
+    ORDER BY user_id, valid_from, event_id
+    """,
+    doc="SCD2 (slowly-changing-dimension type 2) derivation: collapse "
+    "each user's event stream into state-validity intervals — a new "
+    "row whenever the observed event_type changes, valid_to = next "
+    "change's timestamp (NULL = current state). The standard "
+    "change-data-capture history build: two windows over one "
+    "user-partitioned sort (lag to detect changes, lead to close "
+    "intervals — Spark evaluates both in a single sort since the "
+    "ordering agrees), shuffle keyed on user_id only. event_id breaks "
+    "timestamp ties deterministically.",
+    tags=("events", "window", "time"),
+)
+def q_events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    starts = o.where(
+        F.expr("prev_type IS NULL OR prev_type <> event_type")
+    ).select(
+        "user_id", "event_type", F.col("ts").alias("valid_from"), "event_id"
+    )
+    w2 = W.partitionBy("user_id").orderBy("valid_from", "event_id")
+    return (
+        starts.select(
+            "user_id",
+            "event_type",
+            "valid_from",
+            F.lead("valid_from").over(w2).alias("valid_to"),
+        )
+        .orderBy("user_id", "valid_from")
+    )
