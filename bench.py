@@ -120,6 +120,8 @@ BENCH_QUERIES = [
     "q_sketch_quantile_hist",
     "q_events_resample_gapfill",
     "q_events_scd2_user_state",
+    "q_events_dedup_within_interval",
+    "q_text_collocations_lift",
 ]
 
 

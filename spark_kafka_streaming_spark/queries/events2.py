@@ -261,3 +261,49 @@ def q_events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "valid_from")
     )
+
+
+@register(
+    "q_events_dedup_within_interval",
+    oracle="""
+    WITH o AS (
+      SELECT event_id, user_id, event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_id, user_id, event_type, ts
+    FROM o
+    WHERE prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 MINUTE
+    ORDER BY event_id
+    """,
+    doc="Interval-bounded event dedup, batch form: keep an event only "
+    "if the previous event of the same (user_id, event_type) is at "
+    "least 5 minutes older (lag over one key-partitioned sort — "
+    "debouncing duplicate beacons/retries). This is the batch twin of "
+    "the streaming dropDuplicatesWithinWatermark tier "
+    "(streaming/pipeline.py): same key semantics, with the watermark "
+    "horizon replaced by an explicit interval, giving the streaming "
+    "story a driver-checkable oracle. One shuffle on the dedup key; "
+    "window state is O(1) per key.",
+    tags=("events", "dedup", "time"),
+)
+def q_events_dedup_within_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .where(
+            F.expr("prev_ts IS NULL OR ts - prev_ts >= INTERVAL 5 MINUTE")
+        )
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
+    )

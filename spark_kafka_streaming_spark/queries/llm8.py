@@ -751,3 +751,99 @@ def q_sketch_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("q")
     )
+
+
+# ------------------------------------------------- collocations
+
+
+_COLL_MIN_SUPPORT = 5
+_COLL_TOPK = 20
+
+#: lift = P(w1 w2) / (P(w1)·P(w2)) with P(bigram)=c_ab/N_bi and
+#: P(w)=c_w/N_uni — written as one multiplication chain evaluated in
+#: the SAME order by both engines, so the double is bit-identical.
+_COLL_LIFT = (
+    "((CAST(c_ab AS DOUBLE) * CAST(n_uni AS DOUBLE)) * CAST(n_uni AS DOUBLE))"
+    " / ((CAST(c_a AS DOUBLE) * CAST(c_b AS DOUBLE)) * CAST(n_bi AS DOUBLE))"
+)
+
+
+@register(
+    "q_text_collocations_lift",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TH.duck_tokens('text')} AS toks FROM documents
+    ),
+    uni AS (
+      SELECT unnest(toks) AS w FROM toks
+    ),
+    unic AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY w),
+    nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM unic),
+    bi AS (
+      SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM toks WHERE len(toks) >= 2
+    ),
+    bic AS (SELECT bigram, COUNT(*) AS c_ab FROM bi GROUP BY bigram),
+    nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM bic),
+    scored AS (
+      SELECT string_split(bigram, ' ')[1] AS w1,
+             string_split(bigram, ' ')[2] AS w2,
+             c_ab, a.c AS c_a, b.c AS c_b, n_uni, n_bi
+      FROM bic CROSS JOIN nu CROSS JOIN nb
+      JOIN unic a ON a.w = string_split(bigram, ' ')[1]
+      JOIN unic b ON b.w = string_split(bigram, ' ')[2]
+      WHERE c_ab >= {_COLL_MIN_SUPPORT}
+    )
+    SELECT w1, w2, c_ab, c_a, c_b, {_COLL_LIFT} AS lift
+    FROM scored
+    ORDER BY {_COLL_LIFT} DESC, w1, w2
+    LIMIT {_COLL_TOPK}
+    """,
+    doc="Collocation extraction: top-{k} adjacent word pairs by lift "
+    "P(w1w2)/(P(w1)P(w2)) with support >= {s} — the corpus-statistics "
+    "pass behind multiword-expression vocabularies and tokenizer "
+    "merge candidates (BPE-style pair ranking is this same table "
+    "ordered by raw count). Unigram and bigram tables are map-side-"
+    "combined counts; the scoring joins hit the (vocab-sized) unigram "
+    "table twice — broadcast at any realistic vocab. Lift is one "
+    "fixed-order multiplication chain of exact counts ⇒ bit-identical "
+    "cross-engine; (w1, w2) breaks ties before the LIMIT.".format(
+        k=_COLL_TOPK, s=_COLL_MIN_SUPPORT
+    ),
+    tags=("text", "llm"),
+)
+def q_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(TH.spark_tokens("text")).alias("toks"))
+    uni = toks.select(F.explode("toks").alias("w"))
+    unic = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nu = unic.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    bi = toks.where(F.expr("size(toks) >= 2")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    bic = bi.groupBy("bigram").agg(F.count("*").alias("c_ab"))
+    nb = bic.agg(F.sum("c_ab").cast("bigint").alias("n_bi"))
+    scored = (
+        bic.where(F.col("c_ab") >= _COLL_MIN_SUPPORT)
+        .withColumn("w1", F.expr("split(bigram, ' ')[0]"))
+        .withColumn("w2", F.expr("split(bigram, ' ')[1]"))
+        .join(F.broadcast(unic.withColumnRenamed("w", "w1")
+                          .withColumnRenamed("c", "c_a")), "w1")
+        .join(F.broadcast(unic.withColumnRenamed("w", "w2")
+                          .withColumnRenamed("c", "c_b")), "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+    )
+    return (
+        scored.select(
+            "w1", "w2", "c_ab", "c_a", "c_b", F.expr(_COLL_LIFT).alias("lift")
+        )
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(_COLL_TOPK)
+    )

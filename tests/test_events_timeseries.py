@@ -45,3 +45,28 @@ def test_scd2_intervals_chain_per_user(spark, sf_dir):
             assert a["valid_to"] == b["valid_from"]  # intervals chain
             assert a["event_type"] != b["event_type"]  # real changes only
         assert seq[-1]["valid_to"] is None  # open current state
+
+
+def test_interval_dedup_matches_python(spark, sf_dir):
+    """Full Python recomputation of the lag-based debounce."""
+    ev = sorted(
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .collect(),
+        key=lambda r: (r["ts"], r["event_id"]),
+    )
+    last: dict = {}
+    expected = set()
+    for r in ev:
+        k = (r["user_id"], r["event_type"])
+        prev = last.get(k)
+        if prev is None or (r["ts"] - prev).total_seconds() >= 300:
+            expected.add(r["event_id"])
+        last[k] = r["ts"]
+    got = {
+        r["event_id"]
+        for r in REGISTRY["q_events_dedup_within_interval"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    assert got == expected

@@ -334,3 +334,44 @@ def test_quantile_hist_error_bounded(spark, sf_dir):
     for r in rows:
         assert r["exact_value"] > 0
         assert 0.4 <= r["est_value"] / r["exact_value"] <= 2.5
+
+
+# ------------------------------------------------- collocations
+
+
+def test_collocations_against_python(spark, sf_dir):
+    """Top-k lift collocations recomputed in plain Python."""
+    texts = [
+        (r["text"] or "")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    ]
+    uni: dict = {}
+    bi: dict = {}
+    for t in texts:
+        toks = [w for w in t.split(" ") if w]
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    n_uni = sum(uni.values())
+    n_bi = sum(bi.values())
+    scored = [
+        (
+            ((c * float(n_uni)) * float(n_uni))
+            / ((float(uni[a]) * float(uni[b])) * float(n_bi)),
+            a,
+            b,
+            c,
+        )
+        for (a, b), c in bi.items()
+        if c >= 5
+    ]
+    scored.sort(key=lambda x: (-x[0], x[1], x[2]))
+    expected = [(a, b, c) for _, a, b, c in scored[:20]]
+    got = [
+        (r["w1"], r["w2"], r["c_ab"])
+        for r in REGISTRY["q_text_collocations_lift"]
+        .builder(spark, sf_dir)
+        .collect()
+    ]
+    assert got == expected
