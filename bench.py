@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "q_events_scd2_user_state",
     "q_events_dedup_within_interval",
     "q_text_collocations_lift",
+    "q_sketch_hll_grouped",
 ]
 
 

@@ -847,3 +847,93 @@ def q_text_collocations_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "w1", "w2")
         .limit(_COLL_TOPK)
     )
+
+
+# ------------------------------------------------- grouped HLL
+
+
+@register(
+    "q_sketch_hll_grouped",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type, {_DUCK_HRAW} AS hr FROM events
+    ),
+    touched AS (
+      SELECT event_type,
+             CAST(hr // {1 << SK.HLL_WBITS} AS INT) AS bucket,
+             MAX({SK.duck_hll_rank_sql(f"(hr % {1 << SK.HLL_WBITS})")}) AS r
+      FROM hashed GROUP BY event_type, bucket
+    ),
+    summary AS (
+      SELECT event_type,
+             CAST(({SK.HLL_M} - COUNT(*)) * {1 << SK.HLL_SHIFT}
+                  + SUM((1::BIGINT) << ({SK.HLL_SHIFT} - r)) AS BIGINT)
+               AS sum_scaled,
+             CAST({SK.HLL_M} - COUNT(*) AS BIGINT) AS n_empty
+      FROM touched GROUP BY event_type
+    ),
+    truth AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS true_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT s.event_type, s.sum_scaled, s.n_empty,
+           CAST({_HLL_NUM!r} AS DOUBLE) / CAST(s.sum_scaled AS DOUBLE)
+             AS raw_est,
+           t.true_distinct
+    FROM summary s JOIN truth t USING (event_type)
+    ORDER BY s.event_type
+    """,
+    doc="Per-group HyperLogLog — the production shape of approximate "
+    "count-distinct: one m={m}-register sketch per event_type, all "
+    "maintained in a single (group, bucket) max-aggregation whose "
+    "shuffle is O(groups·m) after map-side combine (vs O(groups·keys) "
+    "for exact distinct). Empty registers are accounted arithmetically "
+    "((m − present)·2^SHIFT) so no per-group spine join is needed. "
+    "Exact per-group distinct returned beside the estimate. Scales to "
+    "millions of groups where exact COUNT(DISTINCT) shuffles every "
+    "key. operators/sketches.py family.".format(m=SK.HLL_M),
+    tags=("sketch", "agg", "llm"),
+)
+def q_sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hashed = ev.select(
+        "event_type",
+        F.expr(
+            TH.spark_str_hash_raw("CAST(user_id AS STRING)")
+        ).alias("hr"),
+    )
+    touched = (
+        hashed.select(
+            "event_type",
+            F.expr(f"CAST(hr DIV {1 << SK.HLL_WBITS} AS INT)").alias("bucket"),
+            F.expr(
+                SK.hll_rank_sql(f"(hr % {1 << SK.HLL_WBITS})")
+            ).cast("int").alias("rank"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rank").alias("r"))
+    )
+    summary = touched.groupBy("event_type").agg(
+        F.expr(
+            f"CAST(({SK.HLL_M} - COUNT(*)) * {1 << SK.HLL_SHIFT} "
+            f"+ SUM(shiftleft(CAST(1 AS BIGINT), {SK.HLL_SHIFT} - r)) "
+            f"AS BIGINT)"
+        ).alias("sum_scaled"),
+        F.expr(f"CAST({SK.HLL_M} - COUNT(*) AS BIGINT)").alias("n_empty"),
+    )
+    truth = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("true_distinct")
+    )
+    return (
+        summary.join(truth, "event_type")
+        .select(
+            "event_type",
+            "sum_scaled",
+            "n_empty",
+            F.expr(
+                f"{_HLL_NUM!r}D / CAST(sum_scaled AS DOUBLE)"
+            ).alias("raw_est"),
+            "true_distinct",
+        )
+        .orderBy("event_type")
+    )

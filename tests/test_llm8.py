@@ -375,3 +375,18 @@ def test_collocations_against_python(spark, sf_dir):
         .collect()
     ]
     assert got == expected
+
+
+def test_hll_grouped_consistent_with_global(spark, sf_dir):
+    """Every group's (linear-counting-corrected) estimate lands within
+    a generous factor of its exact distinct count."""
+    import math
+
+    rows = REGISTRY["q_sketch_hll_grouped"].builder(spark, sf_dir).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r["true_distinct"] > 0
+        est = r["raw_est"]
+        if est <= 2.5 * SK.HLL_M and r["n_empty"] > 0:
+            est = SK.HLL_M * math.log(SK.HLL_M / r["n_empty"])
+        assert 0.4 * r["true_distinct"] <= est <= 2.5 * r["true_distinct"]
