@@ -83,7 +83,10 @@ def cms_estimate(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:
     ``key_col, est_cnt`` with ``est = min_i sketch[i][g_i(h)]``.
 
     The sketch is broadcast (fixed size by construction); the probe is
-    a map-side join however large the key list is.
+    a map-side join however large the key list is.  The join is LEFT:
+    a cell absent from the sketch table is an empty (zero) counter, so
+    a never-inserted key correctly estimates 0 instead of being
+    dropped (inner join) or min'd over its non-empty cells only.
     """
     base = keys.select(
         key_col,
@@ -102,9 +105,9 @@ def cms_estimate(keys: DataFrame, sketch: DataFrame, key_col: str) -> DataFrame:
         key_col, F.col("c.r").alias("r"), F.col("c.b").alias("b")
     )
     return (
-        probes.join(F.broadcast(sketch), ["r", "b"])
+        probes.join(F.broadcast(sketch), ["r", "b"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").alias("est_cnt"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_cnt"))
     )
 
 
@@ -169,11 +172,10 @@ def hll_registers(keyed: DataFrame, key_col: str) -> DataFrame:
     )
 
 
-def duck_hll_rank_sql(w: str) -> str:
-    return (
-        f"CASE WHEN {w} = 0 THEN {HLL_WBITS + 1} "
-        f"ELSE {HLL_WBITS} - length(bin({w})) + 1 END"
-    )
+#: The rank expression is engine-portable verbatim (bin() behaves the
+#: same in Spark and DuckDB), so the oracle side is the SAME function —
+#: an alias, not a copy, so the two engines cannot silently diverge.
+duck_hll_rank_sql = hll_rank_sql
 
 
 # ---------------------------------------------------------- Bloom

@@ -258,8 +258,10 @@ def q_events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "valid_from",
             F.lead("valid_from").over(w2).alias("valid_to"),
+            "event_id",
         )
-        .orderBy("user_id", "valid_from")
+        .orderBy("user_id", "valid_from", "event_id")
+        .drop("event_id")
     )
 
 
@@ -280,12 +282,13 @@ def q_events_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Interval-bounded event dedup, batch form: keep an event only "
     "if the previous event of the same (user_id, event_type) is at "
     "least 5 minutes older (lag over one key-partitioned sort — "
-    "debouncing duplicate beacons/retries). This is the batch twin of "
-    "the streaming dropDuplicatesWithinWatermark tier "
-    "(streaming/pipeline.py): same key semantics, with the watermark "
-    "horizon replaced by an explicit interval, giving the streaming "
-    "story a driver-checkable oracle. One shuffle on the dedup key; "
-    "window state is O(1) per key.",
+    "debouncing duplicate beacons/retries). Complements the streaming "
+    "dropDuplicatesWithinWatermark tier (streaming/pipeline.py) with "
+    "a driver-checkable batch debounce on the same keys; note the "
+    "semantics differ on chained bursts (this compares to the "
+    "previous event, state-based streaming dedup compares to the "
+    "last event that survived state expiry). One shuffle on the "
+    "dedup key; window state is O(1) per key.",
     tags=("events", "dedup", "time"),
 )
 def q_events_dedup_within_interval(spark: SparkSession, sf_dir: str) -> DataFrame:

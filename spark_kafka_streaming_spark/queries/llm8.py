@@ -394,8 +394,12 @@ _DUCK_BLOOM_MASK = (
     tags=("sketch", "decontaminate", "llm"),
 )
 def q_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.caching import track_persist
+
     sigs = signature_table(spark, sf_dir).select("doc_id", "hs")
-    ev = (
+    # Persisted: consumed twice — eagerly collected into the bitmap
+    # literal, then broadcast for the exact-verify join.
+    ev = track_persist(
         sigs.where(F.expr(f"doc_id % {_EVAL_MOD} = 0"))
         .select(F.explode("hs").alias("h"))
         .distinct()
@@ -441,7 +445,8 @@ _KMV_K = 32
 #: exact integer h_k is then bit-identical cross-engine.
 _KMV_NUM = float((_KMV_K - 1) * (1 << 60))
 
-_DUCK_UH = TH.duck_str_hash_raw("CAST(user_id AS VARCHAR)")
+# Same raw-hash expression the HLL tier uses — alias, not a copy.
+_DUCK_UH = _DUCK_HRAW
 
 
 @register(
@@ -462,6 +467,7 @@ _DUCK_UH = TH.duck_str_hash_raw("CAST(user_id AS VARCHAR)")
     ),
     stats AS (
       SELECT (SELECT MAX(h) FROM ku) AS h_k,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ku) AS n_sketch,
              (SELECT COUNT(*) FROM ku
               WHERE h IN (SELECT h FROM ka)
                 AND h IN (SELECT h FROM kb)) AS n_both,
@@ -471,12 +477,16 @@ _DUCK_UH = TH.duck_str_hash_raw("CAST(user_id AS VARCHAR)")
                                     SELECT h FROM hb)) AS union_true
     )
     SELECT CAST({_KMV_K} AS BIGINT) AS k, n_a_true, n_b_true, union_true,
-           h_k,
-           CAST({_KMV_NUM!r} AS DOUBLE) / CAST(h_k AS DOUBLE) AS union_est,
+           h_k, n_sketch,
+           CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE)
+                ELSE CAST({_KMV_NUM!r} AS DOUBLE) / CAST(h_k AS DOUBLE)
+           END AS union_est,
            CAST(n_both AS BIGINT) AS n_both,
-           (CAST(n_both AS DOUBLE)
-            * (CAST({_KMV_NUM!r} AS DOUBLE) / CAST(h_k AS DOUBLE)))
-             / {_KMV_K} AS inter_est,
+           CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_both AS DOUBLE)
+                ELSE (CAST(n_both AS DOUBLE)
+                      * (CAST({_KMV_NUM!r} AS DOUBLE) / CAST(h_k AS DOUBLE)))
+                     / {_KMV_K}
+           END AS inter_est,
            (SELECT COUNT(*) FROM ha WHERE h IN (SELECT h FROM hb))
              AS inter_true
     FROM stats
@@ -489,10 +499,10 @@ _DUCK_UH = TH.duck_str_hash_raw("CAST(user_id AS VARCHAR)")
     "cohort's sketch is k values — a TakeOrdered, mergeable by "
     "union+truncate, so cohort overlap over 100 TB of events costs "
     "two bottom-k scans and no set-wide shuffle beyond the distinct. "
-    "True values returned alongside; portable hash ⇒ estimates are "
-    "bit-identical cross-engine. operators/sketches.py family.".format(
-        k=_KMV_K
-    ),
+    "Under-filled sketches (|union| < k) fall back to the exact sketch "
+    "size, the standard KMV small-range rule. True values returned "
+    "alongside; portable hash ⇒ estimates are bit-identical "
+    "cross-engine. operators/sketches.py family.".format(k=_KMV_K),
     tags=("sketch", "llm"),
 )
 def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -518,7 +528,10 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kb, "h", "left_semi")
         .agg(F.count("*").alias("n_both"))
     )
-    h_k = ku.agg(F.max("h").alias("h_k"))
+    h_k = ku.agg(
+        F.max("h").alias("h_k"),
+        F.count("*").cast("bigint").alias("n_sketch"),
+    )
     truths = (
         ha.select(F.lit(1).alias("side"), "h")
         .union(hb.select(F.lit(2).alias("side"), "h"))
@@ -545,11 +558,16 @@ def q_sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b_true",
             "union_true",
             "h_k",
-            F.expr(f"{_KMV_NUM!r}D / CAST(h_k AS DOUBLE)").alias("union_est"),
+            "n_sketch",
+            F.expr(
+                f"CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_sketch AS DOUBLE) "
+                f"ELSE {_KMV_NUM!r}D / CAST(h_k AS DOUBLE) END"
+            ).alias("union_est"),
             F.col("n_both").cast("bigint").alias("n_both"),
             F.expr(
-                f"(CAST(n_both AS DOUBLE) * ({_KMV_NUM!r}D / "
-                f"CAST(h_k AS DOUBLE))) / {_KMV_K}"
+                f"CASE WHEN n_sketch < {_KMV_K} THEN CAST(n_both AS DOUBLE) "
+                f"ELSE (CAST(n_both AS DOUBLE) * ({_KMV_NUM!r}D / "
+                f"CAST(h_k AS DOUBLE))) / {_KMV_K} END"
             ).alias("inter_est"),
             "inter_true",
         )

@@ -390,3 +390,46 @@ def test_hll_grouped_consistent_with_global(spark, sf_dir):
         if est <= 2.5 * SK.HLL_M and r["n_empty"] > 0:
             est = SK.HLL_M * math.log(SK.HLL_M / r["n_empty"])
         assert 0.4 * r["true_distinct"] <= est <= 2.5 * r["true_distinct"]
+
+
+def test_cms_estimate_absent_key_is_zero(spark):
+    """Point-querying a key never inserted returns 0 (left-join probe),
+    not a dropped row or a min over partial cells."""
+    inserted = spark.createDataFrame([(1,), (2,), (3,)], "user_id BIGINT")
+    sketch = SK.cms_build(inserted, "user_id")
+    probe = spark.createDataFrame([(999999,), (1,)], "user_id BIGINT")
+    got = {
+        r["user_id"]: r["est_cnt"]
+        for r in SK.cms_estimate(probe, sketch, "user_id").collect()
+    }
+    assert set(got) == {999999, 1}
+    assert got[1] >= 1
+    # 999999's cells are almost surely untouched by 3 keys; and even on
+    # a collision the estimate is bounded by the insert count.
+    assert 0 <= got[999999] <= 3
+
+
+def test_kmv_underfilled_falls_back_to_exact(spark, tmp_path):
+    """With |union| < k the sketch is exhaustive and the estimators
+    return the exact sketch sizes instead of the (k-1)/h_k formula."""
+    rows = []
+    eid = 0
+    import datetime as _dt
+
+    base = _dt.datetime(2024, 1, 1)
+    for u in range(5):
+        for et in (["click"] if u < 4 else ["purchase"]):
+            rows.append((eid, base, u, et, 1.0, "{}"))
+            eid += 1
+    rows.append((eid, base, 3, "purchase", 1.0, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type STRING, value DOUBLE, props STRING",
+    )
+    p = tmp_path / "kmv_small"
+    df.write.mode("overwrite").parquet(str(p / "events.parquet"))
+    row = REGISTRY["q_sketch_kmv_setops"].builder(spark, str(p)).collect()[0]
+    assert row["n_sketch"] == row["union_true"] < row["k"]
+    assert row["union_est"] == float(row["union_true"])
+    assert row["inter_est"] == float(row["inter_true"]) == float(row["n_both"])
