@@ -123,6 +123,8 @@ BENCH_QUERIES = [
     "q_events_dedup_within_interval",
     "q_text_collocations_lift",
     "q_sketch_hll_grouped",
+    "q_audit_referential_integrity",
+    "q_events_rollup_time_grains",
 ]
 
 

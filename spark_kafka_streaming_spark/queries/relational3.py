@@ -147,3 +147,120 @@ def q_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sum_scaled"),
         F.expr(f"array_max({scaled})").alias("max_scaled"),
     )
+
+
+@register(
+    "q_audit_referential_integrity",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, COUNT(*) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*)
+    FROM customer c WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    UNION ALL
+    SELECT 'supplier->nation', COUNT(*)
+    FROM supplier s WHERE NOT EXISTS
+      (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)
+    UNION ALL
+    SELECT 'nation->region', COUNT(*)
+    FROM nation n WHERE NOT EXISTS
+      (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    ORDER BY fk
+    """,
+    doc="Referential-integrity audit across the star schema: orphan "
+    "counts for every foreign key as one result (the dbt-test / "
+    "data-contract pass a pipeline runs before publishing a "
+    "snapshot). Each leg is an anti-join (LEFT ANTI in the plan): "
+    "dimension side broadcast wherever the dim is broadcastable, so "
+    "the fact tables are each scanned once with no fact shuffle; the "
+    "fact-fact leg (lineitem->orders) shuffles on the join key only. "
+    "All-zero counts on the driver-generated tables — the audit's "
+    "value is the plan shape plus the nonzero report at real scale.",
+    tags=("relational", "join", "audit"),
+)
+def q_audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def orphans(fact: str, fk: str, dim: str, pk: str, label: str,
+                broadcast_dim: bool) -> DataFrame:
+        f = load_table(spark, sf_dir, fact)
+        d = load_table(spark, sf_dir, dim).select(pk)
+        d = F.broadcast(d) if broadcast_dim else d
+        return (
+            f.join(d, f[fk] == d[pk], "left_anti")
+            .agg(F.count("*").alias("n_orphans"))
+            .select(F.lit(label).alias("fk"), "n_orphans")
+        )
+
+    legs = [
+        orphans("lineitem", "l_orderkey", "orders", "o_orderkey",
+                "lineitem->orders", False),
+        orphans("orders", "o_custkey", "customer", "c_custkey",
+                "orders->customer", True),
+        orphans("customer", "c_nationkey", "nation", "n_nationkey",
+                "customer->nation", True),
+        orphans("supplier", "s_nationkey", "nation", "n_nationkey",
+                "supplier->nation", True),
+        orphans("nation", "n_regionkey", "region", "r_regionkey",
+                "nation->region", True),
+        orphans("lineitem", "l_partkey", "part", "p_partkey",
+                "lineitem->part", True),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.union(leg)
+    return out.orderBy("fk")
+
+
+@register(
+    "q_events_rollup_time_grains",
+    oracle="""
+    SELECT COALESCE(CAST(CAST(date_trunc('day', ts) AS TIMESTAMP)
+                         AS VARCHAR), 'ALL') AS day,
+           COALESCE(CAST(date_trunc('hour', ts) AS VARCHAR), 'ALL') AS hour,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
+                            (date_trunc('day', ts)),
+                            ())
+    ORDER BY day, hour
+    """,
+    doc="Multi-granularity time rollup in ONE pass: hourly, daily, and "
+    "grand-total aggregates of the event stream via GROUPING SETS "
+    "over derived time buckets (the OLAP-cube time hierarchy every "
+    "dashboard materializes). Spark expands the sets map-side and "
+    "partial-aggregates each — one shuffle carrying ~(hours + days + "
+    "1) groups, not 3 scans. Grain keys are stringified with an 'ALL' "
+    "sentinel so the result is engine-portable (NULL-vs-sentinel "
+    "rollup markers differ across engines otherwise).",
+    tags=("events", "agg", "time"),
+)
+def q_events_rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_grains"
+    )
+    return spark.sql(
+        """
+        SELECT COALESCE(CAST(date_trunc('day', ts) AS STRING), 'ALL') AS day,
+               COALESCE(CAST(date_trunc('hour', ts) AS STRING), 'ALL')
+                 AS hour,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_value
+        FROM events_grains
+        GROUP BY GROUPING SETS
+          ((date_trunc('day', ts), date_trunc('hour', ts)),
+           (date_trunc('day', ts)),
+           ())
+        ORDER BY day, hour
+        """
+    )
