@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q_sketch_hll_grouped",
     "q_audit_referential_integrity",
     "q_events_rollup_time_grains",
+    "q_text_phrase_search",
 ]
 
 

@@ -955,3 +955,77 @@ def q_sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# -------------------------------------------- positional phrase search
+
+
+@register(
+    "q_text_phrase_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {TH.duck_tokens('text')} AS toks FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS p,
+             toks FROM toks WHERE len(toks) >= 2
+    ),
+    big AS (
+      SELECT doc_id, p, toks[p] || ' ' || toks[p + 1] AS bigram FROM pos
+    ),
+    top_phrase AS (
+      SELECT bigram FROM big GROUP BY bigram
+      ORDER BY COUNT(*) DESC, bigram LIMIT 1
+    )
+    SELECT b.doc_id,
+           COUNT(*) AS n_occurrences,
+           CAST(MIN(b.p) AS BIGINT) AS first_pos
+    FROM big b JOIN top_phrase t ON b.bigram = t.bigram
+    GROUP BY b.doc_id
+    ORDER BY n_occurrences DESC, b.doc_id
+    LIMIT 10
+    """,
+    doc="Positional phrase retrieval: the corpus' most frequent "
+    "2-token phrase (count-then-lexicographic tiebreak) searched "
+    "through a positional posting derivation — token positions via "
+    "sequence fan-out, adjacency by construction, per-doc occurrence "
+    "count and first match position, top-10 docs. Completes the "
+    "search tier (inverted index → phrase query): at scale the "
+    "positional postings are materialized once (same pattern as the "
+    "signature table) and phrase queries touch only the first term's "
+    "posting rows. No self-join — adjacency comes from the "
+    "(token, next-token) pairing inside the same row.",
+    tags=("text", "llm"),
+)
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(TH.spark_tokens("text")).alias("toks")
+    ).where(F.expr("size(toks) >= 2"))
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(i AS p, concat(element_at(toks, i), ' ', "
+                "element_at(toks, i + 1)) AS bigram))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.p").alias("p"), F.col("s.bigram").alias("bigram"))
+    top_phrase = (
+        big.groupBy("bigram")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "bigram")
+        .limit(1)
+        .select("bigram")
+    )
+    return (
+        big.join(F.broadcast(top_phrase), "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("p").cast("bigint").alias("first_pos"),
+        )
+        .orderBy(F.desc("n_occurrences"), "doc_id")
+        .limit(10)
+    )
