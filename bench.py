@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "q_audit_referential_integrity",
     "q_events_rollup_time_grains",
     "q_text_phrase_search",
+    "q_dedup_simhash_capped",
 ]
 
 

@@ -210,6 +210,7 @@ def simhash_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     sigs: DataFrame | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded 60-bit SimHash.
 
@@ -217,6 +218,21 @@ def simhash_pairs(
     via xor+bit_count on candidates. Returns (id1, id2, hamming, sim1,
     sim2).  ``sigs``: optional precomputed signature table (see
     :func:`minhash_lsh_pairs`); uses its ``sim`` column.
+
+    ``max_bucket``: drop (band, key) buckets holding more than this
+    many signatures before the self-join — the saturation guard for
+    degenerate corpora (tiny vocabularies collapse simhash space into
+    mega-buckets whose Σc² explodes quadratically; measured 28.2B
+    candidates at 500k docs on the 40-word synthetic corpus,
+    SCALE.md).  A mega-bucket is low-information by construction — it
+    asserts "these 150k docs agree on 15 bits", which at that density
+    selects ~nothing — so dropping it trades bounded, quantifiable
+    recall (a true pair is lost only if ALL of its ≤max_hamming+1
+    matching bands are over-cap) for a Σ(≤cap)² candidate bound.
+    Distinct from :mod:`..operators.skew`'s ``bounded_self_pairs``,
+    which decomposes over-cap buckets EXACTLY (same pair set, bounded
+    fan-in) — right when the pairs themselves are wanted; the drop is
+    right when the bucket's pair population is noise.
     """
     if sigs is not None:
         sigs = sigs.select(id_col, "sim")
@@ -256,6 +272,16 @@ def simhash_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "sim", "bk.band", "bk.key")
+    if max_bucket is not None:
+        # Bucket census is ≤ nbands·2^width rows — broadcastable at any
+        # corpus size; the semi-join prunes saturated buckets map-side.
+        ok = (
+            bands.groupBy("band", "key")
+            .count()
+            .where(F.col("count") <= max_bucket)
+            .select("band", "key")
+        )
+        bands = bands.join(F.broadcast(ok), ["band", "key"], "left_semi")
     left, right = bands.alias("l"), bands.alias("r")
     return (
         left.join(

@@ -714,3 +714,64 @@ def q_dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(
         pairs, emb.select("vec_id"), id_col="vec_id"
     ).orderBy("vec_id")
+
+
+_SIMHASH_CAP = 50
+
+
+@register(
+    "q_dedup_simhash_capped",
+    oracle=f"""
+    WITH sims AS (
+      SELECT doc_id, {TH.duck_simhash('text')} AS sim FROM documents
+    ),
+    bands AS ({_duck_simhash_bands()}),
+    ok AS (
+      SELECT band, key FROM bands GROUP BY band, key
+      HAVING COUNT(*) <= {_SIMHASH_CAP}
+    ),
+    kept AS (
+      SELECT b.doc_id, b.sim, b.band, b.key
+      FROM bands b JOIN ok USING (band, key)
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2,
+             l.sim AS sim1, r.sim AS sim2
+      FROM kept l JOIN kept r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(sim1, sim2)) AS INT) AS hamming,
+           sim1, sim2
+    FROM cand
+    WHERE bit_count(xor(sim1, sim2)) <= 1
+    ORDER BY id1, id2
+    """,
+    doc="SimHash near-dup pairs with the saturation guard: (band, key) "
+    "buckets holding more than {cap} signatures are dropped before "
+    "the self-join. Mega-buckets are the quadratic failure mode of "
+    "banded SimHash on low-entropy corpora (measured: 28.2B "
+    "candidates at 500k docs on the 40-word synthetic vocabulary, "
+    "SCALE.md third-decade section) and are low-information by "
+    "construction; the cap bounds candidates at Σ(≤cap)² while a "
+    "true pair is lost only if EVERY one of its matching bands is "
+    "over-cap. At oracle scale the cap genuinely drops buckets "
+    "(bucket max ≈ 155 > {cap}) yet the final pair set matches the "
+    "uncapped query — every affected pair is re-found via a "
+    "non-saturated band, exactly the pigeonhole redundancy the guard "
+    "relies on; the driver row pins that equivalence cross-engine, "
+    "and the planted 120-clone test (tests/test_llm8.py) pins the "
+    "drop itself. "
+    "operators/dedup.py::simhash_pairs(max_bucket=...).".format(
+        cap=_SIMHASH_CAP
+    ),
+    tags=("llm", "dedup", "simhash", "skew"),
+)
+def q_dedup_simhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = signature_table(spark, sf_dir)
+    return (
+        simhash_pairs(
+            None, max_hamming=1, sigs=sigs, max_bucket=_SIMHASH_CAP
+        )
+        .withColumn("hamming", F.col("hamming").cast("int"))
+        .orderBy("id1", "id2")
+    )

@@ -433,3 +433,32 @@ def test_kmv_underfilled_falls_back_to_exact(spark, tmp_path):
     assert row["n_sketch"] == row["union_true"] < row["k"]
     assert row["union_est"] == float(row["union_true"])
     assert row["inter_est"] == float(row["inter_true"]) == float(row["n_both"])
+
+
+# --------------------------------------------- simhash saturation guard
+
+
+def test_simhash_cap_drops_megabucket_keeps_rest(spark):
+    """A 120-clone mega-bucket is dropped by the cap while a pair in
+    un-saturated buckets survives — and capped pairs are always a
+    subset of the uncapped result."""
+    from spark_kafka_streaming_spark.operators.dedup import simhash_pairs
+
+    clone = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "table window stream batch merge filter join scan sort agg"
+    rows = [(i, clone) for i in range(120)]
+    rows += [(1000, other), (1001, other)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING")
+
+    capped = {
+        (r["id1"], r["id2"])
+        for r in simhash_pairs(df, max_hamming=1, max_bucket=50).collect()
+    }
+    assert capped == {(1000, 1001)}
+
+    uncapped = {
+        (r["id1"], r["id2"])
+        for r in simhash_pairs(df, max_hamming=1).collect()
+    }
+    assert capped <= uncapped
+    assert (0, 1) in uncapped  # the clones pair without the cap
