@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "q_events_rollup_time_grains",
     "q_text_phrase_search",
     "q_dedup_simhash_capped",
+    "q_text_fuzzy_match",
+    "q_basket_brand_pairs",
 ]
 
 

@@ -264,3 +264,108 @@ def q_events_rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY day, hour
         """
     )
+
+
+@register(
+    "q_text_fuzzy_match",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part
+    ),
+    probes AS (
+      SELECT p_name AS orig,
+             substr(p_name, 1, 2) || substr(p_name, 4) AS probe
+      FROM (SELECT p_name FROM names ORDER BY p_name LIMIT 5)
+    )
+    SELECT pr.probe, n.p_name,
+           CAST(levenshtein(pr.probe, n.p_name) AS INT) AS dist
+    FROM probes pr CROSS JOIN names n
+    WHERE levenshtein(pr.probe, n.p_name) <= 2
+    ORDER BY pr.probe, dist, n.p_name
+    """,
+    doc="Fuzzy string matching: 5 deterministically corrupted part "
+    "names (3rd character deleted) matched against the distinct name "
+    "dictionary within edit distance 2 — the entity-resolution / "
+    "typo-lookup shape. The probe side is broadcast, so the "
+    "dictionary scans once map-side with k levenshtein evaluations "
+    "per row (never a dictionary×dictionary cross join); for "
+    "probe-at-scale matching, block on (length band, first char) "
+    "first — the same candidate-prune idea as the dedup tiers. "
+    "levenshtein is integer-exact and identical across engines.",
+    tags=("relational", "text", "join"),
+)
+def q_text_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    probes = (
+        names.orderBy("p_name")
+        .limit(5)
+        .select(
+            F.expr("concat(substr(p_name, 1, 2), substr(p_name, 4))").alias(
+                "probe"
+            )
+        )
+    )
+    return (
+        names.crossJoin(F.broadcast(probes))
+        .where(F.expr("levenshtein(probe, p_name) <= 2"))
+        .select(
+            "probe",
+            "p_name",
+            F.expr("CAST(levenshtein(probe, p_name) AS INT)").alias("dist"),
+        )
+        .orderBy("probe", "dist", "p_name")
+    )
+
+
+@register(
+    "q_basket_brand_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    )
+    SELECT a.p_brand AS brand1, b.p_brand AS brand2,
+           COUNT(*) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+    GROUP BY brand1, brand2
+    ORDER BY n_orders DESC, brand1, brand2
+    LIMIT 15
+    """,
+    doc="Market-basket co-occurrence: top brand pairs bought in the "
+    "same order (association-rule support counting). The self-join is "
+    "keyed on l_orderkey, so fan-out per order is bounded by "
+    "(distinct brands per order choose 2) — small by construction of "
+    "real baskets (TPC-H ~4 items/order), never a table-level "
+    "quadratic; part is broadcast into the item derivation. The "
+    "relational twin of the corpus collocation query "
+    "(q_text_collocations_lift).",
+    tags=("relational", "join", "agg"),
+)
+def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = items.alias("a")
+    b = items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand1"),
+            F.col("b.p_brand").alias("brand2"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand1", "brand2")
+        .limit(15)
+    )
