@@ -50,15 +50,20 @@ def main() -> None:
 
         cms: dict = {}
         hll: dict = {i: 0 for i in range(SK.HLL_M)}
-        batches = []
+        batches = set()
 
         def absorb(df, epoch_id):
+            # foreachBatch is at-least-once: a replayed epoch must not
+            # double-count into the sum-merged CMS (max-merged HLL
+            # would survive a replay, sums would not).
+            if epoch_id in batches:
+                return
+            batches.add(epoch_id)
             for r in SK.cms_build(df, "user_id").collect():
                 k = (r["r"], r["b"])
                 cms[k] = cms.get(k, 0) + r["cnt"]
             for r in SK.hll_registers(df, "user_id").collect():
                 hll[r["bucket"]] = max(hll[r["bucket"]], r["r"])
-            batches.append(epoch_id)
 
         q = (
             spark.readStream.schema("user_id BIGINT")

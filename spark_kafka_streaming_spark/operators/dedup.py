@@ -273,15 +273,18 @@ def simhash_pairs(
         ).alias("bk"),
     ).select(id_col, "sim", "bk.band", "bk.key")
     if max_bucket is not None:
-        # Bucket census is ≤ nbands·2^width rows — broadcastable at any
-        # corpus size; the semi-join prunes saturated buckets map-side.
-        ok = (
+        # Broadcast the OVER-cap bucket list, not the under-cap census:
+        # there can be at most (total band rows / max_bucket) saturated
+        # buckets — e.g. 0.5% of rows at cap=200 — so the broadcast is
+        # bounded by construction however large the corpus, and the
+        # anti-join prunes their members map-side.
+        hot = (
             bands.groupBy("band", "key")
             .count()
-            .where(F.col("count") <= max_bucket)
+            .where(F.col("count") > max_bucket)
             .select("band", "key")
         )
-        bands = bands.join(F.broadcast(ok), ["band", "key"], "left_semi")
+        bands = bands.join(F.broadcast(hot), ["band", "key"], "left_anti")
     left, right = bands.alias("l"), bands.alias("r")
     return (
         left.join(

@@ -998,6 +998,8 @@ def q_sketch_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "llm"),
 )
 def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.caching import track_persist
+
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.expr(TH.spark_tokens("text")).alias("toks")
@@ -1012,6 +1014,11 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.p").alias("p"), F.col("s.bigram").alias("bigram"))
+    # Persisted: the tokenize + position-explode pass feeds BOTH the
+    # top-phrase aggregation and the retrieval join, with no exchange
+    # between them for ReuseExchange to dedupe (same double-consumption
+    # shape as q_decontaminate_bloom's eval set).
+    big = track_persist(big)
     top_phrase = (
         big.groupBy("bigram")
         .agg(F.count("*").alias("c"))

@@ -180,39 +180,65 @@ def q_array_hof_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Referential-integrity audit across the star schema: orphan "
     "counts for every foreign key as one result (the dbt-test / "
     "data-contract pass a pipeline runs before publishing a "
-    "snapshot). Each leg is an anti-join (LEFT ANTI in the plan): "
-    "dimension side broadcast wherever the dim is broadcastable, so "
-    "the fact tables are each scanned once with no fact shuffle; the "
-    "fact-fact leg (lineitem->orders) shuffles on the join key only. "
-    "All-zero counts on the driver-generated tables — the audit's "
-    "value is the plan shape plus the nonzero report at real scale.",
+    "snapshot). Both lineitem FKs (orders + part) are checked in ONE "
+    "lineitem pass — left joins against the broadcast part key set "
+    "and the orders key set, counted by conditional aggregation — so "
+    "the biggest fact is scanned once; the remaining legs are "
+    "anti-joins with broadcast dims. All-zero counts on the "
+    "driver-generated tables — the audit's value is the plan shape "
+    "plus the nonzero report at real scale.",
     tags=("relational", "join", "audit"),
 )
 def q_audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    def orphans(fact: str, fk: str, dim: str, pk: str, label: str,
-                broadcast_dim: bool) -> DataFrame:
+    def orphans(fact: str, fk: str, dim: str, pk: str, label: str) -> DataFrame:
         f = load_table(spark, sf_dir, fact)
-        d = load_table(spark, sf_dir, dim).select(pk)
-        d = F.broadcast(d) if broadcast_dim else d
+        d = F.broadcast(load_table(spark, sf_dir, dim).select(pk))
         return (
             f.join(d, f[fk] == d[pk], "left_anti")
             .agg(F.count("*").alias("n_orphans"))
             .select(F.lit(label).alias("fk"), "n_orphans")
         )
 
+    # Both lineitem FKs in one scan: left-join flags + conditional agg.
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey")
+        .withColumn("has_p", F.lit(1))
+    )
+    li_counts = (
+        li.join(part, li.l_partkey == F.col("p_partkey"), "left")
+        .join(
+            ords.withColumn("has_o", F.lit(1)),
+            li.l_orderkey == ords.o_orderkey,
+            "left",
+        )
+        .agg(
+            F.sum(
+                F.expr("CASE WHEN has_o IS NULL THEN 1 ELSE 0 END")
+            ).alias("lo"),
+            F.sum(
+                F.expr("CASE WHEN has_p IS NULL THEN 1 ELSE 0 END")
+            ).alias("lp"),
+        )
+        .selectExpr(
+            "stack(2, 'lineitem->orders', lo, 'lineitem->part', lp) "
+            "AS (fk, n_orphans)"
+        )
+    )
     legs = [
-        orphans("lineitem", "l_orderkey", "orders", "o_orderkey",
-                "lineitem->orders", False),
+        li_counts,
         orphans("orders", "o_custkey", "customer", "c_custkey",
-                "orders->customer", True),
+                "orders->customer"),
         orphans("customer", "c_nationkey", "nation", "n_nationkey",
-                "customer->nation", True),
+                "customer->nation"),
         orphans("supplier", "s_nationkey", "nation", "n_nationkey",
-                "supplier->nation", True),
+                "supplier->nation"),
         orphans("nation", "n_regionkey", "region", "r_regionkey",
-                "nation->region", True),
-        orphans("lineitem", "l_partkey", "part", "p_partkey",
-                "lineitem->part", True),
+                "nation->region"),
     ]
     out = legs[0]
     for leg in legs[1:]:
@@ -229,6 +255,7 @@ def q_audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY GROUPING SETS ((date_trunc('day', ts), date_trunc('hour', ts)),
                             (date_trunc('day', ts)),
                             ())
@@ -241,7 +268,10 @@ def q_audit_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame
     "partial-aggregates each — one shuffle carrying ~(hours + days + "
     "1) groups, not 3 scans. Grain keys are stringified with an 'ALL' "
     "sentinel so the result is engine-portable (NULL-vs-sentinel "
-    "rollup markers differ across engines otherwise).",
+    "rollup markers differ across engines otherwise); NULL timestamps "
+    "are filtered first so the sentinel is unambiguous — a NULL-ts "
+    "group would otherwise masquerade as a subtotal row (use "
+    "GROUPING() markers instead if NULL keys must be kept).",
     tags=("events", "agg", "time"),
 )
 def q_events_rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -257,6 +287,7 @@ def q_events_rollup_time_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
                  AS total_value
         FROM events_grains
+        WHERE ts IS NOT NULL
         GROUP BY GROUPING SETS
           ((date_trunc('day', ts), date_trunc('hour', ts)),
            (date_trunc('day', ts)),
