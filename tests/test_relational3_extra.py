@@ -1,0 +1,107 @@
+"""Semantics tests for the data-quality + association wave
+(queries/relational3.py): planted-orphan FK audit, fuzzy-match and
+basket-pair recomputation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+
+from spark_kafka_streaming_spark.queries import REGISTRY
+from spark_kafka_streaming_spark.sources.batch import TABLES, load_table
+
+
+def test_audit_flags_planted_orphans(spark, sf_dir, tmp_path):
+    """Copy the corpus, plant one lineitem with a bogus orderkey and
+    one with a bogus partkey, and assert the audit reports exactly
+    those orphans (everything else stays zero)."""
+    dst = tmp_path / "corrupt"
+    dst.mkdir()
+    for t in TABLES:
+        if t == "lineitem":
+            li = load_table(spark, sf_dir, t)
+            bad = li.limit(2).withColumn(
+                "l_orderkey", F.lit(999_999_999)
+            )
+            bad2 = li.limit(1).withColumn("l_partkey", F.lit(888_888_888))
+            li.unionByName(bad).unionByName(bad2).write.parquet(
+                str(dst / f"{t}.parquet")
+            )
+        else:
+            src = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(src):
+                shutil.copytree(src, str(dst / f"{t}.parquet"))
+            else:
+                shutil.copy(src, str(dst / f"{t}.parquet"))
+    rows = {
+        r["fk"]: r["n_orphans"]
+        for r in REGISTRY["q_audit_referential_integrity"]
+        .builder(spark, str(dst))
+        .collect()
+    }
+    assert rows["lineitem->orders"] == 2
+    assert rows["lineitem->part"] == 1
+    assert all(
+        v == 0
+        for k, v in rows.items()
+        if k not in ("lineitem->orders", "lineitem->part")
+    )
+
+
+def test_fuzzy_match_distances_correct(spark, sf_dir):
+    """Every returned pair really is within edit distance 2, every
+    probe matches its own original at distance exactly 1 (one char
+    deleted), and distances agree with a Python Levenshtein."""
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rows = REGISTRY["q_text_fuzzy_match"].builder(spark, sf_dir).collect()
+    assert rows
+    probes = {r["probe"] for r in rows}
+    for r in rows:
+        assert r["dist"] == lev(r["probe"], r["p_name"]) <= 2
+    # each probe is its original minus the 3rd char -> distance 1 hit
+    for p in probes:
+        assert any(r["probe"] == p and r["dist"] == 1 for r in rows)
+
+
+def test_basket_pairs_against_python(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = {
+        r["p_partkey"]: r["p_brand"]
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    baskets: dict = {}
+    for r in li.collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(part[r["l_partkey"]])
+    support: dict = {}
+    for brands in baskets.values():
+        bs = sorted(brands)
+        for i in range(len(bs)):
+            for j in range(i + 1, len(bs)):
+                support[(bs[i], bs[j])] = support.get((bs[i], bs[j]), 0) + 1
+    expected = sorted(
+        ((v, k) for k, v in support.items()),
+        key=lambda x: (-x[0], x[1]),
+    )[:15]
+    got = [
+        ((r["brand1"], r["brand2"]), r["n_orders"])
+        for r in REGISTRY["q_basket_brand_pairs"]
+        .builder(spark, sf_dir)
+        .collect()
+    ]
+    assert got == [(k, v) for v, k in expected]
