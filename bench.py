@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "q_dedup_simhash_capped",
     "q_text_fuzzy_match",
     "q_basket_brand_pairs",
+    "q_layout_zorder",
 ]
 
 

@@ -400,3 +400,126 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "brand1", "brand2")
         .limit(15)
     )
+
+
+_ZBITS = 12  # covers custkey (0..1499) and days-since-1995 (0..~2400)
+_ZBUCKETS = 16
+
+
+def _z_spark(c: str, d: str) -> str:
+    terms = [
+        f"shiftleft(shiftright({c}, {i}) & 1, {2 * i})" for i in range(_ZBITS)
+    ] + [
+        f"shiftleft(shiftright({d}, {i}) & 1, {2 * i + 1})"
+        for i in range(_ZBITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_duck(c: str, d: str) -> str:
+    terms = [
+        f"((({c} >> {i}) & 1) << {2 * i})" for i in range(_ZBITS)
+    ] + [
+        f"((({d} >> {i}) & 1) << {2 * i + 1})" for i in range(_ZBITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "q_layout_zorder",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey AS key, o_custkey AS c,
+             CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate)
+                  AS BIGINT) AS d
+      FROM orders
+    ),
+    z AS (
+      SELECT key, c, d, {_z_duck('c', 'd')} AS zval FROM base
+    ),
+    bucketed AS (
+      SELECT 'zorder' AS layout, c, d,
+             NTILE({_ZBUCKETS}) OVER (ORDER BY zval, key) AS bucket
+      FROM z
+      UNION ALL
+      SELECT 'linear' AS layout, c, d,
+             NTILE({_ZBUCKETS}) OVER (ORDER BY c, key) AS bucket
+      FROM z
+    ),
+    spans AS (
+      SELECT layout, bucket, COUNT(*) AS n,
+             MAX(c) - MIN(c) + 1 AS span_c,
+             MAX(d) - MIN(d) + 1 AS span_d
+      FROM bucketed GROUP BY layout, bucket
+    )
+    SELECT layout,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
+           CAST(MAX(span_c) AS BIGINT) AS max_span_c,
+           CAST(MAX(span_d) AS BIGINT) AS max_span_d,
+           CAST(SUM(span_c * n) AS BIGINT) AS weighted_span_c,
+           CAST(SUM(span_d * n) AS BIGINT) AS weighted_span_d
+    FROM spans
+    GROUP BY layout
+    ORDER BY layout
+    """,
+    doc="Z-order (Morton) multi-dimensional clustering, quantified: "
+    "orders keyed by bit-interleaved (custkey, order-day) are cut "
+    "into {b} contiguous files and compared against a linear "
+    "custkey sort on per-file min/max spans of BOTH dimensions — the "
+    "statistics file-skipping actually uses. The linear layout gives "
+    "tight custkey spans but every file spans the full date range "
+    "(zero date pruning); the z-order layout bounds both spans, so "
+    "range predicates on either dimension skip files. The z-value is "
+    "a pure integer bit-interleave (exact, engine-identical); "
+    "bucketing is NTILE over the (zval, key) total order — at scale "
+    "this is `repartitionByRange(zval)` + per-file min/max stats, the "
+    "OSS-Spark route to Delta/Iceberg-style Z-ordering. "
+    "(tests/test_relational3_extra.py pins the pruning claim: "
+    "z-order's max date span ≪ linear's.)".format(b=_ZBUCKETS),
+    tags=("relational", "layout", "scale"),
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_custkey").alias("c"),
+        F.expr(
+            "CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT)"
+        ).alias("d"),
+    )
+    z = base.withColumn("zval", F.expr(_z_spark("c", "d")))
+    wz = W.orderBy("zval", "key")
+    wl = W.orderBy("c", "key")
+    bucketed = z.select(
+        F.lit("zorder").alias("layout"),
+        "c",
+        "d",
+        F.ntile(_ZBUCKETS).over(wz).alias("bucket"),
+    ).unionByName(
+        z.select(
+            F.lit("linear").alias("layout"),
+            "c",
+            "d",
+            F.ntile(_ZBUCKETS).over(wl).alias("bucket"),
+        )
+    )
+    spans = bucketed.groupBy("layout", "bucket").agg(
+        F.count("*").alias("n"),
+        (F.max("c") - F.min("c") + 1).alias("span_c"),
+        (F.max("d") - F.min("d") + 1).alias("span_d"),
+    )
+    return (
+        spans.groupBy("layout")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.max("span_c").cast("bigint").alias("max_span_c"),
+            F.max("span_d").cast("bigint").alias("max_span_d"),
+            F.sum(F.expr("span_c * n")).cast("bigint").alias(
+                "weighted_span_c"
+            ),
+            F.sum(F.expr("span_d * n")).cast("bigint").alias(
+                "weighted_span_d"
+            ),
+        )
+        .orderBy("layout")
+    )

@@ -105,3 +105,18 @@ def test_basket_pairs_against_python(spark, sf_dir):
         .collect()
     ]
     assert got == [(k, v) for v, k in expected]
+
+
+def test_zorder_bounds_both_dimensions(spark, sf_dir):
+    """The pruning claim: linear custkey sort leaves every file
+    spanning ~the full date range, z-order bounds both spans."""
+    rows = {
+        r["layout"]: r
+        for r in REGISTRY["q_layout_zorder"].builder(spark, sf_dir).collect()
+    }
+    lin, zo = rows["linear"], rows["zorder"]
+    assert lin["n_rows"] == zo["n_rows"]
+    # z-order's worst date span is far below linear's (which is ~full)
+    assert zo["max_span_d"] * 2 < lin["max_span_d"]
+    # the trade: linear is tighter on custkey, but z-order stays bounded
+    assert zo["max_span_c"] < lin["max_span_c"] * 20
