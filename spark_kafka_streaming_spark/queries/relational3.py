@@ -402,27 +402,12 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ZBITS = 12  # covers custkey (0..1499) and days-since-1995 (0..~2400)
+# 12 bits cover custkey (0..1499) and days-since-1995 (0..~2400);
+# generators shared with the write-side operator (operators/zorder.py).
+from ..operators.zorder import z_expr_duck as _z_duck  # noqa: E402
+from ..operators.zorder import z_expr_spark as _z_spark  # noqa: E402
+
 _ZBUCKETS = 16
-
-
-def _z_spark(c: str, d: str) -> str:
-    terms = [
-        f"shiftleft(shiftright({c}, {i}) & 1, {2 * i})" for i in range(_ZBITS)
-    ] + [
-        f"shiftleft(shiftright({d}, {i}) & 1, {2 * i + 1})"
-        for i in range(_ZBITS)
-    ]
-    return "(" + " + ".join(terms) + ")"
-
-
-def _z_duck(c: str, d: str) -> str:
-    terms = [
-        f"((({c} >> {i}) & 1) << {2 * i})" for i in range(_ZBITS)
-    ] + [
-        f"((({d} >> {i}) & 1) << {2 * i + 1})" for i in range(_ZBITS)
-    ]
-    return "(" + " + ".join(terms) + ")"
 
 
 @register(

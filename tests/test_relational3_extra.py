@@ -120,3 +120,52 @@ def test_zorder_bounds_both_dimensions(spark, sf_dir):
     assert zo["max_span_d"] * 2 < lin["max_span_d"]
     # the trade: linear is tighter on custkey, but z-order stays bounded
     assert zo["max_span_c"] < lin["max_span_c"] * 20
+
+
+def test_write_zordered_files_bound_both_spans(spark, sf_dir, tmp_path):
+    """The write-side layout: z-ordered parquet files have bounded
+    min/max spans on BOTH columns, while a linear layout leaves every
+    file spanning ~the full date range."""
+    import glob
+
+    from spark_kafka_streaming_spark.operators.zorder import write_zordered
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c"),
+        F.expr(
+            "CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT)"
+        ).alias("d"),
+    )
+    zp = str(tmp_path / "z")
+    lp = str(tmp_path / "lin")
+    write_zordered(orders, zp, "c", "d", n_files=8)
+    (
+        orders.repartitionByRange(8, "c")
+        .sortWithinPartitions("c")
+        .write.mode("overwrite")
+        .parquet(lp)
+    )
+
+    def spans(path):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            r = (
+                spark.read.parquet(f)
+                .agg(
+                    F.min("c"), F.max("c"), F.min("d"), F.max("d"),
+                    F.count("*"),
+                )
+                .collect()[0]
+            )
+            if r[4] == 0:
+                continue
+            out.append((r[1] - r[0] + 1, r[3] - r[2] + 1))
+        return out
+
+    zs, ls = spans(zp), spans(lp)
+    assert len(zs) >= 4 and len(ls) >= 4
+    # round trip preserved
+    assert spark.read.parquet(zp).count() == orders.count()
+    # linear: worst-file date span ~ full range; z-order: clearly bounded
+    assert max(sd for _, sd in zs) * 2 < max(sd for _, sd in ls)
