@@ -252,6 +252,56 @@ def bench_stateful_dedup_drain(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_sketch_drain(spark, sf_dir: str) -> float:
+    """Mergeable-sketch streaming path: drain events through
+    foreachBatch, folding per-batch Count-Min cells and HLL registers
+    into running sketches — the O(sketch)-state monitoring pattern
+    (operators/sketches.py; correctness pinned in tests/test_llm8.py)."""
+    import shutil
+    import tempfile
+
+    from spark_kafka_streaming_spark.operators import sketches as SK
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    tmp = tempfile.mkdtemp(prefix="bench_sketch_")
+    try:
+        src = f"{tmp}/src"
+        (
+            load_table(spark, sf_dir, "events")
+            .select("user_id")
+            .repartition(4)
+            .write.json(src)
+        )
+        cms: dict = {}
+        hll: dict = {i: 0 for i in range(SK.HLL_M)}
+        seen: set = set()
+
+        def absorb(df, epoch_id):
+            if epoch_id in seen:
+                return
+            seen.add(epoch_id)
+            for r in SK.cms_build(df, "user_id").collect():
+                k = (r["r"], r["b"])
+                cms[k] = cms.get(k, 0) + r["cnt"]
+            for r in SK.hll_registers(df, "user_id").collect():
+                hll[r["bucket"]] = max(hll[r["bucket"]], r["r"])
+
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema("user_id BIGINT")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(absorb)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_stop(q)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -309,6 +359,10 @@ def main() -> None:
         bench_stateful_dedup_drain(spark, SF_DIR)  # warm
         timings["stream_stateful_dedup_drain"] = round(
             bench_stateful_dedup_drain(spark, SF_DIR), 4
+        )
+        bench_sketch_drain(spark, SF_DIR)  # warm
+        timings["stream_sketch_drain"] = round(
+            bench_sketch_drain(spark, SF_DIR), 4
         )
     finally:
         shutil.rmtree(sig_cache, ignore_errors=True)
