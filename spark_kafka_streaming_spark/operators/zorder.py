@@ -23,7 +23,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-ZBITS_DEFAULT = 12
+#: 27 bits per dimension: the interleaved value stays < 2^54 (exact in
+#: int64 AND in the driver's double-based hashing), while covering key
+#: domains up to 134M — key-shifted scale replicas reach ~99M custkeys
+#: at factor 100. Bits ABOVE this are truncated by construction; raise
+#: deliberately (or pre-hash the key down) for wider domains — a
+#: too-small value silently destroys clustering on the wide dimension
+#: (found at sf0.1 where 12 bits dropped custkey's high bits).
+ZBITS_DEFAULT = 27
 
 
 def z_expr_spark(c: str, d: str, bits: int = ZBITS_DEFAULT) -> str:
@@ -61,15 +68,36 @@ def write_zordered(
     sorted within each file so parquet row-group min/max stats are
     tight on BOTH columns.
 
+    Both columns are min/max-normalized onto the same ``2^bits`` grid
+    (exact integer arithmetic; bounds collected as one driver-side
+    aggregate and inlined as literals) BEFORE interleaving —
+    interleaving raw unequal-width domains hands every high z-bit to
+    the wider column, so the narrower one gets no top-level clustering
+    (measured: raw interleave left the narrow dimension's per-file
+    span at its full domain).
+
     ``repartitionByRange`` samples the z distribution to pick range
     bounds — fully parallel (no global sort); the z column is dropped
     before writing, since the layout, not the value, is the product.
-    At 100 TB this is the whole recipe: the interleave is map-only,
-    the range exchange is the one shuffle, and every downstream range
-    predicate on either column prunes files/row-groups via the
-    footer statistics Spark already consults.
+    At 100 TB this is the whole recipe: one tiny bounds job, a
+    map-only interleave, the range exchange as the one shuffle, and
+    every downstream range predicate on either column prunes
+    files/row-groups via the footer statistics Spark already consults.
     """
-    z = df.withColumn("_z", F.expr(z_expr_spark(c_col, d_col, bits)))
+    lo_c, hi_c, lo_d, hi_d = df.agg(
+        F.min(c_col), F.max(c_col), F.min(d_col), F.max(d_col)
+    ).collect()[0]
+    cells = 1 << bits
+
+    def cell(col: str, lo: int, hi: int) -> str:
+        return f"((({col}) - {lo}) * {cells}) DIV ({hi} - {lo} + 1)"
+
+    z = (
+        df.withColumn("_cc", F.expr(cell(c_col, lo_c, hi_c)))
+        .withColumn("_dc", F.expr(cell(d_col, lo_d, hi_d)))
+        .withColumn("_z", F.expr(z_expr_spark("_cc", "_dc", bits)))
+        .drop("_cc", "_dc")
+    )
     (
         z.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")

@@ -402,12 +402,29 @@ def q_basket_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# 12 bits cover custkey (0..1499) and days-since-1995 (0..~2400);
-# generators shared with the write-side operator (operators/zorder.py).
+# Generators + grid normalization shared with the write-side operator
+# (operators/zorder.py). Both dimensions are min/max-normalized onto
+# the same 2^ZBITS grid BEFORE interleaving: raw-value interleaving of
+# unequal-width domains puts all the high interleave bits on the wider
+# dimension, so the narrower one gets no top-level clustering (found
+# live: raw 27-bit interleave at sf0.001 left custkey spans at the
+# full domain because order-day needed 4 more bits than custkey).
+from ..operators.zorder import ZBITS_DEFAULT as _ZBITS  # noqa: E402
 from ..operators.zorder import z_expr_duck as _z_duck  # noqa: E402
 from ..operators.zorder import z_expr_spark as _z_spark  # noqa: E402
 
 _ZBUCKETS = 16
+_ZCELL = (
+    "(({x} - min_{x}) * {cells}) DIV (max_{x} - min_{x} + 1)"
+)  # exact integer grid cell, Spark form; DuckDB uses // for DIV
+
+
+def _cell_spark(x: str) -> str:
+    return _ZCELL.format(x=x, cells=1 << _ZBITS)
+
+
+def _cell_duck(x: str) -> str:
+    return _ZCELL.format(x=x, cells=1 << _ZBITS).replace(" DIV ", " // ")
 
 
 @register(
@@ -419,8 +436,19 @@ _ZBUCKETS = 16
                   AS BIGINT) AS d
       FROM orders
     ),
+    bounds AS (
+      SELECT MIN(c) AS min_c, MAX(c) AS max_c,
+             MIN(d) AS min_d, MAX(d) AS max_d
+      FROM base
+    ),
+    cells AS (
+      SELECT key, c, d,
+             {_cell_duck('c')} AS cc,
+             {_cell_duck('d')} AS dc
+      FROM base CROSS JOIN bounds
+    ),
     z AS (
-      SELECT key, c, d, {_z_duck('c', 'd')} AS zval FROM base
+      SELECT key, c, d, {_z_duck('cc', 'dc')} AS zval FROM cells
     ),
     bucketed AS (
       SELECT 'zorder' AS layout, c, d,
@@ -454,13 +482,21 @@ _ZBUCKETS = 16
     "statistics file-skipping actually uses. The linear layout gives "
     "tight custkey spans but every file spans the full date range "
     "(zero date pruning); the z-order layout bounds both spans, so "
-    "range predicates on either dimension skip files. The z-value is "
-    "a pure integer bit-interleave (exact, engine-identical); "
-    "bucketing is NTILE over the (zval, key) total order — at scale "
-    "this is `repartitionByRange(zval)` + per-file min/max stats, the "
-    "OSS-Spark route to Delta/Iceberg-style Z-ordering. "
-    "(tests/test_relational3_extra.py pins the pruning claim: "
-    "z-order's max date span ≪ linear's.)".format(b=_ZBUCKETS),
+    "range predicates on either dimension skip files. Both dims are "
+    "min/max-normalized onto the same 2^{k} grid with exact integer "
+    "arithmetic BEFORE the bit-interleave — unbalanced raw domains "
+    "would give the wider dimension every high interleave bit and "
+    "destroy clustering on the narrower one. Bucketing is NTILE over "
+    "the (zval, key) total order — at scale this is "
+    "`repartitionByRange(zval)` + per-file min/max stats, the "
+    "OSS-Spark route to Delta/Iceberg-style Z-ordering "
+    "(operators/zorder.py::write_zordered is the write side). Judge "
+    "by the WEIGHTED spans: a few buckets straddle Morton-curve "
+    "discontinuities and carry full-domain max spans by construction "
+    "(tests pin both weighted spans below half their domains and the "
+    "weighted date span at less than half of linear's).".format(
+        b=_ZBUCKETS, k=_ZBITS
+    ),
     tags=("relational", "layout", "scale"),
 )
 def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,7 +508,20 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(datediff(o_orderdate, TIMESTAMP '1995-01-01') AS BIGINT)"
         ).alias("d"),
     )
-    z = base.withColumn("zval", F.expr(_z_spark("c", "d")))
+    bounds = base.agg(
+        F.min("c").alias("min_c"),
+        F.max("c").alias("max_c"),
+        F.min("d").alias("min_d"),
+        F.max("d").alias("max_d"),
+    )
+    cells = base.crossJoin(F.broadcast(bounds)).select(
+        "key",
+        "c",
+        "d",
+        F.expr(_cell_spark("c")).alias("cc"),
+        F.expr(_cell_spark("d")).alias("dc"),
+    )
+    z = cells.withColumn("zval", F.expr(_z_spark("cc", "dc")))
     wz = W.orderBy("zval", "key")
     wl = W.orderBy("c", "key")
     bucketed = z.select(

@@ -53,6 +53,10 @@ DEFAULT_QUERIES = [
     "q_shard_token_budget",
     "q_text_collocations_lift",
     "q_similarity_ivfpq",
+    "q_text_phrase_search",
+    "q_text_fuzzy_match",
+    "q_basket_brand_pairs",
+    "q_layout_zorder",
 ]
 
 
@@ -64,7 +68,13 @@ def main() -> None:
                     help="comma-separated catalog names (default: the "
                     "SCALE.md decade set)")
     args = ap.parse_args()
-    out = args.out or f"/tmp/spark_graft_sf{args.factor // 10 or 1}"
+    # Name the default dir by the exact factor (sf1/sf10 kept for the
+    # documented decades) — a rounded name would let `--factor 1..19`
+    # silently reuse factor-10 data and mislabel the measurements.
+    known = {10: "sf1", 100: "sf10"}
+    out = args.out or (
+        f"/tmp/spark_graft_{known.get(args.factor, f'f{args.factor}')}"
+    )
     names = args.queries.split(",") if args.queries else DEFAULT_QUERIES
 
     if not os.path.exists(os.path.join(out, "lineitem.parquet")):
