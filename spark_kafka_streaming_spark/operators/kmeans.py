@@ -50,6 +50,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..functions.caching import track_persist
+from .skew import bounded_self_pairs
 
 
 def _lit_vec(vals: list[int]) -> str:
@@ -166,6 +167,7 @@ def semantic_dedup(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embeddings, then drop within-cluster semantic near-duplicates.
@@ -180,21 +182,32 @@ def semantic_dedup(
     Returns one row per input vector: (id, cluster, kept).  Cosines are
     computed from exact int64 dots (engine-identical doubles).
 
-    At 100 TB: assignment is map-only; the within-cluster self-join
-    shuffles on ``cluster`` — for adversarial distributions (one giant
-    cluster) route the pair generation through
-    :func:`.skew.bounded_self_pairs` with key_cols=["cluster"], or
-    raise k (SemDeDup's own remedy: the paper uses k ≈ 11k clusters at
-    LAION scale, keeping buckets small).
+    At 100 TB: assignment is map-only; the within-cluster pair
+    generation routes through :func:`.skew.bounded_self_pairs` with
+    key_cols=["cluster"] — so parallelism is NOT bounded by k: an
+    over-``max_bucket`` cluster decomposes cell-wise into
+    ⌈m/max_bucket⌉ shuffle keys with an identical pair set (pinned on a
+    planted one-giant-cluster corpus in tests/test_skew_guard.py).  The
+    cosine is computed inside the join's projection, so only
+    (id, sim) survive it — no vector payload leaves the join.
+    ``max_bucket=None`` disables the guard (plain cluster-keyed
+    self-join); raising k (the paper uses k ≈ 11k at LAION scale) is
+    the complementary remedy when cluster geometry, not skew, is the
+    bottleneck.
     """
     a = kmeans_assignments(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     a = track_persist(a.select(F.col(id_col).alias("id"), "cluster", "v", "n"))
-    l, r = a.alias("l"), a.alias("r")
     sim = F.expr(V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n"))
     drops = (
-        l.join(r, (F.col("l.cluster") == F.col("r.cluster")) & (F.col("l.id") < F.col("r.id")))
-        .where(sim >= F.lit(tau))
-        .select(F.col("r.id").alias("id"))
+        bounded_self_pairs(
+            a,
+            key_cols=["cluster"],
+            id_col="id",
+            select_cols=lambda: [F.col("r.id").alias("id"), sim.alias("_sim")],
+            cap=max_bucket,
+        )
+        .where(F.col("_sim") >= F.lit(tau))
+        .select("id")
         .distinct()
     )
     return (

@@ -278,12 +278,30 @@ def log_histogram(df: DataFrame, value_col: str) -> DataFrame:
     vc = (
         f"CAST(floor({value_col} * {HIST_SCALE} + 0.5D) AS BIGINT)"
     )
+    # Clamp to >= 1 scaled cent: a positive value below 0.005 rounds to
+    # 0 cents, but length(bin(0))-1 = 0 puts it in bucket 0 whose range
+    # is [1,2) cents — the interpolating estimator would overestimate
+    # it and the documented 2×-per-bucket bound would not hold.  Values
+    # below half the scale resolution are excluded from the sketch (and
+    # from its exact comparator) instead.
     return (
-        df.where(F.expr(f"{value_col} IS NOT NULL AND {value_col} > 0"))
+        df.where(F.expr(f"{value_col} IS NOT NULL AND {vc} >= 1"))
         .select(F.expr(f"CAST(length(bin({vc})) - 1 AS INT)").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+def hist_filter_spark(value_col: str) -> str:
+    """Predicate selecting exactly the rows :func:`log_histogram` keeps."""
+    vc = f"CAST(floor({value_col} * {HIST_SCALE} + 0.5D) AS BIGINT)"
+    return f"({value_col} IS NOT NULL AND {vc} >= 1)"
+
+
+def hist_filter_duck(value_col: str) -> str:
+    """DuckDB twin of :func:`hist_filter_spark`."""
+    vc = f"CAST(floor({value_col} * {HIST_SCALE} + 0.5) AS BIGINT)"
+    return f"({value_col} IS NOT NULL AND {vc} >= 1)"
 
 
 def duck_log_bucket_sql(value_col: str) -> str:

@@ -87,7 +87,21 @@ def write_zordered(
     lo_c, hi_c, lo_d, hi_d = df.agg(
         F.min(c_col), F.max(c_col), F.min(d_col), F.max(d_col)
     ).collect()[0]
+    if lo_c is None or lo_d is None:
+        raise ValueError(
+            "write_zordered: empty input (or all-NULL key column) — "
+            "no min/max bounds to normalize against"
+        )
     cells = 1 << bits
+    for name, lo, hi in ((c_col, lo_c, hi_c), (d_col, lo_d, hi_d)):
+        # ((col-lo) * 2^bits) must stay in int64: domain width * cells
+        # < 2^63, else the grid math silently overflows.
+        if (int(hi) - int(lo) + 1) * cells >= 1 << 63:
+            raise ValueError(
+                f"write_zordered: domain of {name!r} "
+                f"([{lo}, {hi}]) * 2^{bits} grid cells overflows int64 — "
+                "pre-hash the key down or lower `bits`"
+            )
 
     def cell(col: str, lo: int, hi: int) -> str:
         return f"((({col}) - {lo}) * {cells}) DIV ({hi} - {lo} + 1)"

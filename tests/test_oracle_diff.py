@@ -52,6 +52,31 @@ def _norm(v):
     return v
 
 
+def _driver_canonicalize(rows, cols):
+    """Mirror of the verification driver's pandas canonicalization path.
+
+    The driver builds a pandas frame from each engine's result, orders
+    columns by name, and canonicalizes row order via a per-column
+    factorize + whole-frame sort before value-hashing.  Both
+    ``factorize`` and hashing require hashable cells, so any
+    container-typed cell (list/dict/ndarray) raises ``TypeError:
+    unhashable type`` *before* any comparison — exactly the round-3
+    ``q_text_inverted_index`` failure this mirror previously masked by
+    tuple-izing lists.  Run the same steps here so a representation the
+    driver cannot digest fails the local suite too."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=cols)
+    pdf = pdf[sorted(pdf.columns)]
+    codes = {}
+    for c in pdf.columns:
+        # factorize is the driver's hashing primitive: raises on
+        # unhashable (container) cells.
+        codes[c] = pd.factorize(pdf[c], use_na_sentinel=True)[0]
+    order = sorted(range(len(pdf)), key=lambda i: [codes[c][i] for c in pdf.columns])
+    return pdf.iloc[order].reset_index(drop=True)
+
+
 def _key(row):
     return tuple(
         (x is None, x if not isinstance(x, (int, float)) else float(x))
@@ -59,6 +84,28 @@ def _key(row):
         else (False, x)
         for x in (_norm(v) for v in row)
     )
+
+
+def test_no_container_outputs(spark, sf_dir):
+    """Registry design rule, enforced: no oracle-checked query returns a
+    container-typed (array/map/struct) column — the driver canonicalizes
+    results via pandas (sort + per-column factorize), which raises
+    ``TypeError: unhashable type`` on list/dict cells before any value
+    comparison happens.  That made q_text_inverted_index the round-3 red
+    row while this mirror (which tuple-ized lists) stayed green.
+    Serialize containers to a scalar (concat_ws / string_agg) or explode
+    to rows instead."""
+    bad = {}
+    for name in ORACLE_QUERIES:
+        sdf = REGISTRY[name].builder(spark, sf_dir)
+        cont = [
+            c
+            for c, t in sdf.dtypes
+            if t.startswith(("array", "map", "struct"))
+        ]
+        if cont:
+            bad[name] = cont
+    assert not bad, f"queries returning container-typed columns: {bad}"
 
 
 def test_no_raw_decimal_outputs(spark, sf_dir):
@@ -119,6 +166,12 @@ def test_matches_duckdb(name, spark, sf_dir, duck):
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
     )
+
+    # Driver canonicalization dry-run: raises TypeError on any cell the
+    # driver's pandas factorize/hash path cannot digest (containers),
+    # independent of whether the values would have matched.
+    _driver_canonicalize(spark_rows, spark_cols)
+    _driver_canonicalize(duck_rows, duck_cols)
 
     # Order-insensitive compare on name-sorted columns (driver semantics).
     s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])

@@ -88,6 +88,27 @@ def test_join_groups_are_bounded(spark):
     assert got == {(a, b) for a in range(N) for b in range(N) if a < b}
 
 
+def test_semantic_dedup_giant_cluster_guarded(spark, hot_vecs):
+    """SemDeDup's within-cluster pair generation routes through
+    bounded_self_pairs keyed on ``cluster`` (VERDICT r3 #3): on a
+    planted corpus where every vector lands in ONE k-means cluster
+    (identical embeddings), the guarded form must keep the exact
+    keep-lowest-id result while decomposing the giant cluster, and must
+    agree with the unguarded (max_bucket=None) plan."""
+    from spark_kafka_streaming_spark.operators.kmeans import semantic_dedup
+
+    def kept(max_bucket):
+        out = semantic_dedup(
+            hot_vecs, k=4, tau=0.9, max_bucket=max_bucket
+        ).collect()
+        assert len(out) == N
+        assert len({r.cluster for r in out}) == 1  # the planted skew
+        return {r.vec_id for r in out if r.kept}
+
+    assert kept(CAP) == {0}  # all-identical: only the lowest id survives
+    assert kept(CAP) == kept(None)
+
+
 def test_mixed_buckets_exact(spark):
     """Buckets straddling the cap: small buckets take the plain path,
     big ones the salted path; union must be the exact pair set with no
