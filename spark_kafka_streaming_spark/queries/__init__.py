@@ -26,6 +26,7 @@ from . import formats  # noqa: F401,E402
 from . import llm6  # noqa: F401,E402
 from . import llm7  # noqa: F401,E402
 from . import llm8  # noqa: F401,E402
+from . import llm9  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -41,6 +42,39 @@ from . import tpch3  # noqa: F401,E402
 # (c) the 9 queries neither prior sample reached, and (d) every query
 # whose code path this round touched (LSH skew guard, slimmed verify
 # shuffle, signature consumers), so the driver re-proves them all.
+_ROUND4_WINDOW = [
+    # (a) the 14 catalog entries no driver sample has ever reached —
+    # with these green, cumulative driver coverage is 150/150.
+    "q_dedup_simhash_capped",
+    "q_events_resample_gapfill",
+    "q_events_scd2_user_state",
+    "q_events_dedup_within_interval",
+    "q_sketch_kmv_setops",
+    "q_corpus_drift_tv",
+    "q_text_collocations_lift",
+    "q_sketch_hll_grouped",
+    "q_text_phrase_search",
+    "q_audit_referential_integrity",
+    "q_events_rollup_time_grains",
+    "q_text_fuzzy_match",
+    "q_basket_brand_pairs",
+    "q_layout_zorder",
+    # (b) the round-3 red row, fixed (posting list serialized to a
+    # string — container outputs now rejected catalog-wide), and every
+    # query whose code path round 4 touched (SemDeDup skew guard,
+    # histogram clamp, shared index derivation, audit COALESCE).
+    "q_text_inverted_index",
+    "q_dedup_semantic",
+    "q_cluster_kmeans",
+    "q_sketch_quantile_hist",
+    # (c) the round-4 additions (queries/llm9.py).
+    "q_text_bm25_search",
+    "q_sketch_join_cardinality",
+    "q_subquery_not_in_null_aware",
+    "q_stats_moments_merge",
+    "q_events_anomaly_mad",
+]
+
 _ROUND3_WINDOW = [
     "q_pipeline_corpus_end_to_end",
     "q_cluster_kmeans",
@@ -108,7 +142,14 @@ def _reorder(priority: list[str]) -> None:
     REGISTRY.update(ordered)
 
 
-_reorder(_ROUND3_WINDOW)
+# Fill the 50-entry driver sample: round-4 priorities first, then the
+# strongest cross-family re-prove spread from the round-3 window (all
+# green in r03; they re-prove the shared signature/vector/sketch code
+# paths the round-4 changes sit next to).
+_ROUND4_FILL = [
+    n for n in _ROUND3_WINDOW if n not in _ROUND4_WINDOW
+]
+_reorder((_ROUND4_WINDOW + _ROUND4_FILL)[:50] + _ROUND4_WINDOW[50:])
 
 
 def queries():

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import texthash as TH
+from ..operators import index as IX
 from ..operators import sketches as SK
 from ..operators.signatures import signature_table
 from ..sources.batch import load_table
@@ -35,7 +36,7 @@ from .registry import register
 
 _EVAL_MOD = 97  # same eval slice as q_decontaminate_ngram (llm3.py)
 _TOPK_USERS = 20
-_POSTINGS_CAP = 5
+_POSTINGS_CAP = IX.POSTINGS_CAP
 
 _CMS_VALUES = "(VALUES " + ", ".join(f"({i})" for i in range(SK.CMS_D)) + ") t(i)"
 _BLOOM_VALUES = "(VALUES " + ", ".join(f"({j})" for j in range(SK.BLOOM_K)) + ") t(j)"
@@ -228,25 +229,7 @@ def q_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.expr(TH.spark_tokens("text"))).alias("term")
-    )
-    tf = tok.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
-    w = Window.partitionBy("term").orderBy(F.desc("tf"), "doc_id")
-    ranked = tf.withColumn("rk", F.row_number().over(w))
-    return (
-        ranked.groupBy("term")
-        .agg(
-            F.count("*").alias("df"),
-            F.sum("tf").alias("total_tf"),
-            F.expr(
-                f"concat_ws(',', transform(array_sort(collect_list("
-                f"CASE WHEN rk <= {_POSTINGS_CAP} THEN struct(rk, doc_id) "
-                f"END)), s -> CAST(s.doc_id AS STRING)))"
-            ).alias("top_docs"),
-        )
-        .orderBy("term")
-    )
+    return IX.inverted_index(IX.term_doc_tf(docs), cap=_POSTINGS_CAP)
 
 
 # ------------------------------------------------- n-gram novelty

@@ -1,0 +1,485 @@
+"""Round-4 wave: ranked text retrieval, sketch-driven join planning,
+null-aware subqueries, mergeable moments, and robust anomaly detection.
+
+* ``q_text_bm25_search`` — BM25-ranked retrieval over the inverted
+  index's term statistics with a bit-length-quantized idf (no libm).
+* ``q_sketch_join_cardinality`` — join-size estimation from two
+  Count-Min sketches (inner product), audited against the exact
+  count — the pre-flight a planner runs before committing a shuffle
+  strategy at 100 TB.
+* ``q_subquery_not_in_null_aware`` — NOT IN's three-valued-logic
+  semantics, both with and without NULLs in the subquery (Spark plans
+  the null-aware broadcast anti join).
+* ``q_stats_moments_merge`` — grouped count/mean/variance from exact
+  mergeable partials (n, Σc, Σc²) — the parallel-moments pattern.
+* ``q_events_anomaly_mad`` — median/MAD outlier detection with
+  rank-selected (lower) medians, no interpolation.
+
+Cross-engine exactness follows the registry rules: integer/decimal
+accumulation, shared-literal single divisions, no ln/exp (BM25's idf
+is quantized to the integer bit-length of an exact scaled ratio —
+monotone in the real idf and bit-identical everywhere).
+
+No analog in the reference (its sole aggregate is the windowed word
+count, ``KafkaWordCount.scala:70-73``); these extend the index,
+sketch, and quality tiers it seeded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+from ..operators import sketches as SK
+from ..sources.batch import load_table
+from .registry import register
+
+# ------------------------------------------------------ BM25 search
+
+#: Query terms (mid-frequency words of the corpus vocabulary).
+_BM25_TERMS = ("hash", "stream", "vector")
+_BM25_TOPK = 15
+#: idf quantization scale: idfq = floor(log2((N-df)·1024 / (df+1))),
+#: computed as the bit-length of an exact integer — engine-identical,
+#: monotone in the real Robertson idf.
+_IDF_SCALE = 1024
+
+#: k1 = 1.2, b = 0.75 (the standard Okapi constants).  The whole score
+#: expression is ONE shared string evaluated with the same literal
+#: operands in the same order by both engines → bit-identical doubles.
+_BM25_SCORE = (
+    "(CAST(idfq_{t} AS DOUBLE) * ((CAST(tf_{t} AS DOUBLE) * 2.2) / "
+    "(CAST(tf_{t} AS DOUBLE) + 1.2 * (0.25 + 0.75 * "
+    "((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / "
+    "CAST(sum_dl AS DOUBLE))))))"
+)
+
+
+def _idfq(df_expr: str, div: str) -> str:
+    """Bit-length-quantized idf from exact integers; ``div`` is the
+    engine's integer-division operator (Spark DIV, DuckDB //)."""
+    return (
+        f"CAST(length(bin(((n_docs - {df_expr}) * {_IDF_SCALE}) {div} "
+        f"({df_expr} + 1))) - 1 AS INT)"
+    )
+
+
+def _bm25_tf_case(t: str) -> str:
+    return f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)"
+
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({TH.duck_tokens('text')}) AS term FROM documents
+),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS dl,
+         {', '.join(f"CAST({_bm25_tf_case(t)} AS BIGINT) AS tf_{t}" for t in _BM25_TERMS)}
+  FROM tok GROUP BY doc_id
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl,
+         {', '.join(f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in _BM25_TERMS)}
+  FROM per_doc
+),
+scored AS (
+  SELECT d.doc_id, d.dl,
+         {', '.join(f"d.tf_{t}" for t in _BM25_TERMS)},
+         s.n_docs, s.sum_dl,
+         {', '.join(_idfq(f's.df_{t}', '//') + f' AS idfq_{t}' for t in _BM25_TERMS)}
+  FROM per_doc d CROSS JOIN stats s
+),
+final AS (
+  SELECT doc_id,
+         {', '.join(_BM25_SCORE.format(t=t) + f' AS s_{t}' for t in _BM25_TERMS)}
+  FROM scored
+)
+SELECT doc_id, s_hash, s_stream, s_vector,
+       ((s_hash + s_stream) + s_vector) AS score
+FROM final
+ORDER BY score DESC, doc_id
+LIMIT {_BM25_TOPK}
+"""
+
+
+@register(
+    "q_text_bm25_search",
+    oracle=_BM25_ORACLE,
+    doc="BM25-ranked retrieval for a literal multi-term query over the "
+    "document corpus: per-doc term frequencies, document length, and "
+    "corpus statistics feed the Okapi score (k1=1.2, b=0.75), top-{k} "
+    "docs by (score desc, doc_id). ONE tokenize→explode→groupBy(doc) "
+    "pass computes dl and every per-term tf together (map-side "
+    "combined; no tf⋈dl join), the corpus stats reduce to a single "
+    "broadcast row, and the ranking is TakeOrderedAndProject — so the "
+    "plan is one shuffle + one broadcast at any corpus size. The idf "
+    "is quantized to the bit-length of the exact integer "
+    "(N−df)·{s}/(df+1) — monotone in the real log-idf and "
+    "bit-identical cross-engine (libm ln drifts between engines); "
+    "per-term scores are summed in a fixed written order. The search "
+    "tier's ranked-retrieval leg over the same statistics the "
+    "inverted index (q_text_inverted_index) materializes.".format(
+        k=_BM25_TOPK, s=_IDF_SCALE
+    ),
+    tags=("text", "search", "llm"),
+)
+def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TH.spark_tokens("text"))).alias("term")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.expr(_bm25_tf_case(t)).cast("bigint").alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.expr(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in _BM25_TERMS],
+        "n_docs",
+        "sum_dl",
+        *[
+            F.expr(_idfq(f"df_{t}", "DIV")).alias(f"idfq_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    final = scored.select(
+        "doc_id",
+        *[
+            F.expr(_BM25_SCORE.format(t=t)).alias(f"s_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    return (
+        final.select(
+            "doc_id",
+            "s_hash",
+            "s_stream",
+            "s_vector",
+            F.expr("((s_hash + s_stream) + s_vector)").alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+
+
+# ------------------------------------- sketch join-size estimation
+
+_CMS_VALUES = (
+    "(VALUES " + ", ".join(f"({i})" for i in range(SK.CMS_D)) + ") t(i)"
+)
+
+
+def _duck_cms(table: str, key: str) -> str:
+    h = TH.duck_str_hash(f"CAST({key} AS VARCHAR)")
+    return f"""
+      SELECT i AS r, CAST({SK.duck_cms_bucket_sql('h')} AS INT) AS b,
+             COUNT(*) AS cnt
+      FROM (SELECT {key}, {h} AS h FROM {table})
+      CROSS JOIN {_CMS_VALUES}
+      GROUP BY r, b
+    """
+
+
+@register(
+    "q_sketch_join_cardinality",
+    oracle=f"""
+    WITH ska AS ({_duck_cms('events', 'user_id')}),
+    skb AS ({_duck_cms('customer', 'c_custkey')}),
+    prods AS (
+      SELECT a.r, CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS ip
+      FROM ska a JOIN skb b ON a.r = b.r AND a.b = b.b
+      GROUP BY a.r
+    ),
+    est AS (SELECT MIN(ip) AS est_pairs FROM prods),
+    ca AS (SELECT user_id AS k, COUNT(*) AS na FROM events GROUP BY 1),
+    cb AS (SELECT c_custkey AS k, COUNT(*) AS nb FROM customer GROUP BY 1),
+    ex AS (
+      SELECT CAST(COALESCE(SUM(na * nb), 0) AS BIGINT) AS exact_pairs
+      FROM ca JOIN cb USING (k)
+    )
+    SELECT est_pairs, exact_pairs,
+           CAST(est_pairs - exact_pairs AS BIGINT) AS overcount
+    FROM est CROSS JOIN ex
+    """,
+    doc="Join-cardinality estimation from sketches: |events ⋈ "
+    "customer on user_id=c_custkey| estimated as the minimum over "
+    "hash rows of the inner product of the two sides' Count-Min "
+    "sketches (the AMS/CM join-size estimator — one-sided "
+    "overcount), audited against the exact join size in the same "
+    "result. This is the planner pre-flight that decides shuffle "
+    "strategy at 100 TB: each side reduces map-side to a fixed "
+    "{d}×{w} summary, the estimate is computed on broadcast-size "
+    "data, and no actual join of the big sides happens; the exact "
+    "leg (a count-group join) is the test-scale comparator. Portable "
+    "hash family ⇒ every cell and hence the estimate itself matches "
+    "DuckDB exactly.".format(d=SK.CMS_D, w=SK.CMS_W),
+    tags=("sketch", "join", "llm"),
+)
+def q_sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    ska = SK.cms_build(ev, "user_id").alias("a")
+    skb = SK.cms_build(cust, "c_custkey").alias("b")
+    prods = (
+        ska.join(skb, ["r", "b"])
+        .groupBy("r")
+        .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("ip"))
+    )
+    est = prods.agg(F.min("ip").alias("est_pairs"))
+    ca = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("na")
+    )
+    cb = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count("*").alias("nb")
+    )
+    ex = (
+        ca.join(cb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("na") * F.col("nb")), F.lit(0))
+            .cast("bigint")
+            .alias("exact_pairs")
+        )
+    )
+    return est.crossJoin(ex).select(
+        "est_pairs",
+        "exact_pairs",
+        (F.col("est_pairs") - F.col("exact_pairs"))
+        .cast("bigint")
+        .alias("overcount"),
+    )
+
+
+# ------------------------------------------- null-aware NOT IN
+
+
+_NOT_IN_SQL = """
+SELECT 'not_in_with_nulls' AS variant, COUNT(*) AS n
+FROM {orders}
+WHERE o_custkey NOT IN
+  (SELECT CASE WHEN c_acctbal < 0 THEN c_custkey END FROM {customer})
+UNION ALL
+SELECT 'not_in_null_filtered' AS variant, COUNT(*) AS n
+FROM {orders}
+WHERE o_custkey NOT IN
+  (SELECT c_custkey FROM {customer} WHERE c_acctbal < 0)
+ORDER BY variant
+"""
+
+
+@register(
+    "q_subquery_not_in_null_aware",
+    oracle=_NOT_IN_SQL.format(orders="orders", customer="customer"),
+    doc="NOT IN under three-valued logic: orders whose customer key is "
+    "not in a subquery that CONTAINS NULLs (any NULL makes x NOT IN "
+    "(...) never true — the count is 0 by the SQL standard) versus "
+    "the NULL-filtered form (the real anti-join count). The classic "
+    "silent-wrong-answer trap in pipeline audits. Spark plans the "
+    "first leg as a null-aware broadcast anti join "
+    "(BroadcastHashJoin isNullAware) — single-key NOT IN stays a "
+    "broadcast probe, not the quadratic BroadcastNestedLoopJoin — "
+    "and the second as an ordinary broadcast left-anti; both "
+    "map-only against the fact at any scale.",
+    tags=("relational", "subquery", "join"),
+)
+def q_subquery_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "orders_nin"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_nin"
+    )
+    return spark.sql(
+        _NOT_IN_SQL.format(orders="orders_nin", customer="customer_nin")
+    )
+
+
+# ------------------------------------------- mergeable moments
+
+#: cents scaling shared with the histogram sketch (exact integers).
+_CENTS = "CAST(floor(value * 100 + 0.5) AS BIGINT)"
+#: variance from merged partials, every operand/order shared:
+#: var = ((Σc² − (Σc·Σc)/n) / n) / 100²  (population variance).
+_MOM_FINAL = (
+    "CAST(n AS BIGINT) AS n, "
+    "((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0) AS mean_val, "
+    "(((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) "
+    "/ CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) / 10000.0) AS var_val"
+)
+
+
+@register(
+    "q_stats_moments_merge",
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type, {_CENTS} AS c FROM events WHERE value IS NOT NULL
+    ),
+    partials AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(c) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(c * c) AS DECIMAL(38,0)) AS s2
+      FROM c GROUP BY event_type
+    )
+    SELECT event_type, {_MOM_FINAL}
+    FROM partials
+    ORDER BY event_type
+    """,
+    doc="Grouped count/mean/variance from exact mergeable partials: "
+    "per event type the moments (n, Σcents, Σcents²) accumulate in "
+    "integer/DECIMAL(38) arithmetic — partials from ANY split of the "
+    "data (partitions, micro-batches) sum to the same triple, pinned "
+    "by tests/test_llm9.py — and mean/variance derive by shared-order "
+    "IEEE division at the end. This is the parallel-moments pattern "
+    "every profiler needs at 100 TB: the shuffle carries 3 numbers "
+    "per group (map-side combined), never rows, and the same merge "
+    "maintains running moments on a stream. Plain sum(double) would "
+    "drift across engines and partitionings; Welford's streaming "
+    "update would serialize — exact partial sums give both "
+    "mergeability and bit-stability.",
+    tags=("agg", "stats", "llm"),
+)
+def q_stats_moments_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where("value IS NOT NULL")
+    partials = (
+        ev.select("event_type", F.expr(_CENTS).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("c").cast("decimal(38,0)")).alias("s1x"),
+            F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias(
+                "s2x"
+            ),
+        )
+        # Spark SUM(DECIMAL(38,0)) stays decimal(38,0); re-alias for the
+        # shared final expression (raw decimals never leave the query).
+        .select(
+            "event_type",
+            "n",
+            F.col("s1x").alias("s1"),
+            F.col("s2x").alias("s2"),
+        )
+    )
+    return partials.selectExpr("event_type", *_MOM_FINAL.split(", ")).orderBy(
+        "event_type"
+    )
+
+
+# ------------------------------------------- MAD anomaly detection
+
+#: Outlier threshold: |v − median| > 3·MAD (unscaled MAD — the
+#: 1.4826 normal-consistency factor would add nothing cross-engine).
+_MAD_K = "3.0"
+
+
+@register(
+    "q_events_anomaly_mad",
+    oracle=f"""
+    WITH v AS (
+      SELECT event_type, event_id, value FROM events
+      WHERE value IS NOT NULL
+    ),
+    cnt AS (SELECT event_type, COUNT(*) AS n FROM v GROUP BY event_type),
+    med AS (
+      SELECT event_type, value AS med FROM (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn
+        FROM v
+      ) r JOIN cnt USING (event_type)
+      WHERE rn = (n + 1) // 2
+    ),
+    dev AS (
+      SELECT v.event_type, v.event_id, abs(v.value - m.med) AS dev, m.med
+      FROM v JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, dev AS mad FROM (
+        SELECT event_type, dev,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY dev, event_id) AS rn
+        FROM dev
+      ) r JOIN cnt USING (event_type)
+      WHERE rn = (n + 1) // 2
+    )
+    SELECT d.event_type, c.n, m.med, a.mad,
+           CAST(SUM(CASE WHEN d.dev > {_MAD_K} * a.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d
+    JOIN med m USING (event_type)
+    JOIN mad a USING (event_type)
+    JOIN cnt c USING (event_type)
+    GROUP BY d.event_type, c.n, m.med, a.mad
+    ORDER BY d.event_type
+    """,
+    doc="Robust per-group anomaly detection: lower median and lower-"
+    "median absolute deviation (MAD) of event values per type, and "
+    "the count of values beyond {k}·MAD — the outlier screen robust "
+    "to the outliers it hunts (mean/stddev screens are not). Medians "
+    "are RANK-SELECTED (row (n+1)/2 by (value, event_id)) — actual "
+    "data elements, no interpolation — so every compared double is a "
+    "raw input value and the result is bit-identical cross-engine "
+    "(interpolated percentiles hide engine-specific arithmetic "
+    "order). Per-group sorts are window row_numbers partitioned by "
+    "type — parallel across groups; at 100 TB the same screen runs "
+    "on the mergeable log-histogram sketch's quantile estimates "
+    "(q_sketch_quantile_hist) instead of exact ranks, trading the "
+    "documented bucket-width error for a shuffle of O(sketch).".format(
+        k=_MAD_K
+    ),
+    tags=("events", "stats", "quality"),
+)
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load_table(spark, sf_dir, "events")
+        .where("value IS NOT NULL")
+        .select("event_type", "event_id", "value")
+    )
+    cnt = v.groupBy("event_type").agg(F.count("*").alias("n"))
+    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    med = (
+        v.withColumn("rn", F.row_number().over(wv))
+        .join(F.broadcast(cnt), "event_type")
+        .where(F.expr("rn = (n + 1) DIV 2"))
+        .select("event_type", F.col("value").alias("med"))
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        F.expr("abs(value - med)").alias("dev"),
+        "med",
+    )
+    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    mad = (
+        dev.withColumn("rn", F.row_number().over(wd))
+        .join(F.broadcast(cnt), "event_type")
+        .where(F.expr("rn = (n + 1) DIV 2"))
+        .select("event_type", F.col("dev").alias("mad"))
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(cnt), "event_type")
+        .groupBy("event_type", "n", "med", "mad")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN dev > {_MAD_K} * mad THEN 1 ELSE 0 "
+                f"END) AS BIGINT)"
+            ).alias("n_outliers")
+        )
+        .select("event_type", "n", "med", "mad", "n_outliers")
+        .orderBy("event_type")
+    )

@@ -1,0 +1,128 @@
+"""Incremental (streaming) inverted-index maintenance.
+
+The batch operator (:mod:`..operators.index`) builds the index in one
+pass; a corpus that arrives continuously needs the index maintained
+per micro-batch without re-reading history.  The mergeable state is
+the (term, doc_id, tf) term-frequency table — tf partials from any
+split of the corpus sum to the batch table — so the maintenance loop
+is the same shape as the streaming Count-Min sketch
+(tests/test_llm8.py::test_cms_streaming_incremental_equals_batch):
+per-batch partials appended via ``foreachBatch``, merged by sum, the
+rank-capped index derived from the merged table on demand.
+
+Store layout (the 100 TB shape, mirroring
+:mod:`.incremental_dedup`'s signature store):
+
+* partials live under ``tb=pmod(xxhash64(term), N)/batch=B`` —
+  hash-bucketed by term so snapshot/compaction shuffles align with the
+  bucket layout, ``batch=B`` leaves written with dynamic partition
+  overwrite so replaying a crashed trigger overwrites exactly its own
+  output (exactly-once);
+* :meth:`IncrementalIndexer.compact` folds per-batch partials into one
+  summed ``batch=-1`` base per bucket, bounding both file counts and
+  snapshot-time merge work;
+* :meth:`IncrementalIndexer.snapshot` merges partials (groupBy
+  (term, doc_id) sum — map-side combinable, one shuffle) and applies
+  the SAME :func:`..operators.index.inverted_index` derivation as the
+  batch query, so stream-built and batch-built indexes are identical
+  by construction (pinned in tests/test_streaming_extra.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import index as IX
+
+#: Directory-level hash buckets on term. Sized at cluster scale so one
+#: bucket ≈ a few hundred MB of tf partials.
+N_TERM_BUCKETS = 32
+
+
+class IncrementalIndexer:
+    """foreachBatch processor maintaining a (term, doc_id, tf) partial
+    store at ``store_path``; ``snapshot()`` derives the rank-capped
+    inverted index equal to a batch rebuild over everything ingested."""
+
+    def __init__(
+        self,
+        store_path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        cap: int = IX.POSTINGS_CAP,
+        n_term_buckets: int = N_TERM_BUCKETS,
+        compact_every: int = 0,
+    ):
+        self.store_path = store_path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.cap = cap
+        self.n_term_buckets = n_term_buckets
+        self.compact_every = compact_every
+
+    def _store(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.store_path):
+            return None
+        return spark.read.parquet(self.store_path)
+
+    def _merged_tf(self, spark: SparkSession) -> DataFrame | None:
+        store = self._store(spark)
+        if store is None:
+            return None
+        return store.groupBy("term", "doc_id").agg(
+            F.sum("tf").alias("tf")
+        )
+
+    def snapshot(self, spark: SparkSession) -> DataFrame | None:
+        """The current index: identical to a batch
+        :func:`..operators.index.inverted_index` over all ingested
+        docs (the merge is exact because tf partials sum)."""
+        tf = self._merged_tf(spark)
+        return None if tf is None else IX.inverted_index(tf, cap=self.cap)
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold per-batch partials into one summed ``batch=-1`` base
+        per term bucket (temp dir + rename; a transactional table
+        format would make the same move atomic)."""
+        tf = self._merged_tf(spark)
+        if tf is None:
+            return
+        tmp = self.store_path + ".compact.tmp"
+        (
+            tf.withColumn(
+                "tb",
+                F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)),
+            )
+            .withColumn("batch", F.lit(-1))
+            .repartition(F.col("tb"))
+            .sortWithinPartitions("term")
+            .write.mode("overwrite")
+            .partitionBy("tb", "batch")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.store_path)
+        os.rename(tmp, self.store_path)
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        tf = IX.term_doc_tf(batch, self.id_col, self.text_col)
+        (
+            tf.withColumn(
+                "tb",
+                F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)),
+            )
+            .withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("tb", "batch")
+            .parquet(self.store_path)
+        )
+        if (
+            self.compact_every
+            and batch_id > 0
+            and batch_id % self.compact_every == 0
+        ):
+            self.compact(batch.sparkSession)

@@ -1,0 +1,178 @@
+"""Semantics tests for the round-4 wave (queries/llm9.py): BM25
+ranking, CMS join-size estimation, null-aware NOT IN, mergeable
+moments, MAD outliers.  The oracle diff pins cross-engine equality;
+these pin the CLAIMED properties (one-sided estimates, mergeability,
+planted-outlier recovery) that equality alone can't.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_kafka_streaming_spark.queries import REGISTRY
+
+
+def _rows(spark, sf_dir, name):
+    return REGISTRY[name].builder(spark, sf_dir).collect()
+
+
+# ------------------------------------------------------------- BM25
+
+
+def test_bm25_scores_positive_iff_terms_present(spark, sf_dir):
+    out = _rows(spark, sf_dir, "q_text_bm25_search")
+    assert len(out) > 0
+    for r in out:
+        # every per-term score is nonnegative and the total is their sum
+        assert r["s_hash"] >= 0 and r["s_stream"] >= 0 and r["s_vector"] >= 0
+        assert r["score"] == (r["s_hash"] + r["s_stream"]) + r["s_vector"]
+    # top results are genuinely ranked
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    assert scores[0] > 0
+
+
+def test_bm25_idf_quantization_monotone():
+    """idfq must be non-increasing in df (rarer term ⇒ ≥ weight)."""
+    from spark_kafka_streaming_spark.queries.llm9 import _IDF_SCALE
+
+    def idfq(n_docs, df):
+        q = ((n_docs - df) * _IDF_SCALE) // (df + 1)
+        return q.bit_length() - 1 if q > 0 else len(bin(0)) - 3  # bin(0)→0
+
+    vals = [idfq(10_000, df) for df in range(1, 10_000)]
+    assert all(a >= b for a, b in zip(vals, vals[1:]))
+
+
+# ----------------------------------------------- join cardinality
+
+
+def test_join_cardinality_estimate_one_sided(spark, sf_dir):
+    r = _rows(spark, sf_dir, "q_sketch_join_cardinality")[0]
+    # CMS inner product never underestimates the true join size
+    assert r["est_pairs"] >= r["exact_pairs"]
+    assert r["overcount"] == r["est_pairs"] - r["exact_pairs"]
+    # and the exact leg really is the join count
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    true_n = ev.join(
+        cust, ev.user_id == cust.c_custkey
+    ).count()
+    assert r["exact_pairs"] == true_n
+
+
+# --------------------------------------------------- NOT IN nulls
+
+
+def test_not_in_with_nulls_is_empty(spark, sf_dir):
+    rows = {r["variant"]: r["n"] for r in _rows(
+        spark, sf_dir, "q_subquery_not_in_null_aware"
+    )}
+    # the subquery projects NULL for every non-negative balance, so the
+    # three-valued NOT IN can never be TRUE
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    assert cust.where("c_acctbal >= 0").count() > 0  # NULLs present
+    assert rows["not_in_with_nulls"] == 0
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    neg = cust.where("c_acctbal < 0").select("c_custkey")
+    want = orders.join(
+        neg, orders.o_custkey == neg.c_custkey, "left_anti"
+    ).count()
+    assert rows["not_in_null_filtered"] == want
+
+
+# ---------------------------------------------------------- moments
+
+
+def test_moments_partials_merge_exactly(spark, sf_dir):
+    """(n, Σc, Σc²) accumulated over any split must merge to the whole:
+    the property that makes the shuffle O(groups) and the streaming
+    maintenance exact."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("value IS NOT NULL")
+        .selectExpr(
+            "event_type",
+            "event_id",
+            "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c",
+        )
+    )
+
+    def partial(df):
+        return {
+            r["event_type"]: (r["n"], r["s1"], r["s2"])
+            for r in df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("c").cast("decimal(38,0)").alias("s1"),
+                F.sum(F.expr("c * c")).cast("decimal(38,0)").alias("s2"),
+            )
+            .collect()
+        }
+
+    whole = partial(ev)
+    a = partial(ev.where("event_id % 2 = 0"))
+    b = partial(ev.where("event_id % 2 = 1"))
+    merged = {}
+    for part in (a, b):
+        for k, (n, s1, s2) in part.items():
+            pn, p1, p2 = merged.get(k, (0, 0, 0))
+            merged[k] = (pn + n, p1 + s1, p2 + s2)
+    assert merged == whole
+
+
+def test_moments_match_builtin_variance(spark, sf_dir):
+    """The exact-partial variance agrees with var_pop of the cents
+    values (same population, same scaling) to fp tolerance."""
+    out = {r["event_type"]: r for r in _rows(
+        spark, sf_dir, "q_stats_moments_merge"
+    )}
+    ref = {
+        r["event_type"]: r
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("value IS NOT NULL")
+        .selectExpr(
+            "event_type",
+            "CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE)"
+            " / 100.0D AS q",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.avg("q").alias("mean_ref"),
+            F.var_pop("q").alias("var_ref"),
+        )
+        .collect()
+    }
+    for k, r in out.items():
+        assert r["mean_val"] == pytest.approx(ref[k]["mean_ref"], rel=1e-9)
+        assert r["var_val"] == pytest.approx(ref[k]["var_ref"], rel=1e-6)
+
+
+# -------------------------------------------------------------- MAD
+
+
+def test_mad_flags_planted_outliers(spark):
+    """A tight cluster plus planted extremes: the MAD screen must flag
+    exactly the extremes (a mean/stddev screen would be dragged)."""
+    rows = [(i, "a", 100.0 + (i % 7) * 0.01) for i in range(100)]
+    rows += [(1000, "a", 5000.0), (1001, "a", -4000.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    df.createOrReplaceTempView("_mad_probe")
+
+    from spark_kafka_streaming_spark.queries.llm9 import (
+        q_events_anomaly_mad,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        out = {r["event_type"]: r for r in q_events_anomaly_mad(
+            spark, td
+        ).collect()}
+    r = out["a"]
+    assert r["n"] == 102
+    assert r["n_outliers"] == 2
+    assert abs(r["med"] - 100.03) < 0.05  # the cluster, not the extremes
