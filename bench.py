@@ -130,6 +130,12 @@ BENCH_QUERIES = [
     "q_text_fuzzy_match",
     "q_basket_brand_pairs",
     "q_layout_zorder",
+    # Round 4: ranked retrieval, sketch join planning, moments, MAD
+    "q_text_bm25_search",
+    "q_sketch_join_cardinality",
+    "q_subquery_not_in_null_aware",
+    "q_stats_moments_merge",
+    "q_events_anomaly_mad",
 ]
 
 

@@ -130,6 +130,7 @@ def pq_encode(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """Train M per-subspace codebooks (k lowest-id seed slices +
     ``iters`` Lloyd refinements) and encode every vector.
@@ -137,9 +138,27 @@ def pq_encode(
     Returns one row per (vector, subspace): (id_col, sub_id,
     code, dist2) where ``code`` is the seed-id-labeled codebook cell
     and ``dist2`` the exact int64 subspace reconstruction error.
+
+    ``train_sample_mod``: train the codebooks on the deterministic
+    1/mod id-sample (``id % mod == 0``) instead of the full corpus —
+    the production shape (Jégou 2011 trains on a held-out learning
+    set; FAISS defaults to ~max 256·k points per codebook).  Training
+    cost is quadratic-ish in training rows (assignment join ×
+    iterations) while encoding is one broadcast join over everything,
+    so at 100× corpus scale full-train dominates wall clock for zero
+    recall benefit; the sf10 decade row in SCALE.md measures the
+    split.  Sampling only changes WHICH codebook is learned — the
+    encode semantics and exactness argument are unchanged, and the
+    sampled trajectory is replayed exactly by an oracle that applies
+    the same id filter.
     """
     sub = track_persist(_subspace_rows(df, id_col, vec_col))
-    cents = pq_codebooks(sub, iters)
+    train = (
+        sub
+        if train_sample_mod is None
+        else sub.filter(F.expr(f"id % {train_sample_mod} = 0"))
+    )
+    cents = pq_codebooks(train, iters)
     return _nearest_code(sub, cents).select(
         F.col("id").alias(id_col),
         "sub_id",

@@ -27,6 +27,7 @@ from . import llm6  # noqa: F401,E402
 from . import llm7  # noqa: F401,E402
 from . import llm8  # noqa: F401,E402
 from . import llm9  # noqa: F401,E402
+from . import llm10  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -73,6 +74,8 @@ _ROUND4_WINDOW = [
     "q_subquery_not_in_null_aware",
     "q_stats_moments_merge",
     "q_events_anomaly_mad",
+    "q_sketch_hll_sliding",
+    "q_graph_pagerank_brands",
 ]
 
 _ROUND3_WINDOW = [

@@ -137,6 +137,30 @@ def test_pq_encode_shape_and_codes(spark, emb):
     assert all(r["dist2"] >= 0 for r in out)
 
 
+def test_pq_sample_trained_encode_covers_corpus(spark, emb):
+    """Sample-training (the production split: learn codebooks on 1/mod
+    of ids, encode everything) still assigns every vector a valid code
+    per subspace; with mod=1 it degenerates to full training exactly."""
+    from spark_kafka_streaming_spark.operators.pq import (
+        K_CODES,
+        M_SUBS,
+        pq_encode,
+    )
+
+    n = emb.count()
+    out = pq_encode(emb, iters=1, train_sample_mod=4).collect()
+    assert len(out) == n * M_SUBS
+    assert 1 < len({r["code"] for r in out}) <= K_CODES
+    assert all(r["dist2"] >= 0 for r in out)
+    full = {(r["vec_id"], r["sub_id"]): r["code"] for r in pq_encode(
+        emb, iters=1
+    ).collect()}
+    mod1 = {(r["vec_id"], r["sub_id"]): r["code"] for r in pq_encode(
+        emb, iters=1, train_sample_mod=1
+    ).collect()}
+    assert mod1 == full
+
+
 def test_pq_lloyd_reduces_reconstruction_error(spark, emb):
     """One Lloyd refinement must not increase total quantization error
     (k-means monotonicity, exact arithmetic edition — up to the

@@ -176,3 +176,105 @@ def test_mad_flags_planted_outliers(spark):
     assert r["n"] == 102
     assert r["n_outliers"] == 2
     assert abs(r["med"] - 100.03) < 0.05  # the cluster, not the extremes
+
+
+# ---------------------------------------------------- sliding HLL
+
+
+def test_hll_sliding_window_dominates_single_hour(spark, sf_dir):
+    """A trailing 3-hour estimate can never fall below ~the single-hour
+    estimate's register mass: the merged registers dominate each
+    constituent hour's bucket-wise (monotone max-merge)."""
+    out = REGISTRY["q_sketch_hll_sliding"].builder(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        # the exact rolling distinct is positive wherever a spine hour
+        # exists, and the raw estimate stays within HLL's coarse range
+        # (m=64 ⇒ ±~13% typical; 2.5x slack) — except below the raw
+        # estimator's small-range floor ≈ α·m ≈ 45 (nearly-empty
+        # registers), where the catalog's convention is to expose the
+        # RAW estimate (like q_sketch_hll) rather than a LinearCounting
+        # correction whose ln() would drift across engines.
+        assert r["true_distinct"] > 0
+        assert r["raw_est"] > 0.4 * r["true_distinct"]
+        assert r["raw_est"] < max(2.5 * r["true_distinct"], 60.0)
+
+
+def test_hll_sliding_merge_is_bucket_max(spark, sf_dir):
+    """Window-merged sum_scaled must equal what a manual bucket-wise
+    max over the constituent hours' registers produces (mergeability
+    across time, the property the query claims)."""
+    from spark_kafka_streaming_spark.functions import texthash as TH
+    from spark_kafka_streaming_spark.operators import sketches as SK
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where(
+        "ts IS NOT NULL"
+    )
+    hashed = ev.select(
+        F.expr("unix_timestamp(ts) DIV 3600").alias("hidx"),
+        F.expr(
+            TH.spark_str_hash_raw("CAST(user_id AS STRING)")
+        ).alias("hr"),
+    )
+    W = 1 << SK.HLL_WBITS
+    per = {
+        (r["hidx"], r["bucket"]): r["r"]
+        for r in hashed.select(
+            "hidx",
+            F.expr(f"CAST(hr DIV {W} AS INT)").alias("bucket"),
+            F.expr(SK.hll_rank_sql(f"(hr % {W})")).cast("int").alias("rk"),
+        )
+        .groupBy("hidx", "bucket")
+        .agg(F.max("rk").alias("r"))
+        .collect()
+    }
+    hours = sorted({h for h, _ in per})
+    out = {
+        r["hidx"]: r["sum_scaled"]
+        for r in REGISTRY["q_sketch_hll_sliding"]
+        .builder(spark, sf_dir)
+        .collect()
+    }
+    for h in hours[:5]:  # spot-check the first five window positions
+        regs: dict = {}
+        for hh in (h - 2, h - 1, h):
+            for (ph, b), r in per.items():
+                if ph == hh:
+                    regs[b] = max(regs.get(b, 0), r)
+        want = (SK.HLL_M - len(regs)) * (1 << SK.HLL_SHIFT) + sum(
+            1 << (SK.HLL_SHIFT - r) for r in regs.values()
+        )
+        assert out[h] == want
+
+
+# --------------------------------------------------------- PageRank
+
+
+def test_pagerank_ranks_positive_and_complete(spark, sf_dir):
+    out = REGISTRY["q_graph_pagerank_brands"].builder(spark, sf_dir).collect()
+    brands = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .select("p_brand")
+        .distinct()
+        .count()
+    )
+    # co-occurrence graph covers every brand at this SF
+    assert len(out) == brands
+    base = 150_000_000
+    for r in out:
+        assert r["rank_scaled"] >= base  # teleport floor
+    # ranks are a genuine ordering, not a constant
+    vals = [r["rank_scaled"] for r in out]
+    assert vals == sorted(vals, reverse=True)
+    assert len(set(vals)) > 1
+
+
+def test_pagerank_mass_approximately_conserved(spark, sf_dir):
+    """With symmetric edges and no dangling nodes, total rank stays
+    ~N·SCALE (teleport replaces exactly what damping removes; integer
+    DIV truncation only leaks ulps per edge)."""
+    out = REGISTRY["q_graph_pagerank_brands"].builder(spark, sf_dir).collect()
+    n = len(out)
+    total = sum(r["rank_scaled"] for r in out)
+    assert abs(total - n * 1_000_000_000) < n * 2_000_000  # <0.2% drift
