@@ -57,7 +57,16 @@ def _subspace_rows_scaled(
 ) -> DataFrame:
     """Subspace reshape over an ALREADY-SCALED int64 array expression
     (IVFPQ feeds residual vectors here).  ``keep`` carries extra
-    columns (e.g. the IVF cell) through the explode."""
+    columns (e.g. the IVF cell) through the explode.
+
+    The reshape ends in a repartition on (id, sub_id): the assignment
+    window (:func:`_nearest_code`) requires exactly that hash
+    distribution, so the exchange is REUSED (no extra shuffle in the
+    encode plan) — and it guarantees balanced parallelism even when
+    the input's file layout is degenerate.  Found live: a
+    single-row-group parquet file gives Spark byte-range splits but
+    only ONE non-empty task, and persist() pins that layout — every
+    sf10 PQ stage ran 12-idle/1-hot until this exchange."""
     return (
         df.select(
             F.col(id_col).alias("id"),
@@ -70,6 +79,7 @@ def _subspace_rows_scaled(
             ).alias("sub_id", "sv"),
         )
         .withColumn("sn", F.expr(V.spark_dot("sv", "sv")))
+        .repartition(F.col("id"), F.col("sub_id"))
     )
 
 

@@ -116,6 +116,10 @@ def main() -> None:
             }
         ),
         f"{out}/documents.parquet",
+        # bounded row groups: a single-row-group file defeats Spark's
+        # byte-range splitting (one task owns the whole table — found
+        # live as a 12-idle/1-hot straggler in every sf10 PQ stage)
+        row_group_size=16384,
     )
 
     # embeddings: perturbed replicas (replica 0 = original)
@@ -145,6 +149,7 @@ def main() -> None:
             }
         ),
         f"{out}/embeddings.parquet",
+        row_group_size=16384,
     )
     for t in ("region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"):
         n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
