@@ -136,6 +136,10 @@ BENCH_QUERIES = [
     "q_subquery_not_in_null_aware",
     "q_stats_moments_merge",
     "q_events_anomaly_mad",
+    "q_sketch_hll_sliding",
+    "q_graph_pagerank_brands",
+    "q_cdc_apply_changes",
+    "q_quality_expectations_events",
 ]
 
 

@@ -28,6 +28,7 @@ from . import llm7  # noqa: F401,E402
 from . import llm8  # noqa: F401,E402
 from . import llm9  # noqa: F401,E402
 from . import llm10  # noqa: F401,E402
+from . import relational4  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -76,6 +77,8 @@ _ROUND4_WINDOW = [
     "q_events_anomaly_mad",
     "q_sketch_hll_sliding",
     "q_graph_pagerank_brands",
+    "q_cdc_apply_changes",
+    "q_quality_expectations_events",
 ]
 
 _ROUND3_WINDOW = [

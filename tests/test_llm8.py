@@ -211,8 +211,14 @@ def test_inverted_index_against_python(spark, sf_dir):
             sum(c for _, c in posts),
             [d for d, _ in posts[:5]],
         )
+    # top_docs is serialized to a comma-joined string (container
+    # outputs are forbidden by the registry rule); parse it back.
     got = {
-        r["term"]: (r["df"], r["total_tf"], list(r["top_docs"]))
+        r["term"]: (
+            r["df"],
+            r["total_tf"],
+            [int(x) for x in r["top_docs"].split(",") if x != ""],
+        )
         for r in REGISTRY["q_text_inverted_index"]
         .builder(spark, sf_dir)
         .collect()
