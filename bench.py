@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "q_graph_pagerank_brands",
     "q_cdc_apply_changes",
     "q_quality_expectations_events",
+    "q_dedup_containment_overlap",
 ]
 
 

@@ -439,3 +439,89 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def overlap_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    max_df: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Containment near-dup pairs by the OVERLAP coefficient
+    |A∩B| / min(|A|,|B|) over distinct word-3-gram shingle hashes —
+    the asymmetric tier of the dedup family: a short document embedded
+    verbatim inside a long one scores ~1.0 here while its symmetric
+    Jaccard (|A∩B|/|A∪B|) stays low, so MinHash/Jaccard passes miss
+    exactly the sub-document duplication (quoted chunks, boilerplate
+    wrappers, prompt-template expansions) this operator targets.
+
+    Plan: one shingle pass → per-shingle document frequency →
+    candidates from shingles with df ≤ ``max_df`` (a pair is lost only
+    if EVERY shared shingle is hotter — on a real corpus those are
+    boilerplate n-grams asserting nothing about the pair) → exact
+    intersection counted over the FULL shingle sets of candidate pairs
+    only.  The df cap is the scale guard: it bounds the self-join's
+    per-shingle fan-out at max_df² and drops the Σ df² blowup a
+    shared-vocabulary corpus otherwise produces (same role as the
+    PPJoin prefix filter in :func:`ngram_jaccard_pairs`, simpler
+    because containment lacks the prefix theorem's exact bound).
+
+    Returns (id1, id2, inter, sz1, sz2, overlap) with id1 < id2 and
+    overlap ≥ ``threshold``; exact integer sizes ⇒ the division is
+    bit-identical cross-engine.
+    """
+    sh = track_persist(
+        df.filter(_has_shingles(text_col))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"{TH.spark_shingles(text_col)}, "
+                    f"s -> {TH.spark_str_hash('s')}))"
+                )
+            ).alias("h"),
+        )
+    )
+    dfh = sh.groupBy("h").agg(F.count("*").alias("df"))
+    rare = sh.join(dfh.filter(F.col("df") <= max_df).select("h"), "h")
+    a, b = rare.alias("a"), rare.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id1"),
+            F.col(f"b.{id_col}").alias("id2"),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    ia, ib = sh.alias("ia"), sh.alias("ib")
+    inter = (
+        cand.join(ia, F.col(f"ia.{id_col}") == F.col("id1"))
+        .join(
+            ib,
+            (F.col(f"ib.{id_col}") == F.col("id2"))
+            & (F.col("ib.h") == F.col("ia.h")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("id1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("id2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn(
+            "overlap",
+            F.expr(
+                "CAST(inter AS DOUBLE) / CAST(LEAST(sz1, sz2) AS DOUBLE)"
+            ),
+        )
+        .filter(F.col("overlap") >= threshold)
+        .select("id1", "id2", "inter", "sz1", "sz2", "overlap")
+    )

@@ -29,6 +29,7 @@ from . import llm8  # noqa: F401,E402
 from . import llm9  # noqa: F401,E402
 from . import llm10  # noqa: F401,E402
 from . import relational4  # noqa: F401,E402
+from . import llm11  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -79,6 +80,7 @@ _ROUND4_WINDOW = [
     "q_graph_pagerank_brands",
     "q_cdc_apply_changes",
     "q_quality_expectations_events",
+    "q_dedup_containment_overlap",
 ]
 
 _ROUND3_WINDOW = [

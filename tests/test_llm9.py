@@ -278,3 +278,26 @@ def test_pagerank_mass_approximately_conserved(spark, sf_dir):
     n = len(out)
     total = sum(r["rank_scaled"] for r in out)
     assert abs(total - n * 1_000_000_000) < n * 2_000_000  # <0.2% drift
+
+
+# ---------------------------------------------- containment overlap
+
+
+def test_overlap_catches_subdocument_dup_jaccard_misses(spark):
+    """A short doc embedded verbatim in a much longer one: overlap
+    ≈ 1.0 (flagged) while symmetric Jaccard is low — the exact case
+    the asymmetric tier exists for."""
+    short = " ".join(f"w{i}" for i in range(30))
+    long_ = short + " " + " ".join(f"x{i}" for i in range(300))
+    other = " ".join(f"y{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, other)], "doc_id long, text string"
+    )
+    from spark_kafka_streaming_spark.operators.dedup import overlap_pairs
+
+    out = overlap_pairs(df, threshold=0.8, max_df=20).collect()
+    assert [(r["id1"], r["id2"]) for r in out] == [(1, 2)]
+    r = out[0]
+    assert r["overlap"] >= 0.9  # the short doc is contained
+    jaccard = r["inter"] / (r["sz1"] + r["sz2"] - r["inter"])
+    assert jaccard < 0.15  # symmetric similarity would never flag it

@@ -371,3 +371,68 @@ def test_incremental_inverted_index_equals_batch(spark, sf_dir, tmp_path):
     # …and compaction preserves the index bit-for-bit
     indexer.compact(spark)
     assert [tuple(r) for r in indexer.snapshot(spark).collect()] == want
+
+
+def test_incremental_moments_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of q_stats_moments_merge: per-micro-batch exact
+    partials (n, Σc, Σc²) folded in foreachBatch reproduce the one-shot
+    batch moments exactly — the same merge the shuffle's map-side
+    combine performs, applied across time."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        {"event_type": r["event_type"], "c": r["c"]}
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("value IS NOT NULL")
+        .selectExpr(
+            "event_type", "CAST(floor(value * 100 + 0.5) AS BIGINT) AS c"
+        )
+        .limit(400)
+        .collect()
+    ]
+    src = tmp_path / "mom"
+    src.mkdir()
+    half = len(rows) // 2
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in rows[:half]))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in rows[half:]))
+
+    acc: dict = {}
+
+    def absorb(df, epoch_id):
+        for r in (
+            df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("c").alias("s1"),
+                F.sum(F.expr("c * c")).alias("s2"),
+            )
+            .collect()
+        ):
+            n, s1, s2 = acc.get(r["event_type"], (0, 0, 0))
+            acc[r["event_type"]] = (n + r["n"], s1 + r["s1"], s2 + r["s2"])
+
+    q = (
+        spark.readStream.schema("event_type STRING, c BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "ck_mom"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch = {
+        r["event_type"]: (r["n"], r["s1"], r["s2"])
+        for r in spark.createDataFrame(rows, "event_type STRING, c BIGINT")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.expr("c * c")).alias("s2"),
+        )
+        .collect()
+    }
+    assert acc == batch
