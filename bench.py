@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q_cdc_apply_changes",
     "q_quality_expectations_events",
     "q_dedup_containment_overlap",
+    "q_events_anomaly_mad_hist",
 ]
 
 

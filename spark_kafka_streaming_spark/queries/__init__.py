@@ -81,6 +81,7 @@ _ROUND4_WINDOW = [
     "q_cdc_apply_changes",
     "q_quality_expectations_events",
     "q_dedup_containment_overlap",
+    "q_events_anomaly_mad_hist",
 ]
 
 _ROUND3_WINDOW = [

@@ -483,3 +483,140 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "med", "mad", "n_outliers")
         .orderBy("event_type")
     )
+
+
+# --------------------------------- MAD, the one-scan histogram form
+
+#: Lower-median rank over a cumulative count: smallest key whose
+#: running total reaches (n+1) DIV 2.
+_MAD2_K = 3
+
+
+@register(
+    "q_events_anomaly_mad_hist",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, {_CENTS} AS c, COUNT(*) AS cnt
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type, c
+    ),
+    n AS (SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM h GROUP BY event_type),
+    cum AS (
+      SELECT event_type, c, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY c) AS cm
+      FROM h
+    ),
+    med AS (
+      SELECT cum.event_type, MIN(c) AS med_c
+      FROM cum JOIN n USING (event_type)
+      WHERE cm >= (n.n + 1) // 2
+      GROUP BY cum.event_type
+    ),
+    devh AS (
+      SELECT h.event_type, abs(h.c - m.med_c) AS d,
+             CAST(SUM(h.cnt) AS BIGINT) AS cnt
+      FROM h JOIN med m USING (event_type)
+      GROUP BY h.event_type, abs(h.c - m.med_c)
+    ),
+    dcum AS (
+      SELECT event_type, d, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY d) AS cm
+      FROM devh
+    ),
+    mad AS (
+      SELECT dcum.event_type, MIN(d) AS mad_c
+      FROM dcum JOIN n USING (event_type)
+      WHERE cm >= (n.n + 1) // 2
+      GROUP BY dcum.event_type
+    ),
+    outl AS (
+      SELECT devh.event_type,
+             CAST(SUM(CASE WHEN devh.d > {_MAD2_K} * mad.mad_c
+                      THEN devh.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM devh JOIN mad USING (event_type)
+      GROUP BY devh.event_type
+    )
+    SELECT n.event_type, n.n,
+           CAST(med.med_c AS DOUBLE) / 100.0 AS med_val,
+           CAST(mad.mad_c AS DOUBLE) / 100.0 AS mad_val,
+           outl.n_outliers
+    FROM n
+    JOIN med USING (event_type)
+    JOIN mad USING (event_type)
+    JOIN outl USING (event_type)
+    ORDER BY n.event_type
+    """,
+    doc="Median/MAD anomaly screen in ONE event scan — the scale form "
+    "of q_events_anomaly_mad: values quantize to exact integer cents, "
+    "one map-side-combined groupBy builds the per-type cents "
+    "histogram, and EVERYTHING else — lower median (rank-selected "
+    "over the cumulative histogram), the deviation histogram (a "
+    "regroup of the histogram itself by |c − med|, no second scan), "
+    "the MAD, and the {k}·MAD outlier count (summed from histogram "
+    "cells) — runs on histogram-sized data. The exact-rank form "
+    "partitions its sorts by event_type and so parallelizes at most "
+    "#groups-ways (measured 15× wall ratio at sf10 with 5 types); "
+    "this form's shuffle is O(distinct cents ≈ value range·100) with "
+    "full map-side parallelism at any group count, and every number "
+    "is exact integer arithmetic at cent resolution — same results "
+    "as the exact form whenever the data is cent-quantized (pinned "
+    "in tests/test_llm9.py).".format(k=_MAD2_K),
+    tags=("events", "stats", "quality", "sketch"),
+)
+def q_events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where("value IS NOT NULL")
+    h = (
+        ev.select("event_type", F.expr(_CENTS).alias("c"))
+        .groupBy("event_type", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from ..functions.caching import track_persist
+
+    h = track_persist(h)
+    n = h.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("c")
+    cum = h.withColumn("cm", F.sum("cnt").over(wc))
+    med = (
+        cum.join(F.broadcast(n), "event_type")
+        .where(F.expr("cm >= (n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(F.min("c").alias("med_c"))
+    )
+    devh = (
+        h.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.expr("abs(c - med_c)").alias("d"))
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    devh = track_persist(devh)
+    wd = Window.partitionBy("event_type").orderBy("d")
+    dcum = devh.withColumn("cm", F.sum("cnt").over(wd))
+    mad = (
+        dcum.join(F.broadcast(n), "event_type")
+        .where(F.expr("cm >= (n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(F.min("d").alias("mad_c"))
+    )
+    outl = (
+        devh.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN d > {_MAD2_K} * mad_c THEN cnt "
+                f"ELSE 0 END) AS BIGINT)"
+            ).alias("n_outliers")
+        )
+    )
+    return (
+        n.join(med, "event_type")
+        .join(mad, "event_type")
+        .join(outl, "event_type")
+        .select(
+            "event_type",
+            "n",
+            F.expr("CAST(med_c AS DOUBLE) / 100.0").alias("med_val"),
+            F.expr("CAST(mad_c AS DOUBLE) / 100.0").alias("mad_val"),
+            "n_outliers",
+        )
+        .orderBy("event_type")
+    )

@@ -301,3 +301,26 @@ def test_overlap_catches_subdocument_dup_jaccard_misses(spark):
     assert r["overlap"] >= 0.9  # the short doc is contained
     jaccard = r["inter"] / (r["sz1"] + r["sz2"] - r["inter"])
     assert jaccard < 0.15  # symmetric similarity would never flag it
+
+
+def test_mad_hist_form_agrees_with_exact_form(spark, sf_dir):
+    """On cent-quantized data the one-scan histogram form reproduces
+    the exact rank form's median and MAD (same lower-median rule at
+    the same resolution); outlier counts may differ only at the exact
+    3·MAD boundary where double subtraction of quantized values and
+    integer cent arithmetic can disagree by an ulp."""
+    exact = {r["event_type"]: r for r in _rows(
+        spark, sf_dir, "q_events_anomaly_mad"
+    )}
+    hist = {r["event_type"]: r for r in _rows(
+        spark, sf_dir, "q_events_anomaly_mad_hist"
+    )}
+    assert set(exact) == set(hist)
+    for k in exact:
+        e, h = exact[k], hist[k]
+        assert e["n"] == h["n"]
+        assert h["med_val"] == pytest.approx(e["med"], abs=0.005)
+        assert h["mad_val"] == pytest.approx(e["mad"], abs=0.011)
+        assert abs(h["n_outliers"] - e["n_outliers"]) <= max(
+            3, e["n"] // 100
+        )
