@@ -120,3 +120,65 @@ def test_quality_pipeline_is_single_scan(spark, sf_dir):
     plan = _plan(df)
     assert plan.count("Exchange") <= 2  # partial->final agg + ordering
     assert "Join" not in plan
+
+
+def test_bm25_single_pass_top_k(spark, sf_dir):
+    """BM25's plan contract: ranking via TakeOrderedAndProject (never a
+    global sort), corpus stats as a broadcast (the only nested-loop is
+    the 1-row stats attach), and ONE aggregate pass computing dl plus
+    every per-term tf together (no tf⋈dl self-join of the corpus)."""
+    df = REGISTRY["q_text_bm25_search"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1  # 1-row stats attach
+    assert "SortMergeJoin" not in plan
+
+
+def test_not_in_plans_null_aware_broadcast(spark, sf_dir):
+    """The NOT-IN-with-NULLs leg must plan as a null-aware broadcast
+    anti join (BroadcastHashJoin LeftAnti with the isNullAware flag),
+    not the quadratic BroadcastNestedLoopJoin fallback."""
+    df = REGISTRY["q_subquery_not_in_null_aware"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    naaj = re.findall(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", plan)
+    assert naaj, "null-aware anti join flag missing from the NOT IN leg"
+
+
+def test_zorder_metric_has_no_global_sort(spark, sf_dir):
+    """VERDICT r3 #6: the layout metric must share the shipped writer's
+    plan shape — value-range bucket tags, never a total-order sort of
+    the fact (the final 2-row ORDER BY on layout is fine)."""
+    df = REGISTRY["q_layout_zorder"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" not in plan  # the old NTILE total order
+    # the only sort allowed is the final 2-group presentation sort
+    assert plan.count("Exchange rangepartitioning") <= 1
+
+
+def test_mad_hist_everything_after_first_agg_is_sketch_sized(spark, sf_dir):
+    """The histogram MAD's one-scan contract: every consumer branch
+    (count, median, deviation regroup, MAD, outliers) reads the
+    persisted cents/deviation histograms via InMemoryTableScan — the
+    fact table is materialized once and the rest of the plan runs on
+    histogram-sized cached data.  (The plan STRING still prints the
+    parquet lineage inside each InMemoryRelation, so counting raw scan
+    substrings would be meaningless.)"""
+    df = REGISTRY["q_events_anomaly_mad_hist"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("InMemoryTableScan") >= 4, (
+        "histogram consumers bypassed the persisted histogram"
+    )
+
+
+def test_cdc_merge_is_single_join(spark, sf_dir):
+    """MERGE semantics compile to ONE full-outer join of snapshot and
+    changes (plus the derivation scans) — no repeated snapshot joins."""
+    df = REGISTRY["q_cdc_apply_changes"].builder(spark, sf_dir)
+    plan = _plan(df)
+    assert (
+        plan.count("FullOuter") == 1
+        or plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") >= 1
+    )
