@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "q_quality_expectations_events",
     "q_dedup_containment_overlap",
     "q_events_anomaly_mad_hist",
+    "q_skew_report_orders",
 ]
 
 

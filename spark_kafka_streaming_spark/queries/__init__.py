@@ -82,6 +82,7 @@ _ROUND4_WINDOW = [
     "q_quality_expectations_events",
     "q_dedup_containment_overlap",
     "q_events_anomaly_mad_hist",
+    "q_skew_report_orders",
 ]
 
 _ROUND3_WINDOW = [

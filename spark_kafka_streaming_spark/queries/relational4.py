@@ -149,3 +149,79 @@ def q_quality_expectations_events(spark: SparkSession, sf_dir: str) -> DataFrame
         "events_expect"
     )
     return spark.sql(_EXPECT_SQL.format(events="events_expect"))
+
+
+# ------------------------------------------------- skew diagnostics
+
+_SKEW_TOPK = 10
+
+
+@register(
+    "q_skew_report_orders",
+    oracle=f"""
+    WITH counts AS (
+      SELECT o_custkey AS key_val, COUNT(*) AS cnt FROM orders
+      GROUP BY o_custkey
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys
+      FROM counts
+    ),
+    top AS (
+      SELECT key_val, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, key_val)
+                  AS INT) AS rk
+      FROM counts
+    )
+    SELECT t.rk, t.key_val, CAST(t.cnt AS BIGINT) AS cnt,
+           CAST((t.cnt * 1000000) // x.total AS BIGINT) AS share_ppm,
+           x.n_keys, x.total
+    FROM top t CROSS JOIN tot x
+    WHERE t.rk <= {_SKEW_TOPK}
+    ORDER BY t.rk
+    """,
+    doc="Join-key skew report: the top-{k} hottest o_custkey values "
+    "with exact counts and parts-per-million share of all rows, "
+    "beside the key cardinality and total — the pre-flight a pipeline "
+    "runs before keying a shuffle on a column (decides between plain "
+    "hash partitioning, salting (operators/skew.py), and AQE skew "
+    "splitting; pairs with q_sketch_join_cardinality's size "
+    "estimate). One map-side-combined groupBy; the top-k is a "
+    "TakeOrdered heap, never a global sort; the totals reduce to one "
+    "broadcast row. Shares are exact integer ppm (cnt·10⁶ DIV total) "
+    "— no float division to drift.".format(k=_SKEW_TOPK),
+    tags=("relational", "audit", "skew"),
+)
+def q_skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("key_val"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("n_keys"),
+    )
+    w = Window.orderBy(F.desc("cnt"), "key_val")
+    top = (
+        counts.orderBy(F.desc("cnt"), "key_val")
+        .limit(_SKEW_TOPK)
+        .withColumn("rk", F.row_number().over(w))
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "rk",
+            "key_val",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("CAST((cnt * 1000000) DIV total AS BIGINT)").alias(
+                "share_ppm"
+            ),
+            "n_keys",
+            "total",
+        )
+        .orderBy("rk")
+    )

@@ -91,6 +91,28 @@ class ProgressRecorder(StreamingQueryListener):
                 continue
         return lags
 
+    def late_data(self) -> dict[str, int]:
+        """Cumulative late-data accounting across all recorded batches:
+        rows dropped by the watermark and the current state footprint.
+
+        The correctness observable event-time pipelines must alarm on —
+        a rising drop count means the watermark delay is too tight for
+        the source's disorder (the reference's DStream path silently
+        mis-bucketed late records; Structured Streaming drops them and
+        REPORTS it here via ``stateOperators[i].numRowsDroppedByWatermark``).
+        """
+        with self._lock:
+            events = list(self.events)
+        dropped = 0
+        state_rows = 0
+        for progress in events:
+            for op in progress.get("stateOperators", []) or []:
+                dropped += int(op.get("numRowsDroppedByWatermark", 0) or 0)
+        if events:
+            for op in events[-1].get("stateOperators", []) or []:
+                state_rows += int(op.get("numRowsTotal", 0) or 0)
+        return {"rowsDroppedByWatermark": dropped, "stateRowsTotal": state_rows}
+
     def throughput(self) -> dict[str, float]:
         """Rows/sec in and processed (the per-partition meter analog,
         ``...InputDStream.scala:228``)."""

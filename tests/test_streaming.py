@@ -341,3 +341,64 @@ def test_avro_gated_clearly(spark):
             avro_schema_of(df, "id", "name"),
         )
         assert rt.collect()[0].id == 1
+
+
+def test_late_data_accounting_in_monitor(spark, tmp_path):
+    """ProgressRecorder.late_data(): the watermark-drop counter the
+    operator alarms on — rows arriving older than the watermark must
+    show up in stateOperators.numRowsDroppedByWatermark, surfaced as a
+    cumulative metric (the observability the reference's DStream path
+    lacked: it silently mis-bucketed late records)."""
+    src = str(tmp_path / "late_mon_src")
+    os.makedirs(src)
+
+    def write_batch(name, rows):
+        with open(os.path.join(src, name), "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write_batch(
+        "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T10:00:00.000000Z", "user_id": 1,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+            {"event_id": 2, "ts": "2024-01-01T12:00:00.000000Z", "user_id": 1,
+             "event_type": "click", "value": 1.0, "props": "{}"},
+        ],
+    )
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        stream = file_stream(spark, src, max_files_per_trigger=1)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("n"))
+        )
+        q = start_sink(agg, "memory", query_name="late_mon",
+                       output_mode="update",
+                       checkpoint=str(tmp_path / "ck_late_mon"))
+        q.processAllAvailable()
+        write_batch(
+            "b2.json",
+            [
+                {"event_id": 3, "ts": "2024-01-01T10:05:00.000000Z",
+                 "user_id": 1, "event_type": "click", "value": 1.0,
+                 "props": "{}"},
+            ],
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination(30)
+        # listener delivery is async; poll briefly
+        import time as _t
+
+        for _ in range(20):
+            ld = rec.late_data()
+            if ld["rowsDroppedByWatermark"] >= 1:
+                break
+            _t.sleep(0.5)
+        assert ld["rowsDroppedByWatermark"] >= 1
+        assert ld["stateRowsTotal"] >= 1  # live window state is visible
+    finally:
+        spark.streams.removeListener(rec)
