@@ -1,0 +1,134 @@
+"""Incremental (streaming) CDC upsert into a keyed parquet snapshot.
+
+The batch operator (``queries/relational4.py::q_cdc_apply_changes``)
+applies a change set with one full-outer join; a pipeline receiving
+continuous CDC feeds must maintain the snapshot per micro-batch
+without rewriting the world.  This is the foreachBatch MERGE loop —
+the third member of the streaming-maintenance family
+(:mod:`.incremental_dedup` for signatures, :mod:`.incremental_index`
+for term partials), and the OSS-primitive form of what a Delta /
+Iceberg ``MERGE INTO`` sink does transactionally.
+
+Store layout and the 100 TB shape:
+
+* the snapshot lives hash-bucketed by key:
+  ``kb = pmod(xxhash64(key), N)`` directories — so one micro-batch
+  only ever touches the buckets its change keys hash into;
+* per trigger: tag the batch's changes with ``kb``, collect the
+  touched bucket list (tiny — bounded by N), read ONLY those buckets
+  (partition-pruned scan), full-outer merge exactly like the batch
+  operator, write the merged buckets to a temp dir, and swap the
+  touched directories.  Untouched buckets are never read or written —
+  per-trigger I/O scales with the feed's bucket fan-out, not snapshot
+  size;
+* **idempotent by semantics**: changes are absolute (UPSERT rows carry
+  the full new state, DELETE removes the key), so re-applying a batch
+  after a crash — even to a bucket the failed attempt already swapped
+  — converges to the same content.  A transactional table format
+  would make the swap atomic as well; the temp-dir + rename here is
+  the single-writer equivalent (same posture as
+  ``incremental_dedup.compact``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+N_KEY_BUCKETS = 32
+
+
+class IncrementalMerger:
+    """foreachBatch processor maintaining a keyed snapshot at
+    ``store_path`` under an absolute CDC feed.
+
+    Change rows: (``key_col``, ``op`` ∈ {'U','D'}, *value columns) —
+    'U' upserts the row's full state (insert-or-replace), 'D' deletes
+    the key.  The snapshot holds (``key_col``, *value columns).
+    """
+
+    def __init__(
+        self,
+        store_path: str,
+        key_col: str = "k",
+        n_key_buckets: int = N_KEY_BUCKETS,
+    ):
+        self.store_path = store_path
+        self.key_col = key_col
+        self.n_key_buckets = n_key_buckets
+
+    def _kb(self) -> F.Column:
+        return F.pmod(
+            F.xxhash64(F.col(self.key_col).cast("string")),
+            F.lit(self.n_key_buckets),
+        ).cast("int")
+
+    def snapshot(self, spark: SparkSession) -> DataFrame | None:
+        if not os.path.exists(self.store_path):
+            return None
+        return spark.read.parquet(self.store_path).drop("kb")
+
+    def __call__(self, changes: DataFrame, batch_id: int) -> None:
+        spark = changes.sparkSession
+        k = self.key_col
+        # Last change per key wins within the batch (CDC feeds are
+        # ordered; ties break on op so a same-key U beats a D
+        # deterministically in unordered test feeds).
+        latest = (
+            changes.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(k).orderBy(F.desc("op"))
+                ),
+            )
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .withColumn("kb", self._kb())
+        )
+        touched = sorted(
+            r["kb"] for r in latest.select("kb").distinct().collect()
+        )
+        if not touched:
+            return
+
+        value_cols = [c for c in latest.columns if c not in (k, "op", "kb")]
+        upserts = latest.where("op = 'U'").select(k, "kb", *value_cols)
+        deletes = latest.where("op = 'D'").select(k)
+
+        if os.path.exists(self.store_path):
+            base = spark.read.parquet(self.store_path).where(
+                F.col("kb").isin([int(b) for b in touched])
+            )
+        else:
+            base = spark.createDataFrame(
+                [], upserts.schema
+            )
+
+        merged = (
+            base.join(F.broadcast(latest.select(k)), k, "left_anti")
+            .unionByName(upserts)
+            .join(F.broadcast(deletes), k, "left_anti")
+        )
+
+        tmp = f"{self.store_path}.merge.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            merged.repartition(F.col("kb"))
+            .sortWithinPartitions(k)
+            .write.mode("overwrite")
+            .partitionBy("kb")
+            .parquet(tmp)
+        )
+        os.makedirs(self.store_path, exist_ok=True)
+        for b in touched:
+            src = os.path.join(tmp, f"kb={b}")
+            dst = os.path.join(self.store_path, f"kb={b}")
+            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(src):
+                os.rename(src, dst)
+            # a bucket whose rows were all deleted has no tmp leaf —
+            # removing the old dir above is exactly right
+        shutil.rmtree(tmp, ignore_errors=True)
