@@ -190,3 +190,85 @@ def test_hll_union_property(spark, keys, split):
 
     ra, rb, rfull = regs(a), regs(b), regs(keys)
     assert {k: max(ra[k], rb[k]) for k in rfull} == rfull
+
+
+def _py_overlap_pairs(docs: list[str], t: float, max_df: int):
+    """Brute-force overlap-coefficient reference with the same df-capped
+    candidate rule as the operator."""
+    sh = {i: _py_shingles(d) for i, d in enumerate(docs)}
+    df_count: dict[str, int] = {}
+    for s in sh.values():
+        for g in s:
+            df_count[g] = df_count.get(g, 0) + 1
+    out = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh[i], sh[j]
+            if not a or not b:
+                continue
+            shared = a & b
+            if not any(df_count[g] <= max_df for g in shared):
+                continue  # no rare shingle ⇒ never a candidate
+            inter = len(shared)
+            ov = inter / min(len(a), len(b))
+            if ov >= t:
+                out[(i, j)] = (inter, len(a), len(b))
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=_corpus, t_tenths=st.integers(min_value=3, max_value=9))
+def test_overlap_pairs_match_bruteforce(spark, docs, t_tenths):
+    """overlap_pairs returns exactly the brute-force overlap pair set
+    (under the shared df-cap candidate rule) for arbitrary corpora."""
+    from spark_kafka_streaming_spark.operators.dedup import overlap_pairs
+
+    t = t_tenths / 10
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        (r["id1"], r["id2"]): (r["inter"], r["sz1"], r["sz2"])
+        for r in overlap_pairs(df, threshold=t, max_df=20).collect()
+    }
+    assert got == _py_overlap_pairs(docs, t, 20)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-10_000, max_value=10_000),
+        min_size=1,
+        max_size=60,
+    ),
+    cut=st.integers(min_value=0, max_value=59),
+)
+def test_moment_partials_merge_for_any_split(spark, vals, cut):
+    """(n, Σc, Σc²) partials merge exactly for an arbitrary value list
+    and an arbitrary split point — the algebraic property the grouped
+    moments and their streaming maintenance rely on."""
+    import math
+
+    def partial(xs):
+        return (len(xs), sum(xs), sum(x * x for x in xs))
+
+    a, b = vals[:cut], vals[cut:]
+    pa, pb = partial(a), partial(b)
+    merged = tuple(x + y for x, y in zip(pa, pb))
+    assert merged == partial(vals)
+    # and the derived variance from merged partials equals the direct
+    # population variance (float check, both computed the same way)
+    n, s1, s2 = merged
+    if n:
+        var = (s2 - (s1 * s1) / n) / n
+        mean = s1 / n
+        direct = sum((x - mean) ** 2 for x in vals) / n
+        assert math.isclose(var, direct, rel_tol=1e-9, abs_tol=1e-6)
