@@ -33,67 +33,92 @@ from pyspark.sql import functions as F
 ZBITS_DEFAULT = 27
 
 
-def z_expr_spark(c: str, d: str, bits: int = ZBITS_DEFAULT) -> str:
-    """Spark SQL expression interleaving the low ``bits`` of two
-    non-negative integer columns (c → even bit positions, d → odd)."""
+def z_expr_spark_n(cols: list[str], bits: int) -> str:
+    """Spark SQL expression interleaving the low ``bits`` of k
+    non-negative integer columns: column j owns bit positions
+    ``i·k + j`` (round-robin scatter — the k-dimensional Morton code).
+    ``k · bits`` must stay < 63 so the value fits a signed int64."""
+    k = len(cols)
+    if k * bits >= 63:
+        raise ValueError(f"{k} dims × {bits} bits overflows int64")
     terms = [
-        f"shiftleft(shiftright({c}, {i}) & 1, {2 * i})" for i in range(bits)
-    ] + [
-        f"shiftleft(shiftright({d}, {i}) & 1, {2 * i + 1})"
+        f"shiftleft(shiftright({c}, {i}) & 1, {i * k + j})"
+        for j, c in enumerate(cols)
         for i in range(bits)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
-def z_expr_duck(c: str, d: str, bits: int = ZBITS_DEFAULT) -> str:
-    """DuckDB twin of :func:`z_expr_spark` (same bit placement)."""
+def z_expr_duck_n(cols: list[str], bits: int) -> str:
+    """DuckDB twin of :func:`z_expr_spark_n` (same bit placement)."""
+    k = len(cols)
     terms = [
-        f"((({c} >> {i}) & 1) << {2 * i})" for i in range(bits)
-    ] + [
-        f"((({d} >> {i}) & 1) << {2 * i + 1})" for i in range(bits)
+        f"((({c} >> {i}) & 1) << {i * k + j})"
+        for j, c in enumerate(cols)
+        for i in range(bits)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
-def write_zordered(
+def z_expr_spark(c: str, d: str, bits: int = ZBITS_DEFAULT) -> str:
+    """2-D form: ``c`` → even bit positions, ``d`` → odd."""
+    return z_expr_spark_n([c, d], bits)
+
+
+def z_expr_duck(c: str, d: str, bits: int = ZBITS_DEFAULT) -> str:
+    """DuckDB twin of :func:`z_expr_spark` (same bit placement)."""
+    return z_expr_duck_n([c, d], bits)
+
+
+def write_zordered_n(
     df: DataFrame,
     path: str,
-    c_col: str,
-    d_col: str,
+    cols: list[str],
     n_files: int = 16,
-    bits: int = ZBITS_DEFAULT,
+    bits: int | None = None,
 ) -> None:
-    """Write ``df`` as a z-ordered parquet layout: ``n_files``
-    range-partitions of the Morton value of (``c_col``, ``d_col``),
+    """Write ``df`` as a k-dimensional z-ordered parquet layout:
+    ``n_files`` range-partitions of the Morton value of ``cols``,
     sorted within each file so parquet row-group min/max stats are
-    tight on BOTH columns.
+    tight on EVERY interleaved column.
 
-    Both columns are min/max-normalized onto the same ``2^bits`` grid
+    All columns are min/max-normalized onto the same ``2^bits`` grid
     (exact integer arithmetic; bounds collected as one driver-side
     aggregate and inlined as literals) BEFORE interleaving —
     interleaving raw unequal-width domains hands every high z-bit to
-    the wider column, so the narrower one gets no top-level clustering
+    the widest column, so the others get no top-level clustering
     (measured: raw interleave left the narrow dimension's per-file
-    span at its full domain).
+    span at its full domain).  ``bits`` defaults to the widest grid
+    that keeps ``k·bits < 63`` (27 for 2 dims, 20 for 3, 15 for 4) —
+    each added dimension halves per-dim resolution, the inherent
+    multi-dim clustering trade.
 
     ``repartitionByRange`` samples the z distribution to pick range
     bounds — fully parallel (no global sort); the z column is dropped
     before writing, since the layout, not the value, is the product.
     At 100 TB this is the whole recipe: one tiny bounds job, a
     map-only interleave, the range exchange as the one shuffle, and
-    every downstream range predicate on either column prunes
+    every downstream range predicate on any interleaved column prunes
     files/row-groups via the footer statistics Spark already consults.
     """
-    lo_c, hi_c, lo_d, hi_d = df.agg(
-        F.min(c_col), F.max(c_col), F.min(d_col), F.max(d_col)
-    ).collect()[0]
-    if lo_c is None or lo_d is None:
+    k = len(cols)
+    if k < 2:
+        raise ValueError("write_zordered_n: need at least 2 columns")
+    if bits is None:
+        bits = min(ZBITS_DEFAULT, 62 // k)
+    agg = []
+    for c in cols:
+        agg += [F.min(c), F.max(c)]
+    bounds = df.agg(*agg).collect()[0]
+    los = [bounds[2 * j] for j in range(k)]
+    his = [bounds[2 * j + 1] for j in range(k)]
+    if any(lo is None for lo in los):
         raise ValueError(
             "write_zordered: empty input (or all-NULL key column) — "
             "no min/max bounds to normalize against"
         )
     cells = 1 << bits
-    for name, lo, hi in ((c_col, lo_c, hi_c), (d_col, lo_d, hi_d)):
+    for name, lo, hi in zip(cols, los, his):
         # ((col-lo) * 2^bits) must stay in int64: domain width * cells
         # < 2^63, else the grid math silently overflows.
         if (int(hi) - int(lo) + 1) * cells >= 1 << 63:
@@ -106,12 +131,12 @@ def write_zordered(
     def cell(col: str, lo: int, hi: int) -> str:
         return f"((({col}) - {lo}) * {cells}) DIV ({hi} - {lo} + 1)"
 
-    z = (
-        df.withColumn("_cc", F.expr(cell(c_col, lo_c, hi_c)))
-        .withColumn("_dc", F.expr(cell(d_col, lo_d, hi_d)))
-        .withColumn("_z", F.expr(z_expr_spark("_cc", "_dc", bits)))
-        .drop("_cc", "_dc")
-    )
+    z = df
+    grid = []
+    for j, (c, lo, hi) in enumerate(zip(cols, los, his)):
+        z = z.withColumn(f"_g{j}", F.expr(cell(c, lo, hi)))
+        grid.append(f"_g{j}")
+    z = z.withColumn("_z", F.expr(z_expr_spark_n(grid, bits))).drop(*grid)
     (
         z.repartitionByRange(n_files, "_z")
         .sortWithinPartitions("_z")
@@ -119,3 +144,15 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    c_col: str,
+    d_col: str,
+    n_files: int = 16,
+    bits: int = ZBITS_DEFAULT,
+) -> None:
+    """2-D form of :func:`write_zordered_n` (kept as the common case)."""
+    write_zordered_n(df, path, [c_col, d_col], n_files=n_files, bits=bits)
