@@ -184,6 +184,7 @@ def pq_adc_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k over PQ codes: the
     corpus lives as M codes per vector, queries stay exact; distance ≈
@@ -202,7 +203,12 @@ def pq_adc_topk(
     deterministic: codes, LUT entries, and sums are exact int64.
     """
     sub = track_persist(_subspace_rows(corpus, id_col, vec_col))
-    cents = track_persist(pq_codebooks(sub, iters))
+    train = (
+        sub
+        if train_sample_mod is None
+        else sub.filter(F.expr(f"id % {train_sample_mod} = 0"))
+    )
+    cents = track_persist(pq_codebooks(train, iters))
     codes = _nearest_code(sub, cents).select(
         F.col("id").alias("n_id"), "sub_id", F.col("cell").alias("code")
     )
@@ -397,6 +403,7 @@ def ivfpq_topk(
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_mod: int | None = None,
 ) -> DataFrame:
     """IVFPQ (the FAISS IVFADC index, Jégou et al. 2011 §IV): coarse
     IVF cells + ONE shared PQ codebook over cell RESIDUALS.  The
@@ -447,7 +454,12 @@ def ivfpq_topk(
     csub = track_persist(
         _subspace_rows_scaled(_assign(scaled, 1), "id", "r", keep=["ivf_cell"])
     )
-    cb = track_persist(pq_codebooks(csub, iters))
+    ctrain = (
+        csub
+        if train_sample_mod is None
+        else csub.filter(F.expr(f"id % {train_sample_mod} = 0"))
+    )
+    cb = track_persist(pq_codebooks(ctrain, iters))
     codes = _nearest_code(csub, cb).select(
         F.col("id").alias("n_id"), "ivf_cell", "sub_id", F.col("cell").alias("code")
     )

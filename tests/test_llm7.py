@@ -376,3 +376,27 @@ def test_streaming_pq_index_maintenance(spark, emb, tmp_path):
     }
     cents.unpersist()
     assert got == expected
+
+
+def test_adc_and_ivfpq_sample_training(spark, emb):
+    """Sample-trained codebooks in the search paths: top-k output keeps
+    its shape/determinism contract, and mod=1 degenerates to full
+    training exactly (same guarantee as pq_encode's)."""
+    from spark_kafka_streaming_spark.operators.pq import (
+        ivfpq_topk,
+        pq_adc_topk,
+    )
+
+    q = emb.limit(5)
+    for fn in (pq_adc_topk, ivfpq_topk):
+        full = sorted(
+            map(tuple, fn(q, emb, k=3, train_sample_mod=1).collect())
+        )
+        base = sorted(map(tuple, fn(q, emb, k=3).collect()))
+        assert full == base
+        sampled = fn(q, emb, k=3, train_sample_mod=4).collect()
+        assert {r["query_id"] for r in sampled} == {
+            r["vec_id"] for r in q.collect()
+        }
+        for r in sampled:
+            assert 1 <= r["rn"] <= 3 and r["adist"] >= 0
