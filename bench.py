@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "q_dedup_containment_overlap",
     "q_events_anomaly_mad_hist",
     "q_skew_report_orders",
+    "q_dedup_minhash_recall",
 ]
 
 

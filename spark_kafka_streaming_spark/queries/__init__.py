@@ -83,6 +83,7 @@ _ROUND4_WINDOW = [
     "q_dedup_containment_overlap",
     "q_events_anomaly_mad_hist",
     "q_skew_report_orders",
+    "q_dedup_minhash_recall",
 ]
 
 _ROUND3_WINDOW = [

@@ -79,3 +79,99 @@ def q_dedup_containment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.overlap_pairs(
         docs, threshold=_OV_THRESHOLD, max_df=_OV_MAX_DF
     ).orderBy("id1", "id2")
+
+
+# ----------------------------- MinHash-LSH recall vs exact truth
+
+#: shared threshold: exact rational 3/5 both engines
+_RECALL_T = 0.6
+
+
+def _duck_minhash_recall_oracle() -> str:
+    from .llm import _MINHASH_PAIRS_ORACLE
+
+    exact = f"""
+    WITH hs AS (
+      SELECT doc_id,
+             list_distinct(list_transform({TH.duck_shingles('text')},
+               s -> {TH.duck_str_hash('s')})) AS hs
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE len(hs) > 0),
+    pairs AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(hs) AS n FROM hs)
+    SELECT id1, id2
+    FROM pairs JOIN sizes s1 ON s1.doc_id = id1
+    JOIN sizes s2 ON s2.doc_id = id2
+    WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE)
+          >= {_RECALL_T}
+    """
+    return f"""
+    WITH tru AS ({exact}),
+    mh AS (
+      SELECT id1, id2 FROM ({_MINHASH_PAIRS_ORACLE}) m
+      WHERE jaccard >= {_RECALL_T}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN mh.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_found,
+           CAST(SUM(CASE WHEN mh.id1 IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missed,
+           CAST(SUM(CASE WHEN mh.id1 IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+    FROM tru LEFT JOIN mh USING (id1, id2)
+    """
+
+
+@register(
+    "q_dedup_minhash_recall",
+    oracle=_duck_minhash_recall_oracle(),
+    doc="MinHash-LSH recall against exact ground truth: the brute-"
+    "force n-gram Jaccard pair set at t={t} is the truth, the "
+    "banded-LSH pair set at the same threshold is the candidate "
+    "tier, and the report is (n_true, n_found, n_missed, recall) in "
+    "one row — the quality number that justifies the K=32/8-band "
+    "geometry before trusting LSH drops at corpus scale (pairs the "
+    "tier-AGREEMENT audit, which compares two approximate tiers to "
+    "each other; this compares one against truth). Precision is 1.0 "
+    "by construction (LSH candidates are exact-verified), so recall "
+    "is the whole story; misses are pairs whose signatures agree in "
+    "no band (probability (1-j^4)^8 at Jaccard j). Both legs read "
+    "the shared signature table; the exact leg is the test-scale "
+    "comparator (at 100 TB the truth set is itself estimated on a "
+    "sample).".format(t=_RECALL_T),
+    tags=("dedup", "evaluation", "llm"),
+)
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    from ..operators.signatures import signature_table
+
+    sigs = signature_table(spark, sf_dir)
+    tru = ngram_jaccard_pairs(
+        None, threshold=_RECALL_T, threshold_frac=(3, 5), sigs=sigs
+    ).select("id1", "id2")
+    mh = minhash_lsh_pairs(
+        None, jaccard_threshold=_RECALL_T, sigs=sigs
+    ).select("id1", "id2", F.lit(True).alias("_hit"))
+    return (
+        tru.join(mh, ["id1", "id2"], "left")
+        .agg(
+            F.count("*").cast("bigint").alias("n_true"),
+            F.sum(F.expr("CASE WHEN _hit THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_found"),
+            F.sum(F.expr("CASE WHEN _hit IS NULL THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_missed"),
+            F.expr(
+                "CAST(SUM(CASE WHEN _hit THEN 1 ELSE 0 END) AS DOUBLE)"
+                " / CAST(COUNT(*) AS DOUBLE)"
+            ).alias("recall"),
+        )
+    )
