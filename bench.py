@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q_events_anomaly_mad_hist",
     "q_skew_report_orders",
     "q_dedup_minhash_recall",
+    "q_dedup_survivor_by_quality",
 ]
 
 

@@ -84,6 +84,7 @@ _ROUND4_WINDOW = [
     "q_events_anomaly_mad_hist",
     "q_skew_report_orders",
     "q_dedup_minhash_recall",
+    "q_dedup_survivor_by_quality",
 ]
 
 _ROUND3_WINDOW = [

@@ -175,3 +175,150 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# --------------------------- quality-aware survivor selection
+
+#: shared linear-classifier score, fixed operand order (the
+#: q_text_quality_classifier weights)
+_QS_STOP = "('the','a','of','to','and','in','is','it')"
+
+
+@register(
+    "q_dedup_survivor_by_quality",
+    oracle=f"""
+    WITH RECURSIVE hs0 AS (
+      SELECT doc_id,
+             list_distinct(list_transform({TH.duck_shingles('text')},
+               s -> {TH.duck_str_hash('s')})) AS hs
+      FROM documents
+    ),
+    sig AS (
+      SELECT doc_id, hs, {TH.duck_minhash_sig('hs')} AS sig
+      FROM hs0 WHERE len(hs) > 0
+    ),
+    bands AS ({" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"{TH.duck_band_key('sig', b)} AS key FROM sig"
+        for b in range(TH.BANDS)
+    )}),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT id1, id2 FROM cand
+      JOIN sig s1 ON s1.doc_id = id1
+      JOIN sig s2 ON s2.doc_id = id2
+      WHERE CAST(len(list_filter(s1.hs, x -> list_contains(s2.hs, x)))
+                 AS DOUBLE)
+            / CAST(len(s1.hs) + len(s2.hs)
+                   - len(list_filter(s1.hs, x -> list_contains(s2.hs, x)))
+                   AS DOUBLE) >= 0.5
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION SELECT id2, id1 FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    sc AS (
+      SELECT doc_id,
+             0.004 * n_tok + 0.0005 * n_chr + 0.8 * (n_stop / n_tok) - 0.6
+               AS score
+      FROM (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t <> '')) AS DOUBLE) AS n_tok,
+               CAST(n_chars AS DOUBLE) AS n_chr,
+               CAST(len(list_filter(string_split(text, ' '),
+                    t -> t IN {_QS_STOP})) AS DOUBLE) AS n_stop
+        FROM documents
+      ) t WHERE n_tok > 0
+    ),
+    labeled AS (
+      SELECT d.doc_id,
+             COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+             sc.score
+      FROM documents d
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      LEFT JOIN sc ON sc.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id, score,
+           ROW_NUMBER() OVER (
+             PARTITION BY cluster_id
+             ORDER BY (score IS NULL), score DESC, doc_id
+           ) = 1 AS kept
+    FROM labeled
+    ORDER BY doc_id
+    """,
+    doc="Quality-aware duplicate survivor selection: MinHash-LSH pairs "
+    "→ connected components → keep the HIGHEST-quality member of each "
+    "cluster (linear-classifier score, ties by doc_id, unscored docs "
+    "last) — the survivor policy real pipelines want, versus the "
+    "keep-lowest-id convention of q_dedup_clusters_minhash (a crawl's "
+    "first-seen copy is often the worst one). Composes three "
+    "oracle-checked tiers (pair generation, cluster resolution, "
+    "quality scoring) into one driver-checked decision; per-cluster "
+    "argmax is a window over cluster-keyed rows (cluster sizes are "
+    "small by near-dup construction). The oracle replays components "
+    "by recursive transitive closure.",
+    tags=("dedup", "quality", "clusters", "llm"),
+)
+def q_dedup_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators.clusters import connected_components
+    from ..operators.dedup import minhash_lsh_pairs
+    from ..operators.signatures import signature_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = signature_table(spark, sf_dir)
+    pairs = minhash_lsh_pairs(None, jaccard_threshold=0.5, sigs=sigs)
+    comp = connected_components(pairs, docs.select("doc_id"))
+    sc = (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "CAST(size(filter(split(text, ' '), t -> t <> '')) "
+                "AS DOUBLE)"
+            ).alias("n_tok"),
+            F.col("n_chars").cast("double").alias("n_chr"),
+            F.expr(
+                f"CAST(size(filter(split(text, ' '), "
+                f"t -> t IN {_QS_STOP})) AS DOUBLE)"
+            ).alias("n_stop"),
+        )
+        .where(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            (
+                0.004 * F.col("n_tok")
+                + 0.0005 * F.col("n_chr")
+                + 0.8 * (F.col("n_stop") / F.col("n_tok"))
+                - 0.6
+            ).alias("score"),
+        )
+    )
+    labeled = comp.join(sc, "doc_id", "left")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.expr("(score IS NULL)"), F.desc("score"), "doc_id"
+    )
+    return (
+        labeled.select(
+            "doc_id",
+            "cluster_id",
+            "score",
+            (F.row_number().over(w) == 1).alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
