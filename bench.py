@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q_skew_report_orders",
     "q_dedup_minhash_recall",
     "q_dedup_survivor_by_quality",
+    "q_ann_recall_ivfpq",
 ]
 
 

@@ -85,6 +85,7 @@ _ROUND4_WINDOW = [
     "q_skew_report_orders",
     "q_dedup_minhash_recall",
     "q_dedup_survivor_by_quality",
+    "q_ann_recall_ivfpq",
 ]
 
 _ROUND3_WINDOW = [

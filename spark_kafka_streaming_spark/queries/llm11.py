@@ -322,3 +322,89 @@ def q_dedup_survivor_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- IVFPQ recall harness
+
+
+def _duck_ivfpq_recall_oracle() -> str:
+    from ..functions import vectors as V
+    from ..operators.pq import duck_ivfpq_sql
+
+    brute = f"""
+    WITH sv AS (
+      SELECT vec_id, {V.duck_scaled('embedding')} AS v FROM embeddings
+    ),
+    sn AS (SELECT vec_id, v, {V.duck_dot('v', 'v')} AS n FROM sv),
+    q AS (SELECT * FROM sn WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST({V.duck_dot('q.v', 'c.v')} AS DOUBLE)
+               / (sqrt(CAST(q.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE)))
+               AS cos_sim
+      FROM q JOIN sn c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rn FROM scored
+    ) t WHERE rn <= 5
+    """
+    return f"""
+    WITH brute AS (SELECT query_id, neighbor_id FROM ({brute}) b),
+    approx AS (
+      SELECT query_id, neighbor_id
+      FROM ({duck_ivfpq_sql(5, "id < 10", iters=1)}) a
+    )
+    SELECT b.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """
+
+
+@register(
+    "q_ann_recall_ivfpq",
+    oracle=_duck_ivfpq_recall_oracle(),
+    doc="ANN self-evaluation for the THIRD scale path: recall@5 of "
+    "IVFPQ (coarse cells + residual product quantization — the "
+    "billion-vector memory tier) against exact brute-force top-k, per "
+    "query. Completes the quality-metric trio with q_ann_recall_lsh: "
+    "LSH measures bucketing recall, this measures the compound loss "
+    "of cell probing AND code quantization — the number that decides "
+    "n_probe/codebook sizing before a production rollout (and the "
+    "measured reason IVFPQ is the right tool on clone-dense corpora "
+    "where sign-LSH saturates; SCALE.md sf10 notes). Both legs reuse "
+    "oracle-checked operators; brute force runs on the sampled query "
+    "set only.",
+    tags=("llm", "similarity", "evaluation"),
+)
+def q_ann_recall_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.pq import ivfpq_topk
+    from ..operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = (
+        ivfpq_topk(q, emb, k=5, iters=1)
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        brute.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"),
+            (F.sum(F.coalesce("_hit", F.lit(0))) / 5.0).alias(
+                "recall_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )
