@@ -35,6 +35,7 @@ PORTABLE = [
     "q_window_topk_orders_per_customer",
     "q_events_sessionize_batch",
     "q_corpus_snapshot_diff",
+    "q_stats_moments_merge",
 ]
 
 
