@@ -102,3 +102,59 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
         "id long, name string, score double"
     ).parquet(p)
     assert pinned.where("score IS NOT NULL").count() == 1
+
+
+def test_bench_list_names_are_registered():
+    """Every bench entry must resolve in the registry — a typo here
+    would crash the per-round benchmark run, not a unit test."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from spark_kafka_streaming_spark.queries import REGISTRY
+
+    missing = [n for n in bench.BENCH_QUERIES if n not in REGISTRY]
+    assert not missing, f"bench names not in registry: {missing}"
+    assert len(set(bench.BENCH_QUERIES)) == len(bench.BENCH_QUERIES)
+
+
+def test_round4_queries_tolerate_empty_events(spark, tmp_path):
+    """Moments / MAD / expectations on an EMPTY events table: no
+    crashes, deterministic empty-or-zero outputs (the empty-partition
+    case every 100 TB job hits on some date range)."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    spark.createDataFrame([], schema).write.mode("overwrite").parquet(
+        f"{tmp_path}/events.parquet"
+    )
+    from spark_kafka_streaming_spark.queries import REGISTRY
+
+    sfd = str(tmp_path)
+    assert REGISTRY["q_stats_moments_merge"].builder(spark, sfd).count() == 0
+    assert REGISTRY["q_events_anomaly_mad"].builder(spark, sfd).count() == 0
+    assert (
+        REGISTRY["q_events_anomaly_mad_hist"].builder(spark, sfd).count()
+        == 0
+    )
+    rows = {
+        r["rule"]: r["n_violations"]
+        for r in REGISTRY["q_quality_expectations_events"]
+        .builder(spark, sfd)
+        .collect()
+    }
+    # uniqueness audit reports 0 on empty; per-column SUM rules are
+    # NULL over zero rows in BOTH engines (consistent cross-engine)
+    assert rows["event_id_unique"] == 0
