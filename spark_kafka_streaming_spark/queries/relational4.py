@@ -99,27 +99,29 @@ dups AS (
   ) d
 )
 SELECT 'event_id_not_null' AS rule,
-       CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-         AS n_violations
+       CAST(COALESCE(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_violations
 FROM base
 UNION ALL
 SELECT 'ts_not_null',
-       CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END), 0)
+            AS BIGINT)
 FROM base
 UNION ALL
 SELECT 'ts_not_future',
-       CAST(SUM(CASE WHEN ts > TIMESTAMP '2030-01-01 00:00:00' THEN 1
-                ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN ts > TIMESTAMP '2030-01-01 00:00:00'
+                THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM base
 UNION ALL
 SELECT 'event_type_in_domain',
-       CAST(SUM(CASE WHEN event_type NOT IN
+       CAST(COALESCE(SUM(CASE WHEN event_type NOT IN
                 ('click','view','purchase','signup','error')
-                OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                OR event_type IS NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
 FROM base
 UNION ALL
 SELECT 'value_non_negative',
-       CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+       CAST(COALESCE(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END), 0)
+            AS BIGINT)
 FROM base
 UNION ALL
 SELECT 'event_id_unique', CAST(n AS BIGINT) FROM dups

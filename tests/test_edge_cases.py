@@ -155,6 +155,6 @@ def test_round4_queries_tolerate_empty_events(spark, tmp_path):
         .builder(spark, sfd)
         .collect()
     }
-    # uniqueness audit reports 0 on empty; per-column SUM rules are
-    # NULL over zero rows in BOTH engines (consistent cross-engine)
-    assert rows["event_id_unique"] == 0
+    # every rule reports 0 on an empty fact (COALESCE'd sums — the
+    # same empty-table posture as q_audit_referential_integrity)
+    assert set(rows.values()) == {0} and len(rows) == 6
