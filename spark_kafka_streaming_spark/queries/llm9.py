@@ -206,7 +206,8 @@ def _duck_cms(table: str, key: str) -> str:
       FROM ska a JOIN skb b ON a.r = b.r AND a.b = b.b
       GROUP BY a.r
     ),
-    est AS (SELECT MIN(ip) AS est_pairs FROM prods),
+    est AS (SELECT CAST(COALESCE(MIN(ip), 0) AS BIGINT) AS est_pairs
+            FROM prods),
     ca AS (SELECT user_id AS k, COUNT(*) AS na FROM events GROUP BY 1),
     cb AS (SELECT c_custkey AS k, COUNT(*) AS nb FROM customer GROUP BY 1),
     ex AS (
@@ -241,7 +242,9 @@ def q_sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r")
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("ip"))
     )
-    est = prods.agg(F.min("ip").alias("est_pairs"))
+    est = prods.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("bigint").alias("est_pairs")
+    )
     ca = ev.groupBy(F.col("user_id").alias("k")).agg(
         F.count("*").alias("na")
     )
