@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "q_dedup_minhash_recall",
     "q_dedup_survivor_by_quality",
     "q_ann_recall_ivfpq",
+    "q_stats_correlation_merge",
 ]
 
 

@@ -86,6 +86,7 @@ _ROUND4_WINDOW = [
     "q_dedup_minhash_recall",
     "q_dedup_survivor_by_quality",
     "q_ann_recall_ivfpq",
+    "q_stats_correlation_merge",
 ]
 
 _ROUND3_WINDOW = [

@@ -623,3 +623,82 @@ def q_events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------------- mergeable correlation
+
+#: cents-scaled measures; all six partials in DECIMAL(38) → the
+#: Pearson correlation from one shared-order expression (sqrt is
+#: IEEE-correctly-rounded, so identical operands give identical
+#: results cross-engine — unlike ln/exp).
+_CORR_X = "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)"
+_CORR_Y = "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"
+_CORR_FINAL = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)) - "
+    "(CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))) / "
+    "sqrt(((CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)) - "
+    "(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * "
+    "((CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)) - "
+    "(CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))"
+)
+
+
+@register(
+    "q_stats_correlation_merge",
+    oracle=f"""
+    WITH c AS (
+      SELECT l_returnflag AS grp, {_CORR_X} AS x, {_CORR_Y} AS y
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    partials AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sx2,
+             CAST(SUM(y * y) AS DECIMAL(38,0)) AS sy2
+      FROM c GROUP BY grp
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n, {_CORR_FINAL} AS corr
+    FROM partials
+    ORDER BY grp
+    """,
+    doc="Grouped Pearson correlation (quantity vs extended price per "
+    "return flag) from exact mergeable partials: the six sums "
+    "(n, Σx, Σy, Σxy, Σx², Σy²) accumulate in integer/DECIMAL(38) "
+    "arithmetic — partials from any split of the data merge exactly, "
+    "so the shuffle carries six numbers per group and the same merge "
+    "maintains running correlations on a stream — and the final "
+    "Pearson expression evaluates once in a fixed operand order "
+    "(sqrt is IEEE-correctly-rounded, so identical operands give "
+    "bit-identical results, unlike ln/exp). The bivariate member of "
+    "the moments family (q_stats_moments_merge); corr(x, x·a+b) "
+    "degenerates correctly (pinned in tests/test_llm9.py).",
+    tags=("agg", "stats", "llm"),
+)
+def q_stats_correlation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        "l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL"
+    )
+    partials = (
+        li.select(
+            F.col("l_returnflag").alias("grp"),
+            F.expr(_CORR_X).alias("x"),
+            F.expr(_CORR_Y).alias("y"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("x").cast("decimal(38,0)").alias("sx"),
+            F.sum("y").cast("decimal(38,0)").alias("sy"),
+            F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
+            F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sx2"),
+            F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("sy2"),
+        )
+    )
+    return partials.select(
+        "grp",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(_CORR_FINAL).alias("corr"),
+    ).orderBy("grp")

@@ -324,3 +324,62 @@ def test_mad_hist_form_agrees_with_exact_form(spark, sf_dir):
         assert abs(h["n_outliers"] - e["n_outliers"]) <= max(
             3, e["n"] // 100
         )
+
+
+# ------------------------------------------------------ correlation
+
+
+def test_correlation_partials_merge_and_degenerate_cases(spark):
+    """The six partials merge for any split (same algebra as moments),
+    and corr(x, a·x+b) = ±1, corr with a constant is NaN/undefined."""
+    import math
+
+    def partial(pts):
+        n = len(pts)
+        return (
+            n,
+            sum(x for x, _ in pts),
+            sum(y for _, y in pts),
+            sum(x * y for x, y in pts),
+            sum(x * x for x, _ in pts),
+            sum(y * y for _, y in pts),
+        )
+
+    pts = [(i, 3 * i + 7) for i in range(50)]
+    a, b = pts[:20], pts[20:]
+    merged = tuple(u + v for u, v in zip(partial(a), partial(b)))
+    assert merged == partial(pts)
+    n, sx, sy, sxy, sx2, sy2 = merged
+    corr = ((n * sxy) - (sx * sy)) / math.sqrt(
+        ((n * sx2) - sx * sx) * ((n * sy2) - sy * sy)
+    )
+    assert corr == pytest.approx(1.0, abs=1e-12)
+    neg = [(x, -2 * x + 1) for x in range(30)]
+    n, sx, sy, sxy, sx2, sy2 = partial(neg)
+    corr = ((n * sxy) - (sx * sy)) / math.sqrt(
+        ((n * sx2) - sx * sx) * ((n * sy2) - sy * sy)
+    )
+    assert corr == pytest.approx(-1.0, abs=1e-12)
+
+
+def test_correlation_matches_builtin(spark, sf_dir):
+    """The exact-partial correlation agrees with Spark's corr() on the
+    same cents-quantized population to fp tolerance."""
+    out = {r["grp"]: r["corr"] for r in _rows(
+        spark, sf_dir, "q_stats_correlation_merge"
+    )}
+    ref = {
+        r["grp"]: r["c"]
+        for r in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where("l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL")
+        .selectExpr(
+            "l_returnflag AS grp",
+            "CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS DOUBLE) AS x",
+            "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS DOUBLE) AS y",
+        )
+        .groupBy("grp")
+        .agg(F.corr("x", "y").alias("c"))
+        .collect()
+    }
+    for k in out:
+        assert out[k] == pytest.approx(ref[k], rel=1e-9)
