@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "q_dedup_survivor_by_quality",
     "q_ann_recall_ivfpq",
     "q_stats_correlation_merge",
+    "q_events_rate_limited",
 ]
 
 

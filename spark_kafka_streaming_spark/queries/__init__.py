@@ -87,6 +87,7 @@ _ROUND4_WINDOW = [
     "q_dedup_survivor_by_quality",
     "q_ann_recall_ivfpq",
     "q_stats_correlation_merge",
+    "q_events_rate_limited",
 ]
 
 _ROUND3_WINDOW = [

@@ -227,3 +227,67 @@ def q_skew_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+# --------------------------------------------------- rate limiting
+
+_RATE_N = 3  # keep first N events per (user, hour)
+
+
+@register(
+    "q_events_rate_limited",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_id, user_id, event_type, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id, date_trunc('hour', ts)
+               ORDER BY ts, event_id
+             ) AS rn
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(SUM(CASE WHEN rn <= {_RATE_N} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rn > {_RATE_N} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    doc="Count-based rate limiting: keep the first {n} events per "
+    "(user, hour) — the quota/debounce ingestion pass that caps a "
+    "runaway client's telemetry (complements the TIME-based debounce "
+    "of q_events_dedup_within_interval: that drops repeats within an "
+    "interval, this caps volume per window regardless of spacing). "
+    "One window over a (user, hour)-keyed sort — the partition key "
+    "includes the hour bucket, so a hot user's history splits across "
+    "hour groups instead of one unbounded per-user sort (the same "
+    "key-plus-time-range split SCALE.md prescribes for skewed window "
+    "keys); reported as kept/dropped per event type. Streaming twin: "
+    "the same quota via dropDuplicatesWithinWatermark on "
+    "(user, hour, rank-bucket) or applyInPandasWithState counters "
+    "(streaming/state.py).".format(n=_RATE_N),
+    tags=("events", "window", "quality"),
+)
+def q_events_rate_limited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").where("ts IS NOT NULL")
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("hour", "ts")
+    ).orderBy("ts", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.expr(
+                f"CAST(SUM(CASE WHEN rn <= {_RATE_N} THEN 1 ELSE 0 END) "
+                f"AS BIGINT)"
+            ).alias("n_kept"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN rn > {_RATE_N} THEN 1 ELSE 0 END) "
+                f"AS BIGINT)"
+            ).alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
