@@ -1,10 +1,20 @@
 #!/usr/bin/env python
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
-ONE JSON line:
+ONE compact JSON line to stdout:
 
     {"metric": "total_sec", "value": N, "unit": "sec",
-     "queries": {"q01_pricing_summary": s, ...}, "sf": 0.1}
+     "queries": {<the SLOWEST_N slowest entries>}, "n_queries": M,
+     "sf": 0.1}
+
+Stdout carries ONLY that line, bounded < MAX_SUMMARY_BYTES = 1500
+bytes (pinned by tests/test_bench_contract.py): the verification driver
+records a fixed-size tail of stdout, and the full per-query dict
+outgrew it at ~100 catalog entries (BENCH_r03/r04 recorded
+``parsed: null``).  The complete per-query timing dict still exists,
+twice: one JSON line on stderr (``"metric": "per_query_sec"``) and a
+sidecar file ``BENCH_FULL.json`` next to this script — that is the
+artifact cross-round per-entry comparisons read.
 
 Each query is forced end-to-end with a noop-sink write (full column
 materialization — a bare count() would let Catalyst prune the
@@ -27,6 +37,30 @@ from spark_kafka_streaming_spark.functions.caching import (  # noqa: E402
 from spark_kafka_streaming_spark.queries import REGISTRY  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: stdout budget for the one summary line.  The driver keeps a
+#: 2000-char stdout tail; staying well under it means the tail always
+#: contains the complete line however the catalog grows.
+MAX_SUMMARY_BYTES = 1500
+#: how many of the slowest entries ride along in the summary line.
+SLOWEST_N = 10
+
+
+def summary_payload(timings: dict[str, float], sf_val) -> dict:
+    """The compact stdout summary: total + the SLOWEST_N slowest
+    entries.  Kept as a function so the byte-length bound is testable
+    against the full BENCH_QUERIES catalog without running Spark."""
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))[:SLOWEST_N]
+    )
+    return {
+        "metric": "total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "queries": slowest,
+        "sf": sf_val,
+    }
 
 #: Headline set: the fact-table relational core, windowed/event-time
 #: analytics, and the LLM-pipeline operators.
@@ -390,17 +424,23 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "total_sec",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-            }
-        )
+    # Full per-query dict: stderr (greppable from any log capture) and
+    # a sidecar file (the cross-round per-entry comparison artifact).
+    # NOT stdout — the driver's fixed-size stdout tail must contain
+    # the complete summary line below (BENCH_r03/r04 lesson).
+    full = {
+        "metric": "per_query_sec",
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(full), file=sys.stderr)
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    with open(sidecar, "w") as f:
+        json.dump(full, f, indent=1, sort_keys=True)
+    print(json.dumps(summary_payload(timings, sf_val)))
 
 
 if __name__ == "__main__":

@@ -85,17 +85,29 @@ def q_dedup_containment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: shared threshold: exact rational 3/5 both engines
 _RECALL_T = 0.6
+#: truth-set sample: docs with portable-hash('rcl:'||id) % MOD == 0.
+#: The exact-Jaccard truth leg is the expensive one (full-corpus
+#: PPJoin DNFs at sf10, SCALE.md) — at scale the truth set is always
+#: estimated on a sample, so the catalog form samples too.  MOD=2
+#: keeps the sf0.01 driver check non-degenerate (5 true pairs);
+#: the decade harness raises MOD with corpus size for a fixed-size
+#: truth sample.
+_RECALL_MOD = 2
 
 
-def _duck_minhash_recall_oracle() -> str:
+def _duck_minhash_recall_oracle(sample_mod: int = _RECALL_MOD) -> str:
     from .llm import _MINHASH_PAIRS_ORACLE
 
+    samp = TH.duck_str_hash("'rcl:' || CAST(doc_id AS VARCHAR)")
+    s1 = TH.duck_str_hash("'rcl:' || CAST(id1 AS VARCHAR)")
+    s2 = TH.duck_str_hash("'rcl:' || CAST(id2 AS VARCHAR)")
     exact = f"""
     WITH hs AS (
       SELECT doc_id,
              list_distinct(list_transform({TH.duck_shingles('text')},
                s -> {TH.duck_str_hash('s')})) AS hs
       FROM documents
+      WHERE {samp} % {sample_mod} = 0
     ),
     ex AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE len(hs) > 0),
     pairs AS (
@@ -110,11 +122,16 @@ def _duck_minhash_recall_oracle() -> str:
     WHERE CAST(inter AS DOUBLE) / CAST(s1.n + s2.n - inter AS DOUBLE)
           >= {_RECALL_T}
     """
+    # The LSH leg post-filters the full-corpus pair oracle to sampled
+    # endpoints: band collision + verify are PAIRWISE properties of the
+    # two signatures, so LSH-over-the-sample emits exactly the
+    # full-corpus LSH pairs whose endpoints are both sampled.
     return f"""
     WITH tru AS ({exact}),
     mh AS (
       SELECT id1, id2 FROM ({_MINHASH_PAIRS_ORACLE}) m
       WHERE jaccard >= {_RECALL_T}
+        AND {s1} % {sample_mod} = 0 AND {s2} % {sample_mod} = 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
            CAST(SUM(CASE WHEN mh.id1 IS NOT NULL THEN 1 ELSE 0 END)
@@ -127,32 +144,25 @@ def _duck_minhash_recall_oracle() -> str:
     """
 
 
-@register(
-    "q_dedup_minhash_recall",
-    oracle=_duck_minhash_recall_oracle(),
-    doc="MinHash-LSH recall against exact ground truth: the brute-"
-    "force n-gram Jaccard pair set at t={t} is the truth, the "
-    "banded-LSH pair set at the same threshold is the candidate "
-    "tier, and the report is (n_true, n_found, n_missed, recall) in "
-    "one row — the quality number that justifies the K=32/8-band "
-    "geometry before trusting LSH drops at corpus scale (pairs the "
-    "tier-AGREEMENT audit, which compares two approximate tiers to "
-    "each other; this compares one against truth). Precision is 1.0 "
-    "by construction (LSH candidates are exact-verified), so recall "
-    "is the whole story; misses are pairs whose signatures agree in "
-    "no band (probability (1-j^4)^8 at Jaccard j). Both legs read "
-    "the shared signature table; the exact leg is the test-scale "
-    "comparator (at 100 TB the truth set is itself estimated on a "
-    "sample).".format(t=_RECALL_T),
-    tags=("dedup", "evaluation", "llm"),
-)
-def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_recall_report(
+    spark: SparkSession, sf_dir: str, sample_mod: int = _RECALL_MOD
+) -> DataFrame:
+    """(n_true, n_found, n_missed, recall) on a deterministic
+    portable-hash doc sample (see ``_RECALL_MOD``); both legs read the
+    shared signature table filtered to the sample, so the exact-truth
+    PPJoin runs on |docs|/sample_mod documents — the fixed-size-truth
+    pattern of :func:`q_ann_recall_ivfpq`."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
     from ..operators.signatures import signature_table
 
-    sigs = signature_table(spark, sf_dir)
+    sigs = signature_table(spark, sf_dir).where(
+        F.expr(
+            TH.spark_str_hash("concat('rcl:', CAST(doc_id AS STRING))")
+            + f" % {sample_mod} = 0"
+        )
+    )
     tru = ngram_jaccard_pairs(
         None, threshold=_RECALL_T, threshold_frac=(3, 5), sigs=sigs
     ).select("id1", "id2")
@@ -175,6 +185,34 @@ def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "q_dedup_minhash_recall",
+    oracle=_duck_minhash_recall_oracle(),
+    doc="MinHash-LSH recall against exact ground truth on a "
+    "deterministic portable-hash doc sample (hash('rcl:'||id) % {m} "
+    "== 0): the brute-force n-gram Jaccard pair set at t={t} over the "
+    "sampled docs is the truth, the banded-LSH pair set at the same "
+    "threshold is the candidate tier, and the report is (n_true, "
+    "n_found, n_missed, recall) in one row — the quality number that "
+    "justifies the K=32/8-band geometry before trusting LSH drops at "
+    "corpus scale. Sampling is the scale posture, not a shortcut: "
+    "band collision and verification are pairwise properties, so "
+    "within-sample recall estimates full-corpus recall unbiasedly "
+    "while the truth leg's PPJoin touches |docs|/{m} documents (the "
+    "full-corpus truth DNFs at sf10 — SCALE.md; the decade harness "
+    "raises the modulus with corpus size for a fixed-size truth "
+    "sample, the q_ann_recall_ivfpq pattern). Precision is 1.0 by "
+    "construction (LSH candidates are exact-verified), so recall is "
+    "the whole story; misses are pairs whose signatures agree in no "
+    "band (probability (1-j^4)^8 at Jaccard j). Full-corpus "
+    "truth ≡ sampled-truth agreement is pinned at test scale "
+    "(tests/test_llm9.py).".format(t=_RECALL_T, m=_RECALL_MOD),
+    tags=("dedup", "evaluation", "llm"),
+)
+def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_recall_report(spark, sf_dir, sample_mod=_RECALL_MOD)
 
 
 # --------------------------- quality-aware survivor selection

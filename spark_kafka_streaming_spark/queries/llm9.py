@@ -206,8 +206,11 @@ def _duck_cms(table: str, key: str) -> str:
       FROM ska a JOIN skb b ON a.r = b.r AND a.b = b.b
       GROUP BY a.r
     ),
-    est AS (SELECT CAST(COALESCE(MIN(ip), 0) AS BIGINT) AS est_pairs
-            FROM prods),
+    est AS (
+      SELECT CAST(MIN(COALESCE(p.ip, 0)) AS BIGINT) AS est_pairs
+      FROM (SELECT i AS r FROM {_CMS_VALUES}) spine
+      LEFT JOIN prods p USING (r)
+    ),
     ca AS (SELECT user_id AS k, COUNT(*) AS na FROM events GROUP BY 1),
     cb AS (SELECT c_custkey AS k, COUNT(*) AS nb FROM customer GROUP BY 1),
     ex AS (
@@ -242,8 +245,21 @@ def q_sketch_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r")
         .agg(F.sum(F.col("a.cnt") * F.col("b.cnt")).cast("bigint").alias("ip"))
     )
-    est = prods.agg(
-        F.coalesce(F.min("ip"), F.lit(0)).cast("bigint").alias("est_pairs")
+    # Min over ALL hash rows via the 0..CMS_D-1 spine: a row whose two
+    # sketches share no bucket has true inner product 0 (the exact
+    # AMS/CM row estimate for near-disjoint key sets) — dropping it
+    # from the MIN would report a looser estimate than the minimum the
+    # estimator claims.
+    spine = (
+        spark.range(SK.CMS_D).select(F.col("id").cast("int").alias("r"))
+    )
+    est = (
+        spine.join(prods, "r", "left")
+        .agg(
+            F.min(F.coalesce(F.col("ip"), F.lit(0)))
+            .cast("bigint")
+            .alias("est_pairs")
+        )
     )
     ca = ev.groupBy(F.col("user_id").alias("k")).agg(
         F.count("*").alias("na")
@@ -653,11 +669,11 @@ _CORR_FINAL = (
     ),
     partials AS (
       SELECT grp, COUNT(*) AS n,
-             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
-             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
-             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
-             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sx2,
-             CAST(SUM(y * y) AS DECIMAL(38,0)) AS sy2
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x * x AS DECIMAL(38,0))) AS sx2,
+             SUM(CAST(y * y AS DECIMAL(38,0))) AS sy2
       FROM c GROUP BY grp
     )
     SELECT grp, CAST(n AS BIGINT) AS n, {_CORR_FINAL} AS corr
@@ -690,11 +706,18 @@ def q_stats_correlation_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp")
         .agg(
             F.count("*").alias("n"),
-            F.sum("x").cast("decimal(38,0)").alias("sx"),
-            F.sum("y").cast("decimal(38,0)").alias("sy"),
-            F.sum(F.expr("x * y")).cast("decimal(38,0)").alias("sxy"),
-            F.sum(F.expr("x * x")).cast("decimal(38,0)").alias("sx2"),
-            F.sum(F.expr("y * y")).cast("decimal(38,0)").alias("sy2"),
+            # Cast INSIDE the sum: per-element products fit int64
+            # (x ≤ 5e5, y ≤ ~1.1e7 cents ⇒ y² ≤ ~1.1e14) but their SUM
+            # does not — Σy² per group is ~2.6e18 at sf0.1, past int64
+            # at sf1 (ANSI would throw; non-ANSI silently wraps while
+            # DuckDB sums in HUGEINT).  Accumulating in DECIMAL(38,0)
+            # keeps the partials exact at any scale, matching the
+            # moments query's pattern.
+            F.sum(F.expr("x").cast("decimal(38,0)")).alias("sx"),
+            F.sum(F.expr("y").cast("decimal(38,0)")).alias("sy"),
+            F.sum(F.expr("x * y").cast("decimal(38,0)")).alias("sxy"),
+            F.sum(F.expr("x * x").cast("decimal(38,0)")).alias("sx2"),
+            F.sum(F.expr("y * y").cast("decimal(38,0)")).alias("sy2"),
         )
     )
     return partials.select(

@@ -48,6 +48,16 @@ class IncrementalMerger:
     Change rows: (``key_col``, ``op`` ∈ {'U','D'}, *value columns) —
     'U' upserts the row's full state (insert-or-replace), 'D' deletes
     the key.  The snapshot holds (``key_col``, *value columns).
+
+    ``seq_col``: optional change-sequence column (LSN / commit
+    timestamp) in the feed.  When given, the LATEST change per key
+    within a micro-batch wins (ordered by it, ties broken op-desc so
+    the outcome stays deterministic), and the column is metadata — it
+    does not enter the snapshot.  Without it there is no in-batch
+    order to honor, so same-key conflicts resolve op-desc ('U' beats
+    'D') purely for determinism — an ordered update-then-delete
+    arriving in one batch would keep the update, so feeds that carry
+    ordering MUST pass ``seq_col``.
     """
 
     def __init__(
@@ -55,10 +65,12 @@ class IncrementalMerger:
         store_path: str,
         key_col: str = "k",
         n_key_buckets: int = N_KEY_BUCKETS,
+        seq_col: str | None = None,
     ):
         self.store_path = store_path
         self.key_col = key_col
         self.n_key_buckets = n_key_buckets
+        self.seq_col = seq_col
 
     def _kb(self) -> F.Column:
         return F.pmod(
@@ -74,18 +86,22 @@ class IncrementalMerger:
     def __call__(self, changes: DataFrame, batch_id: int) -> None:
         spark = changes.sparkSession
         k = self.key_col
-        # Last change per key wins within the batch (CDC feeds are
-        # ordered; ties break on op so a same-key U beats a D
-        # deterministically in unordered test feeds).
+        # Last change per key wins within the batch: by the feed's
+        # sequence column when one is declared (op-desc only as the
+        # tie-break), else op-desc alone for determinism (see class
+        # docstring).
+        order = (
+            [F.desc(self.seq_col), F.desc("op")]
+            if self.seq_col is not None
+            else [F.desc("op")]
+        )
         latest = (
             changes.withColumn(
                 "_rn",
-                F.row_number().over(
-                    Window.partitionBy(k).orderBy(F.desc("op"))
-                ),
+                F.row_number().over(Window.partitionBy(k).orderBy(*order)),
             )
             .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            .drop("_rn", *([self.seq_col] if self.seq_col else []))
             .withColumn("kb", self._kb())
         )
         touched = sorted(

@@ -383,3 +383,61 @@ def test_correlation_matches_builtin(spark, sf_dir):
     }
     for k in out:
         assert out[k] == pytest.approx(ref[k], rel=1e-9)
+
+
+# --------------------------------------------- sampled recall truth
+
+
+def test_minhash_recall_sampled_truth_matches_full(spark, sf_dir):
+    """The sampled recall harness's truth set is EXACTLY the
+    full-corpus exact-Jaccard truth restricted to sampled endpoints
+    (pair membership is a pairwise property — sampling the docs first
+    changes nothing for within-sample pairs), and the mod-1 'sample'
+    reproduces the full-corpus report."""
+    from pyspark.sql import functions as F
+
+    from spark_kafka_streaming_spark.functions import texthash as TH
+    from spark_kafka_streaming_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from spark_kafka_streaming_spark.operators.signatures import (
+        signature_table,
+    )
+    from spark_kafka_streaming_spark.queries.llm11 import (
+        _RECALL_MOD,
+        _RECALL_T,
+        minhash_recall_report,
+    )
+
+    sigs = signature_table(spark, sf_dir)
+    full_truth = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(
+            None, threshold=_RECALL_T, threshold_frac=(3, 5), sigs=sigs
+        ).collect()
+    }
+    pred = F.expr(
+        TH.spark_str_hash("concat('rcl:', CAST(doc_id AS STRING))")
+        + f" % {_RECALL_MOD} = 0"
+    )
+    sampled_ids = {
+        r["doc_id"] for r in sigs.where(pred).select("doc_id").collect()
+    }
+    want = {
+        p for p in full_truth
+        if p[0] in sampled_ids and p[1] in sampled_ids
+    }
+    got_truth = {
+        (r["id1"], r["id2"])
+        for r in ngram_jaccard_pairs(
+            None,
+            threshold=_RECALL_T,
+            threshold_frac=(3, 5),
+            sigs=sigs.where(pred),
+        ).collect()
+    }
+    assert got_truth == want
+
+    rep = minhash_recall_report(spark, sf_dir, sample_mod=1).collect()[0]
+    assert rep["n_true"] == len(full_truth)
+    assert rep["n_found"] + rep["n_missed"] == rep["n_true"]

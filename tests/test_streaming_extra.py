@@ -540,3 +540,43 @@ def test_incremental_cdc_merge_equals_batch(spark, tmp_path):
     after = mtimes()
     changed = {d for d in before if after.get(d) != before[d]}
     assert len(changed) == 1  # exactly key 101's bucket
+
+
+def test_incremental_cdc_merge_seq_col_order(spark, tmp_path):
+    """Same-key changes within ONE micro-batch resolve by the feed's
+    sequence column when declared: an ordered update-then-delete keeps
+    the delete (and delete-then-update keeps the update) — the
+    snapshot equals replaying the feed in order.  Without seq_col the
+    documented op-desc determinism tiebreak applies ('U' wins)."""
+    from spark_kafka_streaming_spark.streaming.incremental_merge import (
+        IncrementalMerger,
+    )
+
+    schema = "k LONG, op STRING, seq LONG, name STRING"
+    batch = spark.createDataFrame(
+        [
+            (1, "U", 10, "first"),
+            (1, "D", 11, None),     # later delete must win for k=1
+            (2, "D", 20, None),
+            (2, "U", 21, "back"),   # later update must win for k=2
+            (3, "U", 30, "only"),
+        ],
+        schema,
+    )
+
+    store = str(tmp_path / "snap_seq")
+    merger = IncrementalMerger(
+        store, key_col="k", n_key_buckets=4, seq_col="seq"
+    )
+    merger(batch, 0)
+    got = {r["k"]: r["name"] for r in merger.snapshot(spark).collect()}
+    assert got == {2: "back", 3: "only"}
+    # seq is metadata, not snapshot state
+    assert set(merger.snapshot(spark).columns) == {"k", "name"}
+
+    # without seq_col: op-desc tiebreak — 'U' beats 'D' per key
+    store2 = str(tmp_path / "snap_noseq")
+    merger2 = IncrementalMerger(store2, key_col="k", n_key_buckets=4)
+    merger2(batch.drop("seq"), 0)
+    got2 = {r["k"]: r["name"] for r in merger2.snapshot(spark).collect()}
+    assert got2 == {1: "first", 2: "back", 3: "only"}
