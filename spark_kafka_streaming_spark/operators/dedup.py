@@ -448,6 +448,8 @@ def overlap_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     broadcast_verify: bool = True,
+    threshold_frac: tuple[int, int] | None = None,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Containment near-dup pairs by the OVERLAP coefficient
     |A∩B| / min(|A|,|B|) over distinct word-3-gram shingle hashes —
@@ -468,32 +470,87 @@ def overlap_pairs(
     measured 20 s at sf0.1 vs ~2 s for the array verify).  The df cap
     is the scale guard: it bounds the self-join's per-shingle fan-out
     at max_df² and drops the Σ df² blowup a shared-vocabulary corpus
-    otherwise produces (same role as the PPJoin prefix filter, simpler
-    because containment lacks the prefix theorem's exact bound).
+    otherwise produces.
+
+    A second, EXACT cut runs inside the join condition (the PPJoin
+    positional idea adapted to containment): order each doc's rare
+    shingles by the global (df, h) rank — position ``rn`` of ``m``
+    rare among ``n`` total shingles.  At the pair's MINIMAL shared
+    rare shingle, every other shared rare shingle lies in both
+    suffixes and every shared hot shingle is bounded by either side's
+    hot count, so
+
+        inter ≤ 1 + min(m_a−rn_a, m_b−rn_b) + min(n_a−m_a, n_b−m_b)
+
+    and a pair with overlap ≥ p/q has ``bound·q ≥ inter·q ≥
+    p·min(n_a, n_b)`` at that row.  Rows failing the bound die inside
+    the join, before the distinct shuffle; a qualifying pair always
+    survives via its minimal-match row, so the final pair set is
+    IDENTICAL — only non-minimal and hopeless candidate rows drop
+    (on the saturated uniform-vocab corpus the raw join emits
+    Σdf² ≈ 2.8 M pre-distinct rows at sf0.1; the bound removes the
+    deep-position majority).  ``threshold_frac`` (p, q) gives the
+    exact integer threshold, as in :func:`ngram_jaccard_pairs`.
+
+    ``sigs``: optional precomputed signature table (see
+    :func:`minhash_lsh_pairs`); uses its ``hs`` column — the measured
+    dominant cost of this operator is otherwise re-deriving the
+    shingle-hash arrays the shared table already holds (7.6 of 7.9 s
+    at sf0.1).
 
     Returns (id1, id2, inter, sz1, sz2, overlap) with id1 < id2 and
     overlap ≥ ``threshold``; exact integer sizes ⇒ the division is
     bit-identical cross-engine.
     """
-    base = track_persist(
-        df.filter(_has_shingles(text_col)).select(
-            F.col(id_col),
-            F.expr(
-                f"array_distinct(transform("
-                f"{TH.spark_shingles(text_col)}, "
-                f"s -> {TH.spark_str_hash('s')}))"
-            ).alias("hs"),
+    if threshold_frac is None:
+        from fractions import Fraction
+
+        fr = Fraction(threshold).limit_denominator(1000)
+        p, q = fr.numerator, fr.denominator
+    else:
+        p, q = threshold_frac
+    if sigs is not None:
+        base = sigs.filter(F.size("hs") > 0).select(id_col, "hs")
+    else:
+        base = track_persist(
+            df.filter(_has_shingles(text_col)).select(
+                F.col(id_col),
+                F.expr(
+                    f"array_distinct(transform("
+                    f"{TH.spark_shingles(text_col)}, "
+                    f"s -> {TH.spark_str_hash('s')}))"
+                ).alias("hs"),
+            )
+        )
+    sh = base.select(
+        id_col, F.size("hs").alias("n"), F.explode("hs").alias("h")
+    )
+    dfh = sh.groupBy("h").agg(F.count("*").alias("df"))
+    w = W.partitionBy(id_col).orderBy("df", "h")
+    rare = (
+        sh.join(dfh.filter(F.col("df") <= max_df), "h")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("m", F.count("*").over(W.partitionBy(id_col)))
+        .select(id_col, "h", "n", "m", "rn")
+    )
+    a, b = rare.alias("a"), rare.alias("b")
+    # the containment upper bound at this matched position (exact for
+    # the pair's minimal shared rare shingle — see docstring)
+    bound = (
+        F.lit(1)
+        + F.least(
+            F.col("a.m") - F.col("a.rn"), F.col("b.m") - F.col("b.rn")
+        )
+        + F.least(
+            F.col("a.n") - F.col("a.m"), F.col("b.n") - F.col("b.m")
         )
     )
-    sh = base.select(id_col, F.explode("hs").alias("h"))
-    dfh = sh.groupBy("h").agg(F.count("*").alias("df"))
-    rare = sh.join(dfh.filter(F.col("df") <= max_df).select("h"), "h")
-    a, b = rare.alias("a"), rare.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & (bound * q >= F.least(F.col("a.n"), F.col("b.n")) * p),
         )
         .select(
             F.col(f"a.{id_col}").alias("id1"),

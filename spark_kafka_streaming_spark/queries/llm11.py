@@ -75,9 +75,14 @@ _OV_MAX_DF = 20
     tags=("dedup", "text", "llm"),
 )
 def q_dedup_containment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.signatures import signature_table
+
     return D.overlap_pairs(
-        docs, threshold=_OV_THRESHOLD, max_df=_OV_MAX_DF
+        None,
+        threshold=_OV_THRESHOLD,
+        max_df=_OV_MAX_DF,
+        threshold_frac=(4, 5),
+        sigs=signature_table(spark, sf_dir),
     ).orderBy("id1", "id2")
 
 
