@@ -139,6 +139,69 @@ def initial_centroids(sv: DataFrame, k: int, id_col: str = "vec_id") -> list[tup
     return [(i, list(r["v"]), int(r["n"])) for i, r in enumerate(rows)]
 
 
+#: Largest k assigned via the compile-time literal-centroid expression.
+#: Beyond it the argmin expression is k·d array literals in one
+#: projection — past whole-stage codegen's method-size comfort zone —
+#: so assignment switches to the broadcast-join form (bit-identical
+#: trajectory; pinned in tests/test_llm7.py).
+LITERAL_ASSIGN_MAX_K = 16
+
+
+def assign_clusters_join(
+    sv: DataFrame,
+    cents: list[tuple[int, list[int], int]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment via broadcast join — the large-k
+    twin of :func:`assign_clusters`.
+
+    The k×d centroid table becomes a broadcast DataFrame instead of a
+    compile-time literal: each vector meets all k centroids in a
+    map-side broadcast nested loop, only (id, dist, cid) leaves the
+    join (no vector payload), and a groupBy(id) min(struct(d, cid))
+    reduces to the same lexicographic argmin the literal form computes
+    — exact int64 distances both ways, so the two forms produce
+    bit-identical assignments.  One extra shuffle of k·N slim rows plus
+    an id-keyed join back to ``sv`` is the price; amortized it is far
+    cheaper than a k·d-literal expression the JIT refuses to compile.
+    """
+    spark = sv.sparkSession
+    cdf = spark.createDataFrame(
+        [(cid, cv, cn) for cid, cv, cn in cents],
+        "cid int, cv array<bigint>, cn bigint",
+    )
+    d = F.expr(f"(n + cn - 2 * {V.spark_dot('v', 'cv')})")
+    best = (
+        sv.select(id_col, "v", "n")
+        .crossJoin(F.broadcast(cdf))
+        .select(
+            id_col,
+            F.struct(d.alias("d"), F.col("cid")).alias("s"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("s").alias("_b"))
+    )
+    return (
+        sv.join(best, id_col)
+        .withColumn("cluster", F.col("_b.cid"))
+        .withColumn("dist2", F.col("_b.d"))
+        .drop("_b")
+    )
+
+
+def auto_k(n_vectors: int, per: int = 400, floor: int = 8) -> int:
+    """Corpus-scaled cluster count: k = max(floor, n // per).
+
+    SemDeDup's within-cluster pair cost is Σ(n/k)² ≈ n²/k while the
+    per-step driver sync is k·d rows, so k should GROW with the corpus
+    (the paper runs k ≈ 11k at LAION scale).  n/400 reproduces the
+    measured sf1 sweet spot (k=50 at 20k vectors: 40.1 s → 15.8 s,
+    SCALE.md) and stays at the floor — hence oracle-replayable with a
+    literal-k CTE — for every driver-test corpus (≤ 3.2k vectors).
+    """
+    return max(floor, n_vectors // per)
+
+
 def kmeans_assignments(
     df: DataFrame,
     k: int = 8,
@@ -152,17 +215,26 @@ def kmeans_assignments(
     iters=1 means: assign to the seed centroids, update once, assign to
     the updated centroids — i.e. the returned assignment always reflects
     the *latest* centroids, and ``iters`` counts update steps.
+
+    Assignment uses the codegen-friendly literal form up to
+    ``LITERAL_ASSIGN_MAX_K`` centroids and the broadcast-join form
+    beyond it (same exact arithmetic, same (dist, cid) tie-break).
     """
+    assign = (
+        assign_clusters
+        if k <= LITERAL_ASSIGN_MAX_K
+        else lambda s, c: assign_clusters_join(s, c, id_col)
+    )
     sv = track_persist(scaled_vectors(df, id_col, vec_col))
     cents = initial_centroids(sv, k, id_col)
     for _ in range(iters):
-        cents = _update_centroids(assign_clusters(sv, cents))
-    return assign_clusters(sv, cents)
+        cents = _update_centroids(assign(sv, cents))
+    return assign(sv, cents)
 
 
 def semantic_dedup(
     df: DataFrame,
-    k: int = 8,
+    k: int | None = 8,
     tau: float = 0.45,
     iters: int = 1,
     id_col: str = "vec_id",
@@ -193,8 +265,11 @@ def semantic_dedup(
     ``max_bucket=None`` disables the guard (plain cluster-keyed
     self-join); raising k (the paper uses k ≈ 11k at LAION scale) is
     the complementary remedy when cluster geometry, not skew, is the
-    bottleneck.
+    bottleneck.  ``k=None`` scales it with the corpus via
+    :func:`auto_k` (one count job — the model-sizing step).
     """
+    if k is None:
+        k = auto_k(df.count())
     a = kmeans_assignments(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     a = track_persist(a.select(F.col(id_col).alias("id"), "cluster", "v", "n"))
     sim = F.expr(V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n"))

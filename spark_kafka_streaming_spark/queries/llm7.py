@@ -138,15 +138,21 @@ _SEM_CTE, _SEM_FINAL = _duck_kmeans_cte(KMEANS_K, 1)
     doc="SemDeDup (arXiv:2303.09540): k-means clusters bound the "
     "candidate space, cosine>=tau within a cluster drops the higher "
     "id. The cluster stage IS the scale move — pairs form only inside "
-    "a cluster ((n/k)^2, never n^2); adversarial single-cluster "
-    "corpora route through skew.bounded_self_pairs or a larger k "
-    "(the paper's own remedy). Exact int64 dots make the cosine "
+    "a cluster ((n/k)^2, never n^2), so k SCALES with the corpus: the "
+    "catalog runs auto_k = max(8, n/400) (the paper's own remedy, "
+    "k~11k at LAION scale; sf1 measured 40.1s at k=8 vs 15.8s at "
+    "k=50), switching from literal-centroid to broadcast-join "
+    "assignment past k=16 with a bit-identical trajectory. At every "
+    "oracle/test corpus (<=3.2k vectors) auto_k stays at the floor 8, "
+    "which is what this literal-k CTE replays; adversarial "
+    "single-cluster corpora additionally route through "
+    "skew.bounded_self_pairs. Exact int64 dots make the cosine "
     "threshold engine-identical. (operators/kmeans.py)",
     tags=("llm", "dedup", "vectors"),
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=KMEANS_K, tau=SEMDEDUP_TAU, iters=1).orderBy(
+    return semantic_dedup(emb, k=None, tau=SEMDEDUP_TAU, iters=1).orderBy(
         "vec_id"
     )
 

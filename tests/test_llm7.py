@@ -34,6 +34,48 @@ def test_kmeans_partition_invariant(spark, emb):
     assert len(a1) == emb.count()
 
 
+def test_kmeans_join_assignment_matches_literal(spark, emb):
+    """The broadcast-join assignment (large-k path) is bit-identical
+    to the literal-centroid expression — same exact int64 distances,
+    same (dist, cid) tie-break — and kmeans_assignments routes through
+    it automatically past LITERAL_ASSIGN_MAX_K."""
+    from spark_kafka_streaming_spark.operators.kmeans import (
+        LITERAL_ASSIGN_MAX_K,
+        assign_clusters,
+        assign_clusters_join,
+        initial_centroids,
+        scaled_vectors,
+    )
+
+    sv = scaled_vectors(emb)
+    cents = initial_centroids(sv, 6)
+    lit = {
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in assign_clusters(sv, cents).collect()
+    }
+    jn = {
+        (r["vec_id"], r["cluster"], r["dist2"])
+        for r in assign_clusters_join(sv, cents).collect()
+    }
+    assert lit == jn
+    # end-to-end: a k above the literal cap produces a full assignment
+    k = LITERAL_ASSIGN_MAX_K + 1
+    rows = kmeans_assignments(emb, k=k, iters=1).collect()
+    assert len(rows) == emb.count()
+    assert {r["cluster"] for r in rows} <= set(range(k))
+
+
+def test_auto_k_contract():
+    """auto_k stays at the oracle-replayable floor for every test
+    corpus and reproduces the measured sf1 sweet spot."""
+    from spark_kafka_streaming_spark.operators.kmeans import auto_k
+
+    for n in (500, 2000, 3200):  # sf0.001/0.01, sf0.1, floor edge
+        assert auto_k(n) == 8
+    assert auto_k(20_000) == 50  # sf1: the measured 15.8 s point
+    assert auto_k(200_000) == 500  # sf10
+
+
 def test_kmeans_dist_is_exact_squared_l2(spark, emb):
     """dist2 for a sampled row equals the numpy int64 recomputation
     against the best centroid among ALL returned assignments' implied
