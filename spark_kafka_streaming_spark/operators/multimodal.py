@@ -7,10 +7,15 @@ metadata struct — the same model the reference applies to Kafka values
 content-addressed blobs.
 
 The Spark-side plumbing (schema, content addressing, partitioned batch
-decode via ``mapInPandas``) is real and tested; the codec calls
-themselves are STUBBED (`decode_image`) because no image/audio
-libraries exist in this environment — `extract_features` documents the
-Arrow-batched shape a real decoder drops into.
+decode via ``mapInPandas``) is real and tested, and so is the image
+codec for the container-friendly formats: :func:`decode_image` is a
+dependency-free PPM/PGM (P2/P3/P5/P6) and uncompressed 24/32-bit BMP
+decoder (numpy only), with :func:`encode_ppm`/:func:`encode_bmp`
+round-trip twins for fixtures.  JPEG/PNG/audio/video codecs are not in
+this environment; plugging PIL/cv2/ffmpeg into the same
+``decode_image`` dispatch extends coverage without touching any Spark
+plumbing.  :func:`image_features` runs the decode end-to-end inside
+``mapInPandas`` and emits real per-channel pixel statistics.
 
 Scale: payloads ride the normal columnar path; `mapInPandas` processes
 Arrow record batches so a GPU/native decoder sees contiguous buffers;
@@ -53,14 +58,148 @@ def attach_payload(
     )
 
 
+def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
+    """First ``n`` integer header tokens of a netpbm payload (skipping
+    ``#`` comments) and the offset one whitespace byte past the last."""
+    toks: list[int] = []
+    i, ln = 0, len(payload)
+    while len(toks) < n:
+        while i < ln and payload[i : i + 1].isspace():
+            i += 1
+        if i < ln and payload[i : i + 1] == b"#":
+            while i < ln and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < ln and not payload[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated netpbm header")
+        toks.append(int(payload[i:j]))
+        i = j
+    return toks, i + 1  # exactly one whitespace byte after maxval
+
+
 def decode_image(payload: bytes) -> "object":
-    """STUB: image decode requires a codec library (PIL/cv2) not present
-    in this environment. The real implementation decodes one payload to
-    an HxWxC array; everything around it (batching, schema, shuffle
-    placement) is already wired."""
-    raise NotImplementedError(
-        "image codec not available in this environment; plug PIL/cv2 here"
+    """Decode an image payload to an HxWx3 uint8 numpy array.
+
+    Pure Python + numpy — no codec library.  Formats: netpbm P6/P3
+    (PPM) and P5/P2 (PGM, replicated to 3 channels), and uncompressed
+    BI_RGB 24/32-bit BMP (bottom-up or top-down, row padding honored).
+    Anything else raises ``ValueError`` naming the magic — the dispatch
+    point where PIL/cv2 plug in for JPEG/PNG without touching the
+    Spark plumbing around it.
+    """
+    import numpy as np
+
+    if len(payload) < 2:
+        raise ValueError("payload too short to be an image")
+    magic = payload[:2]
+    if magic in (b"P6", b"P5", b"P3", b"P2"):
+        toks, off = _ppm_tokens(payload[2:], 3)
+        w, h, maxval = toks
+        if not (0 < maxval <= 255):
+            raise ValueError(f"unsupported netpbm maxval {maxval}")
+        ch = 3 if magic in (b"P6", b"P3") else 1
+        if magic in (b"P6", b"P5"):
+            px = np.frombuffer(payload, np.uint8, count=h * w * ch, offset=2 + off)
+        else:  # ascii samples: comment-stripped whitespace-split fields
+            body = b"\n".join(
+                ln.split(b"#", 1)[0] for ln in payload.split(b"\n")
+            ).split()[4:]  # drop magic, w, h, maxval
+            px = np.array([int(t) for t in body[: h * w * ch]], dtype=np.uint8)
+        arr = px.reshape(h, w, ch)
+        return np.repeat(arr, 3, axis=2) if ch == 1 else arr.copy()
+    if magic == b"BM":
+        import struct
+
+        off, hdr, w, h = struct.unpack_from("<IIii", payload, 10)
+        planes, bpp, comp = struct.unpack_from("<HHI", payload, 26)
+        if hdr < 40 or comp != 0 or bpp not in (24, 32):
+            raise ValueError(f"unsupported BMP (header {hdr}, bpp {bpp}, compression {comp})")
+        top_down, h = h < 0, abs(h)
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        rows = np.frombuffer(
+            payload, np.uint8, count=h * stride, offset=off
+        ).reshape(h, stride)
+        bgr = rows[:, : w * nb].reshape(h, w, nb)[:, :, :3]
+        rgb = bgr[:, :, ::-1]
+        return (rgb if top_down else rgb[::-1]).copy()
+    raise ValueError(f"unsupported image format (magic {magic!r}); plug PIL/cv2 here")
+
+
+def encode_ppm(arr: "object") -> bytes:
+    """HxWx3 uint8 array → binary PPM (P6) bytes."""
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + a.tobytes()
+
+
+def encode_bmp(arr: "object") -> bytes:
+    """HxWx3 uint8 array → uncompressed 24-bit BMP bytes (bottom-up,
+    4-byte row padding — the canonical BI_RGB layout)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray(h * stride)
+    bgr = a[:, :, ::-1]
+    for r in range(h):
+        row = bgr[h - 1 - r].tobytes()
+        body[r * stride : r * stride + len(row)] = row
+    head = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
     )
+    return head + bytes(body)
+
+
+def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """End-to-end image decode + per-channel statistics, Arrow-batched.
+
+    For each ``payload`` (PPM/PGM/BMP bytes) emits width, height, and
+    the real per-channel pixel means — the exact shape a neural
+    image encoder integration takes, with the decode step actually
+    decoding pixels.  Undecodable payloads yield NULL dimensions (the
+    DLQ-style split happens downstream on ``width IS NULL``).
+    """
+    schema = (
+        f"{id_col} bigint, width int, height int, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("id", "w", "h", "r", "g", "b")}
+            for vid, payload in zip(pdf[id_col], pdf["payload"]):
+                out["id"].append(vid)
+                try:
+                    arr = decode_image(bytes(payload))
+                    m = arr.reshape(-1, 3).mean(axis=0)
+                    out["w"].append(arr.shape[1])
+                    out["h"].append(arr.shape[0])
+                    for k, v in zip("rgb", m):
+                        out[k].append(float(v))
+                except (ValueError, IndexError):
+                    for k in ("w", "h", "r", "g", "b"):
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "width": out["w"],
+                    "height": out["h"],
+                    "mean_r": out["r"],
+                    "mean_g": out["g"],
+                    "mean_b": out["b"],
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
 
 
 def extract_features(

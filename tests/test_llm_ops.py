@@ -79,14 +79,67 @@ def test_bruteforce_topk_self_excluded_and_ranked(spark, sf_dir):
         assert len(rows) == 5
 
 
-def test_multimodal_stub_and_features_deterministic(spark, sf_dir):
+def test_multimodal_codec_roundtrip():
+    """decode_image really decodes pixels: PPM/PGM/BMP round-trip to
+    the exact source array; unknown magic raises ValueError."""
+    import numpy as np
+
+    from spark_kafka_streaming_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+    )
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    assert (decode_image(encode_ppm(arr)) == arr).all()
+    assert (decode_image(encode_bmp(arr)) == arr).all()
+    # ascii PPM with a header comment
+    flat = " ".join(str(v) for v in arr.reshape(-1))
+    p3 = f"P3\n# fixture\n7 5\n255\n{flat}\n".encode()
+    assert (decode_image(p3) == arr).all()
+    # grayscale PGM replicates to 3 channels
+    g = rng.integers(0, 256, size=(3, 4), dtype=np.uint8)
+    p5 = b"P5\n4 3\n255\n" + g.tobytes()
+    assert (decode_image(p5) == np.repeat(g[:, :, None], 3, axis=2)).all()
+    with pytest.raises(ValueError):
+        decode_image(b"\x89PNG\r\n\x1a\n")
+
+
+def test_multimodal_image_features_end_to_end(spark):
+    """image_features decodes real pixels inside mapInPandas: the
+    per-channel means match numpy exactly; a corrupt payload maps to
+    NULL dimensions instead of failing the batch."""
+    import numpy as np
+
+    from spark_kafka_streaming_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        image_features,
+    )
+
+    rng = np.random.default_rng(11)
+    imgs = {i: rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8) for i in range(4)}
+    rows = [
+        (0, bytearray(encode_ppm(imgs[0]))),
+        (1, bytearray(encode_bmp(imgs[1]))),
+        (2, bytearray(encode_ppm(imgs[2]))),
+        (3, bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {r["doc_id"]: r for r in image_features(df).collect()}
+    for i in (0, 1, 2):
+        exp = imgs[i].reshape(-1, 3).mean(axis=0)
+        assert (got[i]["width"], got[i]["height"]) == (9, 6)
+        for ch, name in enumerate(("mean_r", "mean_g", "mean_b")):
+            assert abs(got[i][name] - exp[ch]) < 1e-9
+    assert got[3]["width"] is None
+
+
+def test_multimodal_payload_and_features_deterministic(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(20)
     with_payload = attach_payload(docs, "text")
-    # metadata is real even though the codec is stubbed
     row = with_payload.select("meta.n_bytes", "meta.sha256").first()
     assert row["n_bytes"] > 0 and len(row["sha256"]) == 64
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x00")
     f1 = {
         r.doc_id: tuple(r.features)
         for r in extract_features(with_payload.select("doc_id", "payload")).collect()
