@@ -66,3 +66,92 @@ def inverted_index(tf: DataFrame, cap: int = POSTINGS_CAP) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+# ------------------------------------------------- BM25 ranked scoring
+#
+# Shared by the batch catalog query (q_text_bm25_search, which builds
+# per_doc in a single tokenize pass) and the streaming serving loop
+# (IncrementalIndexer.bm25_snapshot, which derives per_doc from the
+# merged (term, doc_id, tf) store: dl = Σ tf) — the SAME expressions
+# in the same written order, so stream-served and batch scores are
+# bit-identical.
+
+#: Query terms (mid-frequency words of the corpus vocabulary).
+BM25_TERMS = ("hash", "stream", "vector")
+BM25_TOPK = 15
+#: idf quantization scale: idfq = floor(log2((N-df)·1024 / (df+1))),
+#: computed as the bit-length of an exact integer — engine-identical,
+#: monotone in the real Robertson idf.
+IDF_SCALE = 1024
+
+#: k1 = 1.2, b = 0.75 (the standard Okapi constants).  The whole score
+#: expression is ONE shared string evaluated with the same literal
+#: operands in the same order by both engines → bit-identical doubles.
+BM25_SCORE = (
+    "(CAST(idfq_{t} AS DOUBLE) * ((CAST(tf_{t} AS DOUBLE) * 2.2) / "
+    "(CAST(tf_{t} AS DOUBLE) + 1.2 * (0.25 + 0.75 * "
+    "((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / "
+    "CAST(sum_dl AS DOUBLE))))))"
+)
+
+
+def bm25_idfq(df_expr: str, div: str) -> str:
+    """Bit-length-quantized idf from exact integers; ``div`` is the
+    engine's integer-division operator (Spark DIV, DuckDB //)."""
+    return (
+        f"CAST(length(bin(((n_docs - {df_expr}) * {IDF_SCALE}) {div} "
+        f"({df_expr} + 1))) - 1 AS INT)"
+    )
+
+
+def bm25_tf_case(t: str) -> str:
+    return f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)"
+
+
+def bm25_score_per_doc(
+    per_doc: DataFrame,
+    terms: tuple[str, ...] = BM25_TERMS,
+    topk: int = BM25_TOPK,
+) -> DataFrame:
+    """Okapi BM25 ranking from a per-doc statistics table.
+
+    ``per_doc``: (doc_id, dl, tf_<term>…).  Corpus statistics reduce
+    to a single broadcast row, per-term scores sum in the fixed
+    written order, and the ranking is TakeOrderedAndProject — one
+    broadcast, zero extra shuffles at any corpus size.
+    """
+    stats = per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.expr(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)")
+            .cast("bigint")
+            .alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in terms],
+        "n_docs",
+        "sum_dl",
+        *[F.expr(bm25_idfq(f"df_{t}", "DIV")).alias(f"idfq_{t}") for t in terms],
+    )
+    final = scored.select(
+        "doc_id",
+        *[F.expr(BM25_SCORE.format(t=t)).alias(f"s_{t}") for t in terms],
+    )
+    total = f"s_{terms[0]}"
+    for t in terms[1:]:
+        total = f"({total} + s_{t})"
+    return (
+        final.select(
+            "doc_id",
+            *[f"s_{t}" for t in terms],
+            F.expr(total).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(topk)
+    )

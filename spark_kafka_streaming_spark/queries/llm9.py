@@ -36,37 +36,18 @@ from ..sources.batch import load_table
 from .registry import register
 
 # ------------------------------------------------------ BM25 search
+# Scoring constants/expressions live in operators/index.py (shared
+# with the streaming serving loop, IncrementalIndexer.bm25_snapshot);
+# this module binds them into the single-pass catalog query + oracle.
 
-#: Query terms (mid-frequency words of the corpus vocabulary).
-_BM25_TERMS = ("hash", "stream", "vector")
-_BM25_TOPK = 15
-#: idf quantization scale: idfq = floor(log2((N-df)·1024 / (df+1))),
-#: computed as the bit-length of an exact integer — engine-identical,
-#: monotone in the real Robertson idf.
-_IDF_SCALE = 1024
+from ..operators import index as IX  # noqa: E402
 
-#: k1 = 1.2, b = 0.75 (the standard Okapi constants).  The whole score
-#: expression is ONE shared string evaluated with the same literal
-#: operands in the same order by both engines → bit-identical doubles.
-_BM25_SCORE = (
-    "(CAST(idfq_{t} AS DOUBLE) * ((CAST(tf_{t} AS DOUBLE) * 2.2) / "
-    "(CAST(tf_{t} AS DOUBLE) + 1.2 * (0.25 + 0.75 * "
-    "((CAST(dl AS DOUBLE) * CAST(n_docs AS DOUBLE)) / "
-    "CAST(sum_dl AS DOUBLE))))))"
-)
-
-
-def _idfq(df_expr: str, div: str) -> str:
-    """Bit-length-quantized idf from exact integers; ``div`` is the
-    engine's integer-division operator (Spark DIV, DuckDB //)."""
-    return (
-        f"CAST(length(bin(((n_docs - {df_expr}) * {_IDF_SCALE}) {div} "
-        f"({df_expr} + 1))) - 1 AS INT)"
-    )
-
-
-def _bm25_tf_case(t: str) -> str:
-    return f"SUM(CASE WHEN term = '{t}' THEN 1 ELSE 0 END)"
+_BM25_TERMS = IX.BM25_TERMS
+_BM25_TOPK = IX.BM25_TOPK
+_IDF_SCALE = IX.IDF_SCALE
+_BM25_SCORE = IX.BM25_SCORE
+_bm25_tf_case = IX.bm25_tf_case
+_idfq = IX.bm25_idfq
 
 
 _BM25_ORACLE = f"""
@@ -137,45 +118,7 @@ def q_text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _BM25_TERMS
         ],
     )
-    stats = per_doc.agg(
-        F.count("*").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("sum_dl"),
-        *[
-            F.expr(f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END)")
-            .cast("bigint")
-            .alias(f"df_{t}")
-            for t in _BM25_TERMS
-        ],
-    )
-    scored = per_doc.crossJoin(F.broadcast(stats)).select(
-        "doc_id",
-        "dl",
-        *[f"tf_{t}" for t in _BM25_TERMS],
-        "n_docs",
-        "sum_dl",
-        *[
-            F.expr(_idfq(f"df_{t}", "DIV")).alias(f"idfq_{t}")
-            for t in _BM25_TERMS
-        ],
-    )
-    final = scored.select(
-        "doc_id",
-        *[
-            F.expr(_BM25_SCORE.format(t=t)).alias(f"s_{t}")
-            for t in _BM25_TERMS
-        ],
-    )
-    return (
-        final.select(
-            "doc_id",
-            "s_hash",
-            "s_stream",
-            "s_vector",
-            F.expr("((s_hash + s_stream) + s_vector)").alias("score"),
-        )
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(_BM25_TOPK)
-    )
+    return IX.bm25_score_per_doc(per_doc)
 
 
 # ------------------------------------- sketch join-size estimation

@@ -84,6 +84,38 @@ class IncrementalIndexer:
         tf = self._merged_tf(spark)
         return None if tf is None else IX.inverted_index(tf, cap=self.cap)
 
+    def bm25_snapshot(
+        self,
+        spark: SparkSession,
+        terms: tuple[str, ...] = IX.BM25_TERMS,
+        topk: int = IX.BM25_TOPK,
+    ) -> DataFrame | None:
+        """BM25-ranked retrieval served from the maintained store —
+        the search tier's serving loop.
+
+        The (term, doc_id, tf) partials already carry everything the
+        scorer needs: dl = Σ tf over a doc's terms, per-query-term tf
+        by filtered sum, df/n_docs/sum_dl reduce to one broadcast row.
+        The scoring goes through the SAME
+        :func:`..operators.index.bm25_score_per_doc` expressions as
+        the batch query (q_text_bm25_search), so stream-served ranks
+        and scores are bit-identical to a batch rebuild over
+        everything ingested (pinned in tests/test_streaming_extra.py).
+        """
+        tf = self._merged_tf(spark)
+        if tf is None:
+            return None
+        per_doc = tf.groupBy("doc_id").agg(
+            F.sum("tf").cast("bigint").alias("dl"),
+            *[
+                F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0))
+                .cast("bigint")
+                .alias(f"tf_{t}")
+                for t in terms
+            ],
+        )
+        return IX.bm25_score_per_doc(per_doc, terms, topk)
+
     def compact(self, spark: SparkSession) -> None:
         """Fold per-batch partials into one summed ``batch=-1`` base
         per term bucket (temp dir + rename; a transactional table

@@ -372,6 +372,28 @@ def test_incremental_inverted_index_equals_batch(spark, sf_dir, tmp_path):
     indexer.compact(spark)
     assert [tuple(r) for r in indexer.snapshot(spark).collect()] == want
 
+    # BM25 serving loop: ranks AND scores served from the maintained
+    # store are bit-identical to the batch scorer over the same docs
+    # (same shared expressions, different per_doc derivation).
+    from pyspark.sql import functions as F
+
+    from spark_kafka_streaming_spark.functions import texthash as TH
+
+    tok = spark.createDataFrame(docs, "doc_id BIGINT, text STRING").select(
+        "doc_id", F.explode(F.expr(TH.spark_tokens("text"))).alias("term")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.expr(IX.bm25_tf_case(t)).cast("bigint").alias(f"tf_{t}")
+            for t in IX.BM25_TERMS
+        ],
+    )
+    want_bm25 = [tuple(r) for r in IX.bm25_score_per_doc(per_doc).collect()]
+    got_bm25 = [tuple(r) for r in indexer.bm25_snapshot(spark).collect()]
+    assert len(want_bm25) > 0
+    assert got_bm25 == want_bm25
+
 
 def test_incremental_moments_equals_batch(spark, sf_dir, tmp_path):
     """Streaming twin of q_stats_moments_merge: per-micro-batch exact
