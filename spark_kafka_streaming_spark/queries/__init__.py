@@ -157,14 +157,76 @@ def _reorder(priority: list[str]) -> None:
     REGISTRY.update(ordered)
 
 
-# Fill the 50-entry driver sample: round-4 priorities first, then the
-# strongest cross-family re-prove spread from the round-3 window (all
-# green in r03; they re-prove the shared signature/vector/sketch code
-# paths the round-4 changes sit next to).
-_ROUND4_FILL = [
-    n for n in _ROUND3_WINDOW if n not in _ROUND4_WINDOW
+# Round-5 sample window.  Cumulative driver coverage reached 167/167
+# in round 4, so the window's job is now re-proving TOUCHED paths:
+# (a) every query whose code round 5 changed — containment positional
+# bound + shared signature table, SemDeDup auto-k + join assignment,
+# BM25 scoring factored for the streaming serving loop, the
+# correlation DECIMAL-inside-SUM fix, the CM join-cardinality row
+# spine, the sampled minhash-recall truth leg, CDC sequence ordering,
+# and the multimodal codec un-stubbing — plus (b) neighbors sharing
+# those code paths (signature-table consumers, kmeans/IVF family),
+# padded to 50 with the OLDEST driver rows (the r1-era TPC-H wave,
+# untouched since round 1) for freshness.
+_ROUND5_WINDOW = [
+    # (a) touched this round
+    "q_dedup_containment_overlap",
+    "q_dedup_minhash_recall",
+    "q_dedup_semantic",
+    "q_cluster_kmeans",
+    "q_text_bm25_search",
+    "q_stats_correlation_merge",
+    "q_sketch_join_cardinality",
+    "q_cdc_apply_changes",
+    "q_multimodal_fingerprint",
+    "q_multimodal_features",
+    "q_text_inverted_index",
+    # (b) shared-code-path neighbors
+    "q_dedup_minhash_lsh",
+    "q_dedup_minhash_lsh_guarded",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash_capped",
+    "q_dedup_tier_agreement",
+    "q_dedup_clusters_minhash",
+    "q_dedup_survivor_by_quality",
+    "q_dedup_exact_documents",
+    "q_similarity_ann_ivf",
+    "q_similarity_ann_ivf_refined",
+    "q_similarity_ivfpq",
+    "q_ann_recall_ivfpq",
+    "q_stats_moments_merge",
+    "q_sketch_count_min",
+    "q_text_phrase_search",
+    "q_text_collocations_lift",
+    "q_quality_expectations_events",
 ]
-_reorder((_ROUND4_WINDOW + _ROUND4_FILL)[:50] + _ROUND4_WINDOW[50:])
+
+# (c) freshness padding: the oldest green driver rows (r1-era TPC-H).
+_ROUND5_FILL = [
+    "q01_pricing_summary",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_late_shipment_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q07_nation_trade_flow",
+    "q08_nation_market_share",
+    "q09_product_type_profit",
+    "q10_returned_items",
+    "q11_important_part_values",
+    "q12_priority_ship_delay",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_accounts",
+]
+_reorder((_ROUND5_WINDOW + _ROUND5_FILL)[:50])
 
 
 def queries():

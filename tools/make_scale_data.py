@@ -11,8 +11,25 @@ empirical length distribution (seeded, deterministic), which keeps
 near-dup rates realistic.  ``embeddings`` replicas get a small
 deterministic per-replica perturbation for the same reason.
 
-Usage: python tools/make_scale_data.py [out_dir] [factor]
-Defaults: /tmp/spark_graft_sf1  10
+``documents`` supports two vocabulary modes:
+
+* ``empirical`` (default) — sample tokens from the sf0.1 empirical
+  distribution.  The sf0.1 generator uses a ~40-word shared
+  vocabulary, so at factor 100 most shingles saturate their document
+  frequency caps (the measured root cause of the SimHash mega-bucket,
+  PPJoin prefix-saturation, and containment Σdf² artifacts in
+  SCALE.md) — kept as the adversarial/stress corpus.
+* ``zipf`` — a power-law (Zipf-Mandelbrot, s=1.07) vocabulary of 30k
+  synthetic words, the shape of a real web corpus: shingle df follows
+  the head/tail split the dedup operators' df-caps are designed for.
+  Near-dup structure is injected deterministically so recall/dedup
+  operators have non-trivial truth: 8% of docs are ~5%-token-mutated
+  copies of an earlier doc (high-Jaccard pairs) and 3% embed a full
+  earlier doc verbatim inside fresh padding (containment pairs that
+  symmetric Jaccard misses).
+
+Usage: python tools/make_scale_data.py [out_dir] [factor] [vocab]
+Defaults: /tmp/spark_graft_sf1  10  empirical
 """
 
 from __future__ import annotations
@@ -29,9 +46,45 @@ import pyarrow.parquet as pq
 SRC = "/root/testdata/sf0.1"
 
 
+def _zipf_texts(
+    n_docs: int, lengths: list[int], rng, pyrng
+) -> list[str]:
+    """Power-law-vocabulary documents with injected near-dup structure
+    (see module docstring).  Deterministic under the passed RNGs."""
+    V = 30_000
+    words = [f"w{i:05d}" for i in range(V)]
+    ranks = np.arange(1, V + 1, dtype=np.float64)
+    p = 1.0 / (ranks + 2.7) ** 1.07
+    p /= p.sum()
+    all_lens = [lengths[int(rng.integers(0, len(lengths)))] for _ in range(n_docs)]
+    total = sum(all_lens)
+    flat = rng.choice(V, size=total, p=p)
+    texts: list[str] = []
+    pos = 0
+    for i in range(n_docs):
+        L = all_lens[i]
+        toks = [words[j] for j in flat[pos : pos + L]]
+        pos += L
+        roll = pyrng.random()
+        if i > 10 and roll < 0.08:  # mutated near-copy (high Jaccard)
+            src_toks = texts[pyrng.randrange(i)].split(" ")
+            toks = [
+                (words[pyrng.randrange(V)] if pyrng.random() < 0.05 else t)
+                for t in src_toks
+            ]
+        elif i > 10 and roll < 0.11:  # verbatim containment embed
+            src_toks = texts[pyrng.randrange(i)].split(" ")
+            cut = max(1, L // 4)
+            toks = toks[:cut] + src_toks + toks[cut : cut * 2]
+        texts.append(" ".join(toks))
+    return texts
+
+
 def main() -> None:
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    vocab_mode = sys.argv[3] if len(sys.argv) > 3 else "empirical"
+    assert vocab_mode in ("empirical", "zipf"), vocab_mode
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count()}")
@@ -89,19 +142,23 @@ def main() -> None:
     rng = np.random.default_rng(42)
     pyrng = random.Random(42)
     n_docs = len(rows) * factor
-    doc_ids, texts, out_langs, out_sources, n_chars = [], [], [], [], []
-    # batch-sample all tokens at once for speed
-    all_lens = [lengths[int(rng.integers(0, len(lengths)))] for _ in range(n_docs)]
-    total = sum(all_lens)
-    flat = rng.choice(len(words), size=total, p=weights)
-    pos = 0
-    for i in range(n_docs):
-        L = all_lens[i]
-        toks = [words[j] for j in flat[pos : pos + L]]
-        pos += L
-        txt = " ".join(toks)
+    doc_ids, out_langs, out_sources, n_chars = [], [], [], []
+    if vocab_mode == "zipf":
+        texts = _zipf_texts(n_docs, lengths, rng, pyrng)
+    else:
+        texts = []
+        # batch-sample all tokens at once for speed
+        all_lens = [lengths[int(rng.integers(0, len(lengths)))] for _ in range(n_docs)]
+        total = sum(all_lens)
+        flat = rng.choice(len(words), size=total, p=weights)
+        pos = 0
+        for i in range(n_docs):
+            L = all_lens[i]
+            toks = [words[j] for j in flat[pos : pos + L]]
+            pos += L
+            texts.append(" ".join(toks))
+    for i, txt in enumerate(texts):
         doc_ids.append(i)
-        texts.append(txt)
         out_langs.append(pyrng.choice(langs))
         out_sources.append(pyrng.choice(sources))
         n_chars.append(len(txt))

@@ -67,13 +67,19 @@ def main() -> None:
     ap.add_argument("--queries", default=None,
                     help="comma-separated catalog names (default: the "
                     "SCALE.md decade set)")
+    ap.add_argument("--vocab", default="empirical",
+                    choices=("empirical", "zipf"),
+                    help="documents vocabulary mode (zipf = power-law "
+                    "web-corpus shape with injected near-dups; see "
+                    "make_scale_data.py)")
     args = ap.parse_args()
     # Name the default dir by the exact factor (sf1/sf10 kept for the
     # documented decades) — a rounded name would let `--factor 1..19`
     # silently reuse factor-10 data and mislabel the measurements.
     known = {10: "sf1", 100: "sf10"}
+    suffix = "" if args.vocab == "empirical" else f"_{args.vocab}"
     out = args.out or (
-        f"/tmp/spark_graft_{known.get(args.factor, f'f{args.factor}')}"
+        f"/tmp/spark_graft_{known.get(args.factor, f'f{args.factor}')}{suffix}"
     )
     names = args.queries.split(",") if args.queries else DEFAULT_QUERIES
 
@@ -81,7 +87,7 @@ def main() -> None:
         subprocess.check_call(
             [sys.executable,
              os.path.join(os.path.dirname(__file__), "make_scale_data.py"),
-             out, str(args.factor)]
+             out, str(args.factor), args.vocab]
         )
 
     from spark_kafka_streaming_spark import get_spark
@@ -105,7 +111,8 @@ def main() -> None:
         results[name] = round(min(ts[1:]), 3)  # warm min-of-2
         print(f"# {name}: {results[name]}s", file=sys.stderr)
     print(json.dumps(
-        {"sf_dir": out, "factor": args.factor, "queries": results}
+        {"sf_dir": out, "factor": args.factor, "vocab": args.vocab,
+         "queries": results}
     ))
 
 
