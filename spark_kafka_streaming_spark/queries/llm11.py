@@ -94,10 +94,25 @@ _RECALL_T = 0.6
 #: The exact-Jaccard truth leg is the expensive one (full-corpus
 #: PPJoin DNFs at sf10, SCALE.md) — at scale the truth set is always
 #: estimated on a sample, so the catalog form samples too.  MOD=2
-#: keeps the sf0.01 driver check non-degenerate (5 true pairs);
-#: the decade harness raises MOD with corpus size for a fixed-size
-#: truth sample.
+#: keeps the sf0.01 driver check non-degenerate (5 true pairs); the
+#: catalog RAISES the modulus with corpus size (``_recall_auto_mod``)
+#: — at every oracle/test scale (≤ 5k docs) the auto value stays at
+#: this floor, which is what the literal-mod oracle replays.
 _RECALL_MOD = 2
+
+
+def _recall_auto_mod(n_docs: int) -> int:
+    """mod ∝ √n: a TRUE PAIR survives endpoint sampling at rate 1/mod²
+    and the near-dup pair population grows ~linearly with the corpus
+    (bounded duplicate-group sizes), so √n keeps the EXPECTED sampled
+    truth-pair count scale-invariant while the exact-truth PPJoin
+    touches n/mod ∝ √n documents (≈18k at sf10 — sf1-sized forever).
+    mod ∝ n would shrink the truth set to ~1 pair at sf10 (measured);
+    a fixed mod lets the PPJoin grow unboundedly (152.7 s at sf10,
+    DNF beyond)."""
+    import math
+
+    return max(_RECALL_MOD, math.isqrt(n_docs) // 25)
 
 
 def _duck_minhash_recall_oracle(sample_mod: int = _RECALL_MOD) -> str:
@@ -150,14 +165,21 @@ def _duck_minhash_recall_oracle(sample_mod: int = _RECALL_MOD) -> str:
 
 
 def minhash_recall_report(
-    spark: SparkSession, sf_dir: str, sample_mod: int = _RECALL_MOD
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
 ) -> DataFrame:
     """(n_true, n_found, n_missed, recall) on a deterministic
     portable-hash doc sample (see ``_RECALL_MOD``); both legs read the
     shared signature table filtered to the sample, so the exact-truth
     PPJoin runs on |docs|/sample_mod documents — the fixed-size-truth
-    pattern of :func:`q_ann_recall_ivfpq`."""
+    pattern of :func:`q_ann_recall_ivfpq`.  ``sample_mod=None`` scales
+    the modulus with the corpus (:func:`_recall_auto_mod`) so the
+    truth set stays ~constant-size at any SF."""
     from pyspark.sql import functions as F
+
+    if sample_mod is None:
+        sample_mod = _recall_auto_mod(
+            load_table(spark, sf_dir, "documents").count()
+        )
 
     from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
     from ..operators.signatures import signature_table
@@ -208,7 +230,12 @@ def minhash_recall_report(
     "while the truth leg's PPJoin touches |docs|/{m} documents (the "
     "full-corpus truth DNFs at sf10 — SCALE.md; the decade harness "
     "raises the modulus with corpus size for a fixed-size truth "
-    "sample, the q_ann_recall_ivfpq pattern). Precision is 1.0 by "
+    "sample, the q_ann_recall_ivfpq pattern — the catalog builder "
+    "does this automatically via _recall_auto_mod: mod ~ sqrt(n)/25, "
+    "which keeps the expected sampled truth-PAIR count "
+    "scale-invariant while the truth PPJoin touches only ~sqrt(n) "
+    "docs; floor {m} at every oracle/test scale). Precision is "
+    "1.0 by "
     "construction (LSH candidates are exact-verified), so recall is "
     "the whole story; misses are pairs whose signatures agree in no "
     "band (probability (1-j^4)^8 at Jaccard j). Full-corpus "
@@ -217,7 +244,7 @@ def minhash_recall_report(
     tags=("dedup", "evaluation", "llm"),
 )
 def q_dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_recall_report(spark, sf_dir, sample_mod=_RECALL_MOD)
+    return minhash_recall_report(spark, sf_dir, sample_mod=None)
 
 
 # --------------------------- quality-aware survivor selection
