@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "q_similarity_ann_ivf",
     "q_text_quality",
     "q_multimodal_fingerprint",
+    "q_multimodal_image_decode",
     # Corpus hygiene & packing wave (round 2)
     "q_decontaminate_ngram",
     "q_dedup_chunk_exact",

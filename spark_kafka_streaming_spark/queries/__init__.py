@@ -180,6 +180,7 @@ _ROUND5_WINDOW = [
     "q_cdc_apply_changes",
     "q_multimodal_fingerprint",
     "q_multimodal_features",
+    "q_multimodal_image_decode",
     "q_text_inverted_index",
     # (b) shared-code-path neighbors
     "q_dedup_minhash_lsh",
@@ -224,7 +225,6 @@ _ROUND5_FILL = [
     "q19_disjunctive_revenue",
     "q20_part_share_suppliers",
     "q21_waiting_suppliers",
-    "q22_dormant_accounts",
 ]
 _reorder((_ROUND5_WINDOW + _ROUND5_FILL)[:50])
 

@@ -566,9 +566,10 @@ def q_multimodal_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     # left-fold order as the Spark aggregate (double addition is
     # order-sensitive). A real neural featurizer would be rows-only.
     doc="Arrow-batched feature extraction over binary payloads "
-    "(mapInPandas; deterministic stand-in featurizer — the real codec "
-    "is the stubbed decode_image). Oracle-checked: the byte-bucket "
-    "means are recomputed exactly in SQL.",
+    "(mapInPandas; deterministic stand-in featurizer in place of a "
+    "neural encoder). Oracle-checked: the byte-bucket means are "
+    "recomputed exactly in SQL. See q_multimodal_image_decode for "
+    "the real-codec leg.",
     tags=("llm", "multimodal"),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,6 +578,73 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", F.round(F.expr("aggregate(features, 0.0D, (a, x) -> a + x)"), 6).alias("feat_sum")
     ).orderBy("doc_id")
+
+
+_IMG_W, _IMG_H = 4, 2
+
+
+@register(
+    "q_multimodal_image_decode",
+    oracle=f"""
+    WITH px AS (
+      SELECT doc_id, unnest(generate_series(0, {_IMG_W * _IMG_H - 1})) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST({_IMG_W} AS INT) AS width,
+           CAST({_IMG_H} AS INT) AS height,
+           CAST(SUM((doc_id * 7 + 3 * k) % 256) AS DOUBLE)
+             / {_IMG_W * _IMG_H} AS mean_r,
+           CAST(SUM((doc_id * 7 + 3 * k + 1) % 256) AS DOUBLE)
+             / {_IMG_W * _IMG_H} AS mean_g,
+           CAST(SUM((doc_id * 7 + 3 * k + 2) % 256) AS DOUBLE)
+             / {_IMG_W * _IMG_H} AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="End-to-end image decode, oracle-checked: per-doc pixels are a "
+    "deterministic function of doc_id (pixel byte i = (doc_id*7+i) % "
+    "256, {w}x{h} RGB), encoded to REAL image bytes — binary PPM for "
+    "even ids, uncompressed 24-bit BMP for odd (both codecs on the "
+    "wire) — then decoded back to pixels by operators/multimodal.py::"
+    "decode_image inside mapInPandas (Arrow-batched, the production "
+    "shape for codec/featurizer stages) and reduced to per-channel "
+    "means. The oracle never sees the bytes: it recomputes the means "
+    "arithmetically, so a single flipped bit anywhere in encode → "
+    "decode → reduce breaks the match. Integer pixel sums are exact "
+    "in double and the /{n} division is shared, so the comparison is "
+    "bit-identical. At 100 TB payloads ride the columnar binary path "
+    "(scan-prunable metadata, per-task bytes bounded by "
+    "maxPartitionBytes); the codec is the pluggable point where "
+    "PIL/cv2 take over for JPEG/PNG.".format(
+        w=_IMG_W, h=_IMG_H, n=_IMG_W * _IMG_H
+    ),
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import encode_bmp, encode_ppm, image_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    w, h = _IMG_W, _IMG_H
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        k = np.arange(w * h * 3, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                arr = ((int(did) * 7 + k) % 256).astype(np.uint8).reshape(h, w, 3)
+                payloads.append(
+                    bytearray(encode_bmp(arr) if did % 2 else encode_ppm(arr))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payload_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return image_features(payload_df).orderBy("doc_id")
 
 
 def _duck_ann_ivf_oracle() -> str:
