@@ -183,6 +183,11 @@ BENCH_QUERIES = [
     "q_ann_recall_ivfpq",
     "q_stats_correlation_merge",
     "q_events_rate_limited",
+    # Round-5 wave: span dedup, audio decode, label propagation, MIPS
+    "q_dedup_substring_spans",
+    "q_multimodal_audio_decode",
+    "q_knn_label_propagation",
+    "q_similarity_mips_topk",
 ]
 
 

@@ -587,3 +587,113 @@ def overlap_pairs(
         .filter(F.col("overlap") >= threshold)
         .select("id1", "id2", "inter", "sz1", "sz2", "overlap")
     )
+
+
+def substring_span_stats(
+    df: DataFrame,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring (span-level) duplication accounting — the
+    sixth dedup tier, targeting what document-level tiers cannot see:
+    a repeated PASSAGE inside otherwise-distinct documents (license
+    headers, boilerplate, templated paragraphs, copy-pasted answers).
+
+    Deduplicating Training Data Makes Language Models Better (Lee et
+    al. 2022) does this with a corpus-wide suffix array — inherently
+    sequential to build.  The Spark-first equivalent hashes every
+    w-token window at every POSITION (not distinct shingles — position
+    matters for span accounting) and shuffles by the 60-bit window
+    hash: any substring duplicated anywhere in the corpus with length
+    ≥ w is caught with 1-token resolution, which is exactly the
+    suffix-array guarantee above the length floor (production w≈50;
+    the default w=5 matches this corpus's short documents).
+
+    Each duplicated window keeps one CANONICAL occurrence — the
+    corpus-global minimum (doc_id, pos), encoded as
+    ``doc_id·10⁶ + pos`` for a single int64 ``min`` aggregate — and
+    every other occurrence is removable.  Per document this reports
+    window counts and the DISTINCT token positions covered by
+    removable windows (overlapping spans merged by position-set
+    union), i.e. exactly how many tokens span-level dedup would cut.
+
+    Scale: one shuffle by window hash (60-bit md5 prefix — uniform by
+    construction; genuinely hot phrases form hot groups but the
+    count/min aggregate is a mergeable partial, and the stats join
+    back to occurrences fans out only by true occurrence count), one
+    ×w positional explode on the REMOVABLE subset only, then per-doc
+    aggregation.  Everything is linear in corpus tokens; no pair join
+    exists at any stage — span dedup is the one tier where even the
+    candidate space is linear.
+
+    Returns one row per input document:
+    (doc_id, n_tokens, n_windows, n_dup_windows, n_dup_tokens,
+    dup_frac), short docs included with zero counts.
+    """
+    toks = F.expr(TH.spark_tokens(text_col))
+    base = track_persist(
+        df.select(F.col(id_col), toks.alias("toks")).withColumn(
+            "n_tokens", F.size("toks")
+        )
+    )
+    occ = (
+        base.filter(F.col("n_tokens") >= w)
+        .select(
+            id_col,
+            F.explode(F.expr(f"sequence(1, n_tokens - {w - 1})")).alias("pos"),
+            F.col("toks"),
+        )
+        .select(
+            id_col,
+            "pos",
+            F.expr(
+                TH.spark_str_hash_raw(f"concat_ws(' ', slice(toks, pos, {w}))")
+            ).alias("h"),
+        )
+        .withColumn("okey", F.col(id_col) * 1000000 + F.col("pos"))
+    )
+    stats = occ.groupBy("h").agg(
+        F.count("*").alias("cnt"), F.min("okey").alias("canon")
+    )
+    removable = (
+        occ.join(stats, "h")
+        .filter((F.col("cnt") > 1) & (F.col("okey") != F.col("canon")))
+        .select(id_col, "pos")
+    )
+    dup_windows = removable.groupBy(id_col).agg(
+        F.count("*").alias("n_dup_windows")
+    )
+    covered = (
+        removable.select(
+            id_col, F.explode(F.expr(f"sequence(pos, pos + {w - 1})")).alias("p")
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_tokens"))
+    )
+    return (
+        base.select(id_col, "n_tokens")
+        .join(dup_windows, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.expr(f"CAST(greatest(n_tokens - {w - 1}, 0) AS INT)").alias(
+                "n_windows"
+            ),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("int").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("int").alias(
+                "n_dup_tokens"
+            ),
+            F.round(
+                F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+                    / F.col("n_tokens")
+                ),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -768,3 +768,97 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
     )
+
+
+def mips_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact maximum-inner-product top-k per query (self excluded).
+
+    Retrieval-augmented pipelines rank by raw inner product, not
+    cosine — popular passages legitimately carry larger norms — so the
+    cosine ANN tier cannot serve them unmodified.  This is the exact
+    MIPS baseline: broadcast scaled queries, one corpus pass, int64
+    dot products (engine-exact), window top-k with (ip desc, neighbor)
+    tiebreak.  Cost |Q|·|C| dots, zero corpus shuffle.
+
+    Scale path (Bachrach et al., RecSys 2014): append
+    ``sqrt(M² − ‖x‖²)`` to each corpus vector and 0 to each query —
+    inner-product order then matches cosine order in the augmented
+    space, so the existing hyperplane-LSH / IVF tiers index MIPS
+    unchanged; this exact form is the oracle for that reduction
+    (asserted in tests).  Reported ``ip`` is dot/SCALE² — the true
+    float inner product up to the deterministic quantization.
+    """
+    q = _scaled(queries, id_col, vec_col, "q")
+    c = _scaled(corpus, id_col, vec_col, "c")
+    ip = F.expr(V.spark_dot("q_v", "c_v")).cast("double") / F.lit(
+        float(V.SCALE) * float(V.SCALE)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("ip"), "neighbor_id")
+    return (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("c_id").alias("neighbor_id"),
+            ip.alias("ip"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "ip", "rn")
+    )
+
+
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN label propagation: classify each query vector by majority
+    vote over its k nearest labeled neighbors (exact cosine).
+
+    The label-a-sample-then-propagate pattern of corpus curation:
+    human/model labels exist for a small slice (quality ratings,
+    topic tags, toxicity flags) and the pipeline extends them to
+    everything else through embedding space.  Neighbors come from
+    :func:`brute_force_topk` (broadcast queries, |Q|·|C| exact
+    cosines); votes aggregate per (query, label) and the winner is
+    the deterministic (votes desc, label asc) argmax.  At scale the
+    neighbor stage swaps for :func:`ivf_topk` / :func:`lsh_topk`
+    candidates unchanged — the vote is oblivious to how neighbors
+    were found.
+
+    Returns (vec_id, predicted_label, n_votes, top_cos) per query:
+    vote count of the winning label and the best cosine among its
+    voters (deterministic: max over that label's neighbor set).
+    """
+    nn = brute_force_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    labeled = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
+    )
+    votes = (
+        nn.join(F.broadcast(labeled), "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(
+            F.count("*").alias("n_votes"),
+            F.max("cos_sim").alias("top_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("n_votes"), F.asc("nbr_label"))
+    return (
+        votes.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.col("nbr_label").alias("predicted_label"),
+            F.col("n_votes").cast("int").alias("n_votes"),
+            F.col("top_cos").alias("top_cos"),
+        )
+    )

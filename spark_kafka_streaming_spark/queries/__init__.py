@@ -30,6 +30,7 @@ from . import llm9  # noqa: F401,E402
 from . import llm10  # noqa: F401,E402
 from . import relational4  # noqa: F401,E402
 from . import llm11  # noqa: F401,E402
+from . import llm12  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -169,6 +170,11 @@ def _reorder(priority: list[str]) -> None:
 # padded to 50 with the OLDEST driver rows (the r1-era TPC-H wave,
 # untouched since round 1) for freshness.
 _ROUND5_WINDOW = [
+    # (a0) new registrations this round
+    "q_dedup_substring_spans",
+    "q_multimodal_audio_decode",
+    "q_knn_label_propagation",
+    "q_similarity_mips_topk",
     # (a) touched this round
     "q_dedup_containment_overlap",
     "q_dedup_minhash_recall",
