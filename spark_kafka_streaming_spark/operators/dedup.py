@@ -612,7 +612,10 @@ def substring_span_stats(
 
     Each duplicated window keeps one CANONICAL occurrence — the
     corpus-global minimum (doc_id, pos), encoded as
-    ``doc_id·10⁶ + pos`` for a single int64 ``min`` aggregate — and
+    ``doc_id·2³² + pos`` for a single int64 ``min`` aggregate (valid
+    for ``doc_id < 2³¹`` and ``pos < 2³²`` ≈ 4.3 B tokens per doc;
+    both bounds are asserted at runtime so overflow fails loudly
+    instead of corrupting canonical-min selection) — and
     every other occurrence is removable.  Per document this reports
     window counts and the DISTINCT token positions covered by
     removable windows (overlapping spans merged by position-set
@@ -651,7 +654,29 @@ def substring_span_stats(
                 TH.spark_str_hash_raw(f"concat_ws(' ', slice(toks, pos, {w}))")
             ).alias("h"),
         )
-        .withColumn("okey", F.col(id_col) * 1000000 + F.col("pos"))
+        .withColumn(
+            # (doc, pos) packed into one int64 so the canonical
+            # occurrence is a single MIN aggregate. Base 2^32 (not a
+            # decimal base): docs up to 2^32-1 tokens and ids up to
+            # 2^31-1 pack collision-free; anything larger fails loudly
+            # via assert_true instead of silently colliding across
+            # documents.
+            "okey",
+            F.col(id_col) * F.lit(1 << 32)
+            + F.col("pos")
+            + F.coalesce(
+                F.assert_true(
+                    (F.col(id_col) >= 0)
+                    & (F.col(id_col) < F.lit(1 << 31))
+                    & (F.col("pos") < F.lit(1 << 32)),
+                    F.lit(
+                        "substring_span_stats okey overflow: requires "
+                        "0 <= doc_id < 2^31 and pos < 2^32"
+                    ),
+                ).cast("long"),
+                F.lit(0),
+            ),
+        )
     )
     stats = occ.groupBy("h").agg(
         F.count("*").alias("cnt"), F.min("okey").alias("canon")

@@ -77,6 +77,17 @@ def _ppm_tokens(payload: bytes, n: int) -> tuple[list[int], int]:
             raise ValueError("truncated netpbm header")
         toks.append(int(payload[i:j]))
         i = j
+    # Binary netpbm rasters begin exactly one whitespace byte after the
+    # maxval token. Verify that byte exists and is whitespace, and
+    # refuse "\r" as the terminator: a CRLF-written header ("255\r\n")
+    # is byte-indistinguishable from a "\r"-terminated raster whose
+    # first pixel is 0x0A, and accepting it would silently shift the
+    # raster offset — fail loudly so malformed headers hit the DLQ
+    # path instead of producing shifted pixels.
+    if i >= ln or not payload[i : i + 1].isspace():
+        raise ValueError("netpbm header not terminated by whitespace")
+    if payload[i : i + 1] == b"\r":
+        raise ValueError("CRLF-terminated netpbm header (ambiguous raster offset)")
     return toks, i + 1  # exactly one whitespace byte after maxval
 
 
@@ -291,6 +302,8 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct  # decode_image's BMP header unpacks raise struct.error
+
         for pdf in batches:
             out = {k: [] for k in ("id", "w", "h", "r", "g", "b")}
             for vid, payload in zip(pdf[id_col], pdf["payload"]):
@@ -302,7 +315,7 @@ def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     out["h"].append(arr.shape[0])
                     for k, v in zip("rgb", m):
                         out[k].append(float(v))
-                except (ValueError, IndexError):
+                except (ValueError, IndexError, struct.error):
                     for k in ("w", "h", "r", "g", "b"):
                         out[k].append(None)
             yield pd.DataFrame(

@@ -40,13 +40,13 @@ def _span_oracle(w: int) -> str:
       FROM base WHERE n_tokens >= {w}
     ),
     stats AS (
-      SELECT h, count(*) AS cnt, min(doc_id * 1000000 + pos) AS canon
+      SELECT h, count(*) AS cnt, min(doc_id * 4294967296 + pos) AS canon
       FROM occ GROUP BY h
     ),
     removable AS (
       SELECT occ.doc_id, occ.pos
       FROM occ JOIN stats USING (h)
-      WHERE stats.cnt > 1 AND occ.doc_id * 1000000 + occ.pos <> stats.canon
+      WHERE stats.cnt > 1 AND occ.doc_id * 4294967296 + occ.pos <> stats.canon
     ),
     dup_w AS (
       SELECT doc_id, count(*) AS n_dup_windows FROM removable GROUP BY doc_id
