@@ -261,6 +261,10 @@ def duck_ivf_topk_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
+    corpus_pred: str = "TRUE",
+    prescaled: bool = False,
+    pre_cte: str = "",
+    query_table: str | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`ivf_topk`: same deterministic seed
     centroids (smallest-id vectors), optionally the same
@@ -268,7 +272,19 @@ def duck_ivf_topk_sql(
     in generated CTEs — cosine assignment with (cos desc, cell)
     tiebreak, per-position ``round(sum/count)`` mean, exactly the
     engine's schedule), same n-way corpus replication, same probe set,
-    same exact cosines and final rank tiebreak."""
+    same exact cosines and final rank tiebreak.
+
+    ``corpus_pred`` restricts the INDEXED side (seed centroids, Lloyd
+    refinement, and cell assignment all see only matching rows) while
+    queries still draw from the full table — mirroring the engine's
+    separate ``queries``/``corpus`` DataFrames (e.g. label propagation,
+    where the corpus is the labeled slice and queries are the rest).
+    ``prescaled=True`` treats ``vec_col`` as already integer-scaled
+    ``BIGINT[]`` (skips ``duck_scaled``) — the norm-augmented MIPS path.
+    ``pre_cte`` is spliced verbatim as the first WITH entries so callers
+    can define derived tables (e.g. augmented vectors) and point
+    ``table`` / ``query_table`` at them; ``query_table`` must expose
+    ``(id, v, n)`` already scaled."""
     cell_cos = V.duck_cosine(V.duck_dot("s.v", "c.cent_v"), "s.n", "c.cent_n")
     pair_cos = V.duck_cosine(V.duck_dot("s1.v", "s2.v"), "s1.n", "s2.n")
     refine = []
@@ -301,12 +317,21 @@ def duck_ivf_topk_sql(
         )
         cur = f"cents{i + 1}"
     refine_sql = ("," + ",\n    ".join(refine)) if refine else ""
+    if prescaled:
+        v_expr, n_expr = vec_col, V.duck_dot(vec_col, vec_col)
+    else:
+        v_expr = V.duck_scaled(vec_col)
+        n_expr = V.duck_dot(V.duck_scaled(vec_col), V.duck_scaled(vec_col))
+    pre = (pre_cte.rstrip().rstrip(",") + ",\n    ") if pre_cte else ""
+    qsrc = query_table if query_table else "allscaled"
     return f"""
-    WITH scaled AS (
-      SELECT {id_col} AS id, {V.duck_scaled(vec_col)} AS v,
-             {V.duck_dot(V.duck_scaled(vec_col), V.duck_scaled(vec_col))} AS n
+    WITH {pre}allscaled AS (
+      SELECT {id_col} AS id, {v_expr} AS v,
+             {n_expr} AS n
       FROM {table}
     ),
+    scaled AS (SELECT * FROM allscaled WHERE {corpus_pred}),
+    qscaled AS (SELECT * FROM {qsrc} WHERE {query_pred}),
     cents AS (
       SELECT id AS cell, v AS cent_v, n AS cent_n
       FROM scaled ORDER BY id LIMIT {n_cells}
@@ -324,7 +349,7 @@ def duck_ivf_topk_sql(
         SELECT s.id, c.cell,
                row_number() OVER (PARTITION BY s.id
                    ORDER BY {cell_cos} DESC, c.cell) AS cr
-        FROM (SELECT * FROM scaled WHERE {query_pred}) s CROSS JOIN {cur} c
+        FROM qscaled s CROSS JOIN {cur} c
       ) WHERE cr <= {n_probe}
     ),
     cand AS (
@@ -338,7 +363,7 @@ def duck_ivf_topk_sql(
              CAST(row_number() OVER (PARTITION BY cand.query_id
                  ORDER BY {pair_cos} DESC, cand.neighbor_id) AS INTEGER) AS rn
       FROM cand
-      JOIN scaled s1 ON s1.id = cand.query_id
+      JOIN qscaled s1 ON s1.id = cand.query_id
       JOIN scaled s2 ON s2.id = cand.neighbor_id
     )
     SELECT query_id, neighbor_id, cos_sim, rn
@@ -683,9 +708,15 @@ def ivf_topk(
     vec_col: str = "embedding",
     kmeans_iters: int = 0,
     n_assign: int = 2,
+    prescaled: bool = False,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse quantize the corpus into cells, probe
     only the query's ``n_probe`` nearest cells.
+
+    ``prescaled=True`` treats ``vec_col`` as already integer-scaled
+    ``array<bigint>`` (skips the round(x·SCALE) mapping) — the
+    norm-augmented MIPS path (:func:`mips_topk_ivf`), where the
+    augmentation itself must happen in exact integer space.
 
     Seed centroids are deterministic (the ``n_cells`` corpus vectors
     with the smallest ids), optionally refined with ``kmeans_iters``
@@ -710,13 +741,15 @@ def ivf_topk(
     centroids/index would instead be written per corpus snapshot, like
     the dedup signature table (:mod:`.signatures`).
     """
-    scaled = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.expr(V.spark_scaled(vec_col)).alias("c_v"),
-        F.expr(V.spark_dot(V.spark_scaled(vec_col), V.spark_scaled(vec_col))).alias(
-            "c_n"
-        ),
-    )
+    def _prep(side: DataFrame, prefix: str) -> DataFrame:
+        v = vec_col if prescaled else V.spark_scaled(vec_col)
+        return side.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.expr(v).alias(f"{prefix}_v"),
+            F.expr(V.spark_dot(v, v)).alias(f"{prefix}_n"),
+        )
+
+    scaled = _prep(corpus, "c")
     cents = (
         scaled.orderBy("c_id")
         .limit(n_cells)
@@ -743,13 +776,7 @@ def ivf_topk(
     corpus_cells = nearest_cells(scaled, "c_v", "c_n", n_assign).select(
         "c_id", "c_v", "c_n", "cell"
     )
-    q_scaled = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.expr(V.spark_scaled(vec_col)).alias("q_v"),
-        F.expr(V.spark_dot(V.spark_scaled(vec_col), V.spark_scaled(vec_col))).alias(
-            "q_n"
-        ),
-    )
+    q_scaled = _prep(queries, "q")
     query_cells = nearest_cells(q_scaled, "q_v", "q_n", n_probe).select(
         "q_id", "q_v", "q_n", "cell"
     )
@@ -813,6 +840,142 @@ def mips_topk(
     )
 
 
+def mips_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_assign: int = 2,
+    n_cand: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Indexed MIPS: the Bachrach et al. (RecSys 2014) norm-augmentation
+    reduction run through the IVF tier, then exact-ip re-rank.
+
+    Augmentation happens in EXACT integer-scaled space so both engines
+    agree bit-for-bit: corpus vector v (scaled ints, norm² = n) gains a
+    final component a = round(√(M² − n)) with M² = max corpus norm²
+    (computed as a 1-row aggregate cross-joined back — never
+    collected); queries gain 0.  Augmented-space cosine then orders
+    ≈ by inner product (corpus norms equalized up to the integer
+    rounding of a), so the UNCHANGED cosine IVF machinery
+    (:func:`ivf_topk` with ``prescaled=True``) generates candidates —
+    ``n_cand`` (default 2k) per query — and a final window re-ranks
+    them by the exact int64 inner product of the ORIGINAL vectors with
+    the same (ip desc, neighbor_id) tiebreak as :func:`mips_topk`,
+    which is this operator's truth leg (recall pinned in tests).
+
+    Cost: index build ∝ |C|, query ∝ |Q|·n_probe·n_assign·|C|/n_cells
+    + |Q|·n_cand re-rank dots — vs |Q|·|C| for exact MIPS.
+    """
+    n_cand = n_cand if n_cand is not None else 2 * k
+    c = _scaled(corpus, id_col, vec_col, "c")
+    m2 = c.agg(F.max("c_n").alias("m2"))
+    aug_c = c.crossJoin(F.broadcast(m2)).select(
+        F.col("c_id").alias(id_col),
+        F.expr(
+            "concat(c_v, array(CAST(round(sqrt(CAST(m2 - c_n AS DOUBLE)))"
+            " AS BIGINT)))"
+        ).alias("av"),
+    )
+    q = _scaled(queries, id_col, vec_col, "q")
+    aug_q = q.select(
+        F.col("q_id").alias(id_col),
+        F.expr("concat(q_v, array(CAST(0 AS BIGINT)))").alias("av"),
+    )
+    cand = ivf_topk(
+        aug_q,
+        aug_c,
+        k=n_cand,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        n_assign=n_assign,
+        id_col=id_col,
+        vec_col="av",
+        prescaled=True,
+    ).select("query_id", "neighbor_id")
+    ip = F.expr(V.spark_dot("q_v", "c_v")).cast("double") / F.lit(
+        float(V.SCALE) * float(V.SCALE)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("ip"), "neighbor_id")
+    return (
+        cand.join(q, cand["query_id"] == q["q_id"])
+        .join(c, cand["neighbor_id"] == c["c_id"])
+        .select("query_id", "neighbor_id", ip.alias("ip"))
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "ip", "rn")
+    )
+
+
+def duck_mips_ivf_sql(
+    k: int,
+    query_pred: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_assign: int = 2,
+    n_cand: int | None = None,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of :func:`mips_topk_ivf`: same integer-space
+    norm augmentation (``pre_cte`` feeding :func:`duck_ivf_topk_sql`
+    with ``prescaled=True``), same candidate tier, same exact-ip
+    re-rank over the original scaled vectors."""
+    n_cand = n_cand if n_cand is not None else 2 * k
+    sv = V.duck_scaled(vec_col)
+    pre = f"""mbase AS (
+      SELECT {id_col} AS id, {sv} AS v FROM {table}
+    ),
+    mnorm AS (SELECT id, v, {V.duck_dot('v', 'v')} AS n FROM mbase),
+    mm AS (SELECT max(n) AS m2 FROM mnorm),
+    maug AS (
+      SELECT id,
+             list_append(v, CAST(round(sqrt(CAST(mm.m2 - n AS DOUBLE)))
+               AS BIGINT)) AS av
+      FROM mnorm CROSS JOIN mm
+    ),
+    maugq0 AS (
+      SELECT id, list_append(v, CAST(0 AS BIGINT)) AS v FROM mnorm
+    ),
+    maugq AS (
+      SELECT id, v, {V.duck_dot('v', 'v')} AS n FROM maugq0
+    )"""
+    inner = duck_ivf_topk_sql(
+        n_cand,
+        query_pred,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        n_assign=n_assign,
+        table="maug",
+        id_col="id",
+        vec_col="av",
+        prescaled=True,
+        pre_cte=pre,
+        query_table="maugq",
+    )
+    ip = f"CAST({V.duck_dot('s1.v', 's2.v')} AS DOUBLE) / ({float(V.SCALE)} * {float(V.SCALE)})"
+    return f"""
+    WITH cand AS ({inner}),
+    sv AS (SELECT {id_col} AS id, {sv} AS v FROM {table}),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {ip} AS ip
+      FROM cand
+      JOIN sv s1 ON s1.id = cand.query_id
+      JOIN sv s2 ON s2.id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ip, rn FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY ip DESC, neighbor_id
+      ) AS INT) AS rn FROM scored
+    ) t WHERE rn <= {k}
+    ORDER BY query_id, rn
+    """
+
+
 def knn_classify(
     queries: DataFrame,
     corpus: DataFrame,
@@ -820,31 +983,42 @@ def knn_classify(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
+    neighbors: DataFrame | None = None,
 ) -> DataFrame:
     """k-NN label propagation: classify each query vector by majority
-    vote over its k nearest labeled neighbors (exact cosine).
+    vote over its k nearest labeled neighbors.
 
     The label-a-sample-then-propagate pattern of corpus curation:
     human/model labels exist for a small slice (quality ratings,
     topic tags, toxicity flags) and the pipeline extends them to
-    everything else through embedding space.  Neighbors come from
-    :func:`brute_force_topk` (broadcast queries, |Q|·|C| exact
-    cosines); votes aggregate per (query, label) and the winner is
-    the deterministic (votes desc, label asc) argmax.  At scale the
-    neighbor stage swaps for :func:`ivf_topk` / :func:`lsh_topk`
-    candidates unchanged — the vote is oblivious to how neighbors
-    were found.
+    everything else through embedding space.  The neighbor stage is
+    PLUGGABLE: pass ``neighbors`` — any (query_id, neighbor_id,
+    cos_sim) frame, e.g. :func:`ivf_topk` / :func:`lsh_topk`
+    candidates, the 100 TB path — or omit it for the exact
+    :func:`brute_force_topk` default (|Q|·|C| cosines: the truth leg,
+    correct only for BOUNDED query sets).  Votes aggregate per
+    (query, label) and the winner is the deterministic (votes desc,
+    label asc) argmax — oblivious to how neighbors were found.
+
+    The label join runs un-hinted on ``neighbor_id`` (|Q|·k rows vs
+    |C| labels): AQE broadcasts a small label side by itself, and a
+    planet-sized label table shuffle-joins — no collected or forced
+    broadcast state.
 
     Returns (vec_id, predicted_label, n_votes, top_cos) per query:
     vote count of the winning label and the best cosine among its
     voters (deterministic: max over that label's neighbor set).
     """
-    nn = brute_force_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    nn = (
+        neighbors
+        if neighbors is not None
+        else brute_force_topk(queries, corpus, k=k, id_col=id_col, vec_col=vec_col)
+    )
     labeled = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("nbr_label")
     )
     votes = (
-        nn.join(F.broadcast(labeled), "neighbor_id")
+        nn.join(labeled, "neighbor_id")
         .groupBy("query_id", "nbr_label")
         .agg(
             F.count("*").alias("n_votes"),

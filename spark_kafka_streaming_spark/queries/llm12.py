@@ -179,7 +179,7 @@ _DUCK_SN_CTE = f"""
     "q_knn_label_propagation",
     oracle=f"""
     WITH {_DUCK_SN_CTE},
-    q AS (SELECT * FROM sn WHERE vec_id % 5 = 0),
+    q AS (SELECT * FROM sn WHERE vec_id % 5 = 0 AND vec_id < 500),
     c AS (SELECT * FROM sn WHERE vec_id % 5 <> 0),
     nn AS (
       SELECT query_id, neighbor_id, cos_sim FROM (
@@ -213,21 +213,24 @@ _DUCK_SN_CTE = f"""
     ) t WHERE rk = 1
     ORDER BY vec_id
     """,
-    doc="k-NN label propagation: labels exist for 80% of vectors "
-    "(vec_id mod 5 <> 0 plays the labeled slice); each unlabeled vector "
-    "takes the majority label of its 5 nearest labeled neighbors by "
-    "exact cosine, deterministic (votes desc, label asc) tiebreak — "
+    doc="k-NN label propagation, exact BOUNDED form: labels exist for "
+    "80% of vectors (vec_id mod 5 <> 0 plays the labeled slice); each "
+    "query takes the majority label of its 5 nearest labeled neighbors "
+    "by exact cosine, deterministic (votes desc, label asc) tiebreak — "
     "the label-a-sample-then-propagate pattern of corpus curation "
-    "(quality tags, topic routing, toxicity flags). Neighbor stage is "
-    "swappable for the IVF/LSH candidate tiers at scale; the vote is "
-    "oblivious to how neighbors were found.",
+    "(quality tags, topic routing, toxicity flags). The query side is "
+    "BOUNDED (vec_id < 500 ∩ unlabeled ⇒ ≤100 queries at any sf) so "
+    "the brute-force neighbor stage stays O(100·|C|) — this is the "
+    "truth leg; the production form over the FULL unlabeled slice is "
+    "q_knn_label_propagation_ann (IVF candidates), agreement pinned "
+    "by q_knn_propagation_agreement.",
     tags=("llm", "similarity", "classify"),
 )
 def q_knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import knn_classify
 
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 5 == 0)
+    queries = emb.filter((F.col("vec_id") % 5 == 0) & (F.col("vec_id") < 500))
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     return knn_classify(queries, corpus, k=5).orderBy("vec_id")
 
