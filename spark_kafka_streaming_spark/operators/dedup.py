@@ -589,50 +589,21 @@ def overlap_pairs(
     )
 
 
-def substring_span_stats(
+def span_occurrences(
     df: DataFrame,
     w: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
-) -> DataFrame:
-    """Exact-substring (span-level) duplication accounting — the
-    sixth dedup tier, targeting what document-level tiers cannot see:
-    a repeated PASSAGE inside otherwise-distinct documents (license
-    headers, boilerplate, templated paragraphs, copy-pasted answers).
+) -> tuple[DataFrame, DataFrame]:
+    """(base, occ) for the span tier — factored so the batch operator
+    (:func:`substring_span_stats`) and the streaming maintenance loop
+    (:mod:`..streaming.incremental_spans`) hash windows identically.
 
-    Deduplicating Training Data Makes Language Models Better (Lee et
-    al. 2022) does this with a corpus-wide suffix array — inherently
-    sequential to build.  The Spark-first equivalent hashes every
-    w-token window at every POSITION (not distinct shingles — position
-    matters for span accounting) and shuffles by the 60-bit window
-    hash: any substring duplicated anywhere in the corpus with length
-    ≥ w is caught with 1-token resolution, which is exactly the
-    suffix-array guarantee above the length floor (production w≈50;
-    the default w=5 matches this corpus's short documents).
-
-    Each duplicated window keeps one CANONICAL occurrence — the
-    corpus-global minimum (doc_id, pos), encoded as
-    ``doc_id·2³² + pos`` for a single int64 ``min`` aggregate (valid
-    for ``doc_id < 2³¹`` and ``pos < 2³²`` ≈ 4.3 B tokens per doc;
-    both bounds are asserted at runtime so overflow fails loudly
-    instead of corrupting canonical-min selection) — and
-    every other occurrence is removable.  Per document this reports
-    window counts and the DISTINCT token positions covered by
-    removable windows (overlapping spans merged by position-set
-    union), i.e. exactly how many tokens span-level dedup would cut.
-
-    Scale: one shuffle by window hash (60-bit md5 prefix — uniform by
-    construction; genuinely hot phrases form hot groups but the
-    count/min aggregate is a mergeable partial, and the stats join
-    back to occurrences fans out only by true occurrence count), one
-    ×w positional explode on the REMOVABLE subset only, then per-doc
-    aggregation.  Everything is linear in corpus tokens; no pair join
-    exists at any stage — span dedup is the one tier where even the
-    candidate space is linear.
-
-    Returns one row per input document:
-    (doc_id, n_tokens, n_windows, n_dup_windows, n_dup_tokens,
-    dup_frac), short docs included with zero counts.
+    ``base``: (id, toks, n_tokens) per doc, persisted (both outputs
+    read it).  ``occ``: one row per (doc, pos) window — (id, pos, h,
+    okey) with h the 60-bit window hash and okey the doc·2³²+pos
+    packing (overflow-asserted; see :func:`substring_span_stats`).
+    Map-only: no shuffle happens until a consumer aggregates by h.
     """
     toks = F.expr(TH.spark_tokens(text_col))
     base = track_persist(
@@ -678,14 +649,19 @@ def substring_span_stats(
             ),
         )
     )
-    stats = occ.groupBy("h").agg(
-        F.count("*").alias("cnt"), F.min("okey").alias("canon")
-    )
-    removable = (
-        occ.join(stats, "h")
-        .filter((F.col("cnt") > 1) & (F.col("okey") != F.col("canon")))
-        .select(id_col, "pos")
-    )
+    return base, occ
+
+
+def span_stats_from(
+    base: DataFrame,
+    removable: DataFrame,
+    w: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc span accounting from a (id, pos) removable-window set:
+    window counts plus DISTINCT covered token positions (overlapping
+    spans merged by position-set union).  Shared by the batch operator
+    and the streaming snapshot so both derive stats identically."""
     dup_windows = removable.groupBy(id_col).agg(
         F.count("*").alias("n_dup_windows")
     )
@@ -722,3 +698,60 @@ def substring_span_stats(
             ).alias("dup_frac"),
         )
     )
+
+
+def substring_span_stats(
+    df: DataFrame,
+    w: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-substring (span-level) duplication accounting — the
+    sixth dedup tier, targeting what document-level tiers cannot see:
+    a repeated PASSAGE inside otherwise-distinct documents (license
+    headers, boilerplate, templated paragraphs, copy-pasted answers).
+
+    Deduplicating Training Data Makes Language Models Better (Lee et
+    al. 2022) does this with a corpus-wide suffix array — inherently
+    sequential to build.  The Spark-first equivalent hashes every
+    w-token window at every POSITION (not distinct shingles — position
+    matters for span accounting) and shuffles by the 60-bit window
+    hash: any substring duplicated anywhere in the corpus with length
+    ≥ w is caught with 1-token resolution, which is exactly the
+    suffix-array guarantee above the length floor (production w≈50;
+    the default w=5 matches this corpus's short documents).
+
+    Each duplicated window keeps one CANONICAL occurrence — the
+    corpus-global minimum (doc_id, pos), encoded as
+    ``doc_id·2³² + pos`` for a single int64 ``min`` aggregate (valid
+    for ``doc_id < 2³¹`` and ``pos < 2³²`` ≈ 4.3 B tokens per doc;
+    both bounds are asserted at runtime so overflow fails loudly
+    instead of corrupting canonical-min selection) — and
+    every other occurrence is removable.  Per document this reports
+    window counts and the DISTINCT token positions covered by
+    removable windows (overlapping spans merged by position-set
+    union), i.e. exactly how many tokens span-level dedup would cut.
+
+    Scale: one shuffle by window hash (60-bit md5 prefix — uniform by
+    construction; genuinely hot phrases form hot groups but the
+    count/min aggregate is a mergeable partial, and the stats join
+    back to occurrences fans out only by true occurrence count), one
+    ×w positional explode on the REMOVABLE subset only, then per-doc
+    aggregation.  Everything is linear in corpus tokens; no pair join
+    exists at any stage — span dedup is the one tier where even the
+    candidate space is linear.
+
+    Returns one row per input document:
+    (doc_id, n_tokens, n_windows, n_dup_windows, n_dup_tokens,
+    dup_frac), short docs included with zero counts.
+    """
+    base, occ = span_occurrences(df, w, id_col, text_col)
+    stats = occ.groupBy("h").agg(
+        F.count("*").alias("cnt"), F.min("okey").alias("canon")
+    )
+    removable = (
+        occ.join(stats, "h")
+        .filter((F.col("cnt") > 1) & (F.col("okey") != F.col("canon")))
+        .select(id_col, "pos")
+    )
+    return span_stats_from(base, removable, w, id_col)

@@ -602,3 +602,79 @@ def test_incremental_cdc_merge_seq_col_order(spark, tmp_path):
     merger2(batch.drop("seq"), 0)
     got2 = {r["k"]: r["name"] for r in merger2.snapshot(spark).collect()}
     assert got2 == {1: "first", 2: "back", 3: "only"}
+
+
+def test_incremental_span_dedup_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of the span tier (VERDICT r5 #7): the
+    foreachBatch-maintained (h, cnt, canon) window-hash partial store,
+    merged by (sum, min) and run through the SAME span_stats_from
+    derivation, must reproduce the one-shot batch
+    substring_span_stats exactly — including after compaction."""
+    import glob
+    import json as _json
+
+    from spark_kafka_streaming_spark.operators.dedup import (
+        substring_span_stats,
+    )
+    from spark_kafka_streaming_spark.streaming.incremental_spans import (
+        IncrementalSpanDeduper,
+    )
+
+    docs = [
+        {"doc_id": r["doc_id"], "text": r["text"]}
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+        .limit(80)
+        .collect()
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    half = len(docs) // 2
+    (src / "b0.json").write_text("\n".join(_json.dumps(r) for r in docs[:half]))
+    (src / "b1.json").write_text("\n".join(_json.dumps(r) for r in docs[half:]))
+
+    deduper = IncrementalSpanDeduper(str(tmp_path / "span_store"), w=5)
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(deduper)
+        .option("checkpointLocation", str(tmp_path / "ck_span"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")
+    want = sorted(
+        tuple(r) for r in substring_span_stats(batch_df, w=5).collect()
+    )
+    assert len(want) == len(docs)
+    assert any(r[3] > 0 for r in want), "corpus should contain dup windows"
+    got = sorted(
+        tuple(r) for r in deduper.span_stats(batch_df).collect()
+    )
+    assert got == want
+
+    # the store really is incremental (one leaf per micro-batch)…
+    batches = {
+        p.rsplit("batch=", 1)[1]
+        for p in glob.glob(str(tmp_path / "span_store" / "hb=*" / "batch=*"))
+    }
+    assert batches == {"0", "1"}
+    # …and compaction preserves the stats bit-for-bit
+    deduper.compact(spark)
+    assert sorted(
+        tuple(r) for r in deduper.span_stats(batch_df).collect()
+    ) == want
+
+    # serving question: stats for JUST the second half against the
+    # full ingested corpus — same rows as the full-corpus snapshot
+    # restricted to those docs (state is corpus-global).
+    second = spark.createDataFrame(docs[half:], "doc_id BIGINT, text STRING")
+    got2 = sorted(tuple(r) for r in deduper.span_stats(second).collect())
+    want2 = [r for r in want if r[0] >= docs[half]["doc_id"]]
+    assert got2 == sorted(want2)
