@@ -47,10 +47,15 @@ SRC = "/root/testdata/sf0.1"
 
 
 def _zipf_texts(
-    n_docs: int, lengths: list[int], rng, pyrng
-) -> list[str]:
+    n_docs: int, lengths: list[int], rng, pyrng, return_pairs: bool = False
+):
     """Power-law-vocabulary documents with injected near-dup structure
-    (see module docstring).  Deterministic under the passed RNGs."""
+    (see module docstring).  Deterministic under the passed RNGs.
+
+    ``return_pairs=True`` also returns the planted truth
+    ``[(src_idx, dup_idx, kind)]`` with kind ∈ {'mutate', 'contain'}
+    — consumed by tests/test_zipf_structure.py to assert the dedup
+    tiers recover the injected structure (not just run on it)."""
     V = 30_000
     words = [f"w{i:05d}" for i in range(V)]
     ranks = np.arange(1, V + 1, dtype=np.float64)
@@ -60,6 +65,7 @@ def _zipf_texts(
     total = sum(all_lens)
     flat = rng.choice(V, size=total, p=p)
     texts: list[str] = []
+    pairs: list[tuple[int, int, str]] = []
     pos = 0
     for i in range(n_docs):
         L = all_lens[i]
@@ -67,17 +73,21 @@ def _zipf_texts(
         pos += L
         roll = pyrng.random()
         if i > 10 and roll < 0.08:  # mutated near-copy (high Jaccard)
-            src_toks = texts[pyrng.randrange(i)].split(" ")
+            src = pyrng.randrange(i)
+            src_toks = texts[src].split(" ")
             toks = [
                 (words[pyrng.randrange(V)] if pyrng.random() < 0.05 else t)
                 for t in src_toks
             ]
+            pairs.append((src, i, "mutate"))
         elif i > 10 and roll < 0.11:  # verbatim containment embed
-            src_toks = texts[pyrng.randrange(i)].split(" ")
+            src = pyrng.randrange(i)
+            src_toks = texts[src].split(" ")
             cut = max(1, L // 4)
             toks = toks[:cut] + src_toks + toks[cut : cut * 2]
+            pairs.append((src, i, "contain"))
         texts.append(" ".join(toks))
-    return texts
+    return (texts, pairs) if return_pairs else texts
 
 
 def main() -> None:
