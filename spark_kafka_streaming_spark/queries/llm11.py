@@ -115,9 +115,30 @@ def _recall_auto_mod(n_docs: int) -> int:
     return max(_RECALL_MOD, math.isqrt(n_docs) // 25)
 
 
-def _duck_minhash_recall_oracle(sample_mod: int = _RECALL_MOD) -> str:
+def _duck_minhash_recall_oracle(sample_mod: int | None = None) -> str:
+    """``sample_mod=None`` (the registered form) derives the modulus
+    IN SQL from the same corpus-count formula as
+    :func:`_recall_auto_mod` — ``greatest(2, floor(sqrt(n)) // 25)``
+    — so engine and oracle agree at ANY sf, not only below the ~5.6k
+    docs where the auto value coincides with the literal floor
+    (ADVICE r5 #5).  ``floor(sqrt(n))`` in double equals
+    ``math.isqrt(n)`` for every n < 2⁵² (the subtraction k − 1/(2k)
+    only rounds up to k once k² > 2⁵²), far above any corpus count.
+    A literal ``sample_mod`` reproduces the fixed-modulus form for
+    tests."""
     from .llm import _MINHASH_PAIRS_ORACLE
 
+    mod = (
+        str(sample_mod)
+        if sample_mod is not None
+        else "(SELECT m FROM rmod)"
+    )
+    rmod_cte = (
+        "rmod AS (SELECT greatest(2, CAST(floor(sqrt(count(*))) AS BIGINT)"
+        " // 25) AS m FROM documents),\n    "
+        if sample_mod is None
+        else ""
+    )
     samp = TH.duck_str_hash("'rcl:' || CAST(doc_id AS VARCHAR)")
     s1 = TH.duck_str_hash("'rcl:' || CAST(id1 AS VARCHAR)")
     s2 = TH.duck_str_hash("'rcl:' || CAST(id2 AS VARCHAR)")
@@ -127,7 +148,7 @@ def _duck_minhash_recall_oracle(sample_mod: int = _RECALL_MOD) -> str:
              list_distinct(list_transform({TH.duck_shingles('text')},
                s -> {TH.duck_str_hash('s')})) AS hs
       FROM documents
-      WHERE {samp} % {sample_mod} = 0
+      WHERE {samp} % {mod} = 0
     ),
     ex AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE len(hs) > 0),
     pairs AS (
@@ -147,11 +168,11 @@ def _duck_minhash_recall_oracle(sample_mod: int = _RECALL_MOD) -> str:
     # two signatures, so LSH-over-the-sample emits exactly the
     # full-corpus LSH pairs whose endpoints are both sampled.
     return f"""
-    WITH tru AS ({exact}),
+    WITH {rmod_cte}tru AS ({exact}),
     mh AS (
       SELECT id1, id2 FROM ({_MINHASH_PAIRS_ORACLE}) m
       WHERE jaccard >= {_RECALL_T}
-        AND {s1} % {sample_mod} = 0 AND {s2} % {sample_mod} = 0
+        AND {s1} % {mod} = 0 AND {s2} % {mod} = 0
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
            CAST(SUM(CASE WHEN mh.id1 IS NOT NULL THEN 1 ELSE 0 END)
@@ -234,7 +255,9 @@ def minhash_recall_report(
     "does this automatically via _recall_auto_mod: mod ~ sqrt(n)/25, "
     "which keeps the expected sampled truth-PAIR count "
     "scale-invariant while the truth PPJoin touches only ~sqrt(n) "
-    "docs; floor {m} at every oracle/test scale). Precision is "
+    "docs; the oracle derives the modulus from the SAME count "
+    "formula in SQL, so both agree at any sf — floor {m} at "
+    "oracle/test scales). Precision is "
     "1.0 by "
     "construction (LSH candidates are exact-verified), so recall is "
     "the whole story; misses are pairs whose signatures agree in no "

@@ -36,19 +36,43 @@ PPS_K = 50  # weighted-sample target size
 # ------------------------------------------------------------ k-means
 
 
-def _duck_kmeans_cte(k: int, iters: int) -> tuple[str, str]:
+def _duck_kmeans_cte(
+    k: int, iters: int, k_auto: bool = False
+) -> tuple[str, str]:
     """(WITH-clause body, final-assignment CTE name) for ``iters``
     Lloyd update steps — generated, so the SQL twin follows the exact
     same schedule as the Spark loop: seed → [assign → update]×iters →
-    final assign."""
+    final assign.
+
+    ``k_auto=True`` derives k IN SQL from the same corpus-count
+    formula as :func:`..operators.kmeans.auto_k`
+    (``greatest(8, n // 400)``) instead of the literal ``k`` — so an
+    oracle built for the auto-k engine path (``semantic_dedup(k=None)``)
+    stays correct ABOVE the ~3.2k-vector scale where the auto value
+    leaves the floor (ADVICE r5 #5); the literal ``k`` is ignored."""
     dot_sc = V.duck_dot("s.v", "c.v")
     parts = [
         f"sv AS (SELECT vec_id, {V.duck_scaled('embedding')} AS v FROM embeddings)",
         f"sn AS (SELECT vec_id, v, CAST({V.duck_dot('v', 'v')} AS BIGINT) AS n FROM sv)",
-        f"""c0 AS (
-      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v, n
-      FROM sn ORDER BY vec_id LIMIT {k})""",
     ]
+    if k_auto:
+        parts.append(
+            "kk AS (SELECT greatest(8, count(*) // 400) AS k FROM embeddings)"
+        )
+        parts.append(
+            """c0 AS (
+      SELECT cid, v, n FROM (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               v, n
+        FROM sn) t
+      WHERE cid < (SELECT k FROM kk))"""
+        )
+    else:
+        parts.append(
+            f"""c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v, n
+      FROM sn ORDER BY vec_id LIMIT {k})"""
+        )
     cur = "c0"
     for i in range(iters + 1):
         parts.append(
@@ -112,7 +136,7 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ----------------------------------------------------------- SemDeDup
 
-_SEM_CTE, _SEM_FINAL = _duck_kmeans_cte(KMEANS_K, 1)
+_SEM_CTE, _SEM_FINAL = _duck_kmeans_cte(KMEANS_K, 1, k_auto=True)
 
 
 @register(
@@ -142,9 +166,10 @@ _SEM_CTE, _SEM_FINAL = _duck_kmeans_cte(KMEANS_K, 1)
     "catalog runs auto_k = max(8, n/400) (the paper's own remedy, "
     "k~11k at LAION scale; sf1 measured 40.1s at k=8 vs 15.8s at "
     "k=50), switching from literal-centroid to broadcast-join "
-    "assignment past k=16 with a bit-identical trajectory. At every "
-    "oracle/test corpus (<=3.2k vectors) auto_k stays at the floor 8, "
-    "which is what this literal-k CTE replays; adversarial "
+    "assignment past k=16 with a bit-identical trajectory. The oracle "
+    "derives k from the SAME count formula in SQL (greatest(8, "
+    "n//400)), so engine and oracle agree at any sf, not only below "
+    "the ~3.2k-vector floor; adversarial "
     "single-cluster corpora additionally route through "
     "skew.bounded_self_pairs. Exact int64 dots make the cosine "
     "threshold engine-identical. (operators/kmeans.py)",
