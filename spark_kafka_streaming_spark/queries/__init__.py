@@ -233,7 +233,76 @@ _ROUND5_FILL = [
     "q20_part_share_suppliers",
     "q21_waiting_suppliers",
 ]
-_reorder((_ROUND5_WINDOW + _ROUND5_FILL)[:50])
+
+# Round-6 sample window.  Cumulative driver coverage is 172/172
+# (every oracle-bearing entry green on its latest row), so the
+# window's job is freshness: (a) the three round-6 registrations
+# (ANN label propagation, the agreement harness, indexed MIPS),
+# (b) every query whose code path round 6 touched — the
+# duck_ivf_topk_sql restructure (all IVF-family oracles regenerate),
+# knn_classify's pluggable neighbor stage, the span-tier factoring,
+# the parameterized recall-modulus / SemDeDup-auto-k oracles, and the
+# multimodal DLQ hardening — then (c) backfill with the entries whose
+# latest green row is OLDEST (the r1-era scalar/window/join/agg wave,
+# unsampled since round 1; the two rows-only-by-design entries are
+# left out so the window stays 50/50 green-able).
+_ROUND6_WINDOW = [
+    # (a) new registrations this round
+    "q_knn_label_propagation_ann",
+    "q_knn_propagation_agreement",
+    "q_similarity_mips_ivf",
+    # (b) touched this round
+    "q_knn_label_propagation",
+    "q_similarity_mips_topk",
+    "q_dedup_substring_spans",
+    "q_dedup_minhash_recall",
+    "q_dedup_semantic",
+    "q_cluster_kmeans",
+    "q_similarity_ann_ivf",
+    "q_similarity_ann_ivf_refined",
+    "q_similarity_ann_lsh",
+    "q_similarity_topk_bruteforce",
+    "q_ann_recall_ivfpq",
+    "q_ann_recall_lsh",
+    "q_dedup_minhash_lsh",
+    "q_dedup_containment_overlap",
+    "q_dedup_embedding_lsh",
+    "q_dedup_embedding_cosine",
+    "q_multimodal_image_decode",
+    "q_multimodal_features",
+    "q_multimodal_fingerprint",
+    "q_multimodal_audio_decode",
+    # (c) freshness backfill: oldest green rows (r1-era, unsampled
+    # since round 1)
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_accounts",
+    "q_agg_count_distinct",
+    "q_agg_cube_orders",
+    "q_agg_exact_percentiles",
+    "q_agg_grouping_sets",
+    "q_agg_pivot_status_by_priority",
+    "q_agg_rollup_pricing",
+    "q_join_anti_customers_without_orders",
+    "q_join_full_outer_nation_activity",
+    "q_join_left_order_counts",
+    "q_join_semi_parts_ordered",
+    "q_map_json_explode",
+    "q_null_handling",
+    "q_scalar_case_when_buckets",
+    "q_scalar_date_functions",
+    "q_scalar_math_functions",
+    "q_scalar_string_builders",
+    "q_scalar_string_functions",
+    "q_setops_customer_segments",
+    "q_setops_intersect_active_both_years",
+    "q_sort_limit_top_lineitems",
+    "q_subquery_correlated_above_avg",
+    "q_unpivot_part_metrics",
+]
+_reorder(_ROUND6_WINDOW[:50])
 
 
 def queries():
