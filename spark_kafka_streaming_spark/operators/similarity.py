@@ -265,6 +265,7 @@ def duck_ivf_topk_sql(
     prescaled: bool = False,
     pre_cte: str = "",
     query_table: str | None = None,
+    n_cells_sql: str | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`ivf_topk`: same deterministic seed
     centroids (smallest-id vectors), optionally the same
@@ -284,7 +285,12 @@ def duck_ivf_topk_sql(
     ``pre_cte`` is spliced verbatim as the first WITH entries so callers
     can define derived tables (e.g. augmented vectors) and point
     ``table`` / ``query_table`` at them; ``query_table`` must expose
-    ``(id, v, n)`` already scaled."""
+    ``(id, v, n)`` already scaled.  ``n_cells_sql`` replaces the
+    literal ``n_cells`` with a scalar-subquery SQL expression — the
+    parameterized-oracle pattern for engine paths that derive the cell
+    count from the corpus size (cells must GROW with the corpus or
+    probing stops cutting the pair space; see
+    :func:`..queries.llm13.auto_cells`)."""
     cell_cos = V.duck_cosine(V.duck_dot("s.v", "c.cent_v"), "s.n", "c.cent_n")
     pair_cos = V.duck_cosine(V.duck_dot("s1.v", "s2.v"), "s1.n", "s2.n")
     refine = []
@@ -333,8 +339,11 @@ def duck_ivf_topk_sql(
     scaled AS (SELECT * FROM allscaled WHERE {corpus_pred}),
     qscaled AS (SELECT * FROM {qsrc} WHERE {query_pred}),
     cents AS (
-      SELECT id AS cell, v AS cent_v, n AS cent_n
-      FROM scaled ORDER BY id LIMIT {n_cells}
+      SELECT cell, cent_v, cent_n FROM (
+        SELECT id AS cell, v AS cent_v, n AS cent_n,
+               row_number() OVER (ORDER BY id) AS cr0
+        FROM scaled
+      ) WHERE cr0 <= ({n_cells_sql if n_cells_sql is not None else n_cells})
     ){refine_sql},
     corpus_cells AS (
       SELECT id, cell FROM (

@@ -25,6 +25,30 @@ from .registry import register
 _LABELED_PRED = "vec_id % 5 <> 0"  # the labeled 80% slice
 
 
+def auto_cells(n_corpus: int, per: int = 400, floor: int = 16) -> int:
+    """Corpus-scaled IVF cell count: n_cells = max(floor, n // per).
+
+    The probe fraction is n_probe·n_assign/n_cells, so a FIXED cell
+    count stops cutting the pair space as the corpus grows (at 16
+    cells / 4-probe / 2-assign the candidate set is half of brute
+    force forever); cells ∝ n keeps per-cell occupancy ~constant
+    (≈``per``·n_assign vectors), making query cost
+    |Q|·n_probe·n_assign·per while index assignment stays |C|·n_cells
+    broadcast dots — the :func:`..operators.kmeans.auto_k` move
+    applied to the IVF tier.  The ORACLE derives the same value from
+    the same count formula in SQL (``greatest(16, n // 400)``), so
+    engine and oracle agree at any sf; at every driver-test corpus
+    (≤ 6.4k corpus vectors) the auto value stays at the floor 16."""
+    return max(floor, n_corpus // per)
+
+
+#: SQL twin of :func:`auto_cells` over the labeled slice
+_NCELLS_SQL = (
+    f"SELECT greatest(16, count(*) // 400) FROM embeddings "
+    f"WHERE {_LABELED_PRED}"
+)
+
+
 def _votes_sql(nn_sql: str) -> str:
     """Wrap a (query_id, neighbor_id, cos_sim, rn) neighbor SQL with the
     vote/argmax CTEs of :func:`..operators.similarity.knn_classify`:
@@ -54,15 +78,23 @@ def _votes_sql(nn_sql: str) -> str:
 @register(
     "q_knn_label_propagation_ann",
     oracle=_votes_sql(
-        duck_ivf_topk_sql(5, "id % 5 = 0", corpus_pred="id % 5 <> 0")
+        duck_ivf_topk_sql(
+            5,
+            "id % 5 = 0",
+            corpus_pred="id % 5 <> 0",
+            n_cells_sql=_NCELLS_SQL,
+        )
     ),
     doc="k-NN label propagation at scale: the full unlabeled 20% of "
     "the corpus is classified from IVF candidates (coarse cells over "
     "the labeled slice, 4-probe, 2-way assignment — "
     "operators/similarity.py::ivf_topk) instead of the O(|Q|·|C|) "
-    "brute-force neighbor stage, so query cost is "
-    "|Q|·n_probe·n_assign·|C|/n_cells and the query side may grow "
-    "with the corpus. The vote/argmax stage is byte-identical to the "
+    "brute-force neighbor stage. The cell count SCALES with the "
+    "corpus (auto_cells = max(16, n/400), derived from the same "
+    "count formula in engine and oracle), so per-cell occupancy stays "
+    "~constant and query cost is |Q|·n_probe·n_assign·400 dots — a "
+    "fixed cell count would stop cutting the pair space as the "
+    "corpus grows. The vote/argmax stage is byte-identical to the "
     "exact form (knn_classify is neighbor-source-oblivious); "
     "q_knn_propagation_agreement pins the label agreement between the "
     "two on a size-invariant sample.",
@@ -74,7 +106,7 @@ def q_knn_label_propagation_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 5 == 0)
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
-    nn = ivf_topk(queries, corpus, k=5)
+    nn = ivf_topk(queries, corpus, k=5, n_cells=auto_cells(corpus.count()))
     return knn_classify(queries, corpus, k=5, neighbors=nn).orderBy("vec_id")
 
 
@@ -105,6 +137,7 @@ def _agreement_oracle() -> str:
         "id % (SELECT m FROM qm) = 0",
         corpus_pred=_LABELED_PRED.replace("vec_id", "id"),
         pre_cte=_QM_CTE,
+        n_cells_sql=_NCELLS_SQL,
     )
     return f"""
     WITH {_QM_CTE},
@@ -183,9 +216,10 @@ def q_knn_propagation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = knn_classify(sample, corpus, k=5).select(
         "vec_id", F.col("predicted_label").alias("e_label")
     )
-    an = knn_classify(
-        sample, corpus, k=5, neighbors=ivf_topk(sample, corpus, k=5)
-    ).select("vec_id", F.col("predicted_label").alias("a_label"))
+    nn = ivf_topk(sample, corpus, k=5, n_cells=auto_cells(corpus.count()))
+    an = knn_classify(sample, corpus, k=5, neighbors=nn).select(
+        "vec_id", F.col("predicted_label").alias("a_label")
+    )
     agree = F.sum(
         F.when(F.col("a_label") == F.col("e_label"), 1).otherwise(0)
     )

@@ -110,6 +110,8 @@ def test_q_mod_formula_matches_sql():
     """Engine (Python) and oracle (SQL) derive the agreement-sample
     modulus from the same formula — checked over two decades of n so
     a future divergence (ADVICE r5 #5) fails here, not in the driver."""
+    from spark_kafka_streaming_spark.queries.llm13 import auto_cells
+
     con = duckdb.connect()
     for n in (1, 100, 499, 500, 501, 2000, 20000, 199999, 200000):
         sql = con.execute(
@@ -117,6 +119,10 @@ def test_q_mod_formula_matches_sql():
             "AS BIGINT))"
         ).fetchone()[0]
         assert _q_mod(n) == sql, n
+        cells_sql = con.execute(
+            f"SELECT greatest(16, {n} // 400)"
+        ).fetchone()[0]
+        assert auto_cells(n) == cells_sql, n
 
 
 def test_knn_ann_covers_every_query(emb):
