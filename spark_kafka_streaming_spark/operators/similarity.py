@@ -718,6 +718,7 @@ def ivf_topk(
     kmeans_iters: int = 0,
     n_assign: int = 2,
     prescaled: bool = False,
+    impl: str = "arrow",
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse quantize the corpus into cells, probe
     only the query's ``n_probe`` nearest cells.
@@ -726,6 +727,20 @@ def ivf_topk(
     ``array<bigint>`` (skips the round(x·SCALE) mapping) — the
     norm-augmented MIPS path (:func:`mips_topk_ivf`), where the
     augmentation itself must happen in exact integer space.
+
+    ``impl="arrow"`` (default) runs the two dense hot loops — cell
+    assignment (|side|·n_cells cosines) and candidate scoring
+    (|cand| cosines) — as int64 numpy matmuls inside ``mapInPandas``,
+    the :func:`_banded` dual-impl pattern: the interpreted
+    ``zip_with``/``aggregate`` chain was the measured 85% of
+    q_knn_label_propagation_ann's 41 s at sf1.  The centroid table is
+    pulled to the driver for the kernel (k×(d+1) ints — the bounded
+    model-pull posture of kmeans/Bloom/z-order).  ``impl="sql"`` is
+    the pure built-in-expression form; both produce bit-identical
+    rows (int64 matmul ≡ exact HOF dot, same IEEE cosine expression,
+    ties broken by ascending cell via stable argsort over
+    cell-ordered columns ≡ ``row_number`` (cos desc, cell)) — pinned
+    in tests.
 
     Seed centroids are deterministic (the ``n_cells`` corpus vectors
     with the smallest ids), optionally refined with ``kmeans_iters``
@@ -758,6 +773,8 @@ def ivf_topk(
             F.expr(V.spark_dot(v, v)).alias(f"{prefix}_n"),
         )
 
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"unknown impl: {impl!r} (want 'arrow' or 'sql')")
     scaled = _prep(corpus, "c")
     cents = (
         scaled.orderBy("c_id")
@@ -770,39 +787,156 @@ def ivf_topk(
     )
     if kmeans_iters:
         cents = kmeans_refine(scaled, cents, iters=kmeans_iters)
-    cents = track_persist(cents)
-
-    def nearest_cells(side: DataFrame, vcol: str, ncol: str, n: int) -> DataFrame:
-        cos = F.expr(V.spark_cosine(V.spark_dot(vcol, "cent_v"), ncol, "cent_n"))
-        w = W.partitionBy(side.columns[0]).orderBy(F.desc("cell_cos"), "cell")
-        return (
-            side.join(F.broadcast(cents), F.lit(True))
-            .withColumn("cell_cos", cos)
-            .withColumn("cell_rank", F.row_number().over(w))
-            .filter(F.col("cell_rank") <= n)
-        )
-
-    corpus_cells = nearest_cells(scaled, "c_v", "c_n", n_assign).select(
-        "c_id", "c_v", "c_n", "cell"
-    )
     q_scaled = _prep(queries, "q")
-    query_cells = nearest_cells(q_scaled, "q_v", "q_n", n_probe).select(
-        "q_id", "q_v", "q_n", "cell"
-    )
-    cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
+
+    if impl == "arrow":
+        rows = cents.orderBy("cell").collect()  # bounded: k×(d+1) ints
+        import numpy as np
+
+        cent_ids = np.array([r["cell"] for r in rows], dtype="int64")
+        cent_m = np.array([r["cent_v"] for r in rows], dtype="int64")
+        cent_n = np.array([r["cent_n"] for r in rows], dtype="int64")
+        corpus_cells = _cells_arrow(
+            scaled, "c", n_assign, cent_ids, cent_m, cent_n
+        )
+        query_cells = _cells_arrow(
+            q_scaled, "q", n_probe, cent_ids, cent_m, cent_n
+        )
+        cand = (
+            query_cells.join(corpus_cells, "cell")
+            .filter(F.col("q_id") != F.col("c_id"))
+        )
+        pair_cos = _pair_cos_arrow(cand)
+    else:
+        cents = track_persist(cents)
+
+        def nearest_cells(
+            side: DataFrame, vcol: str, ncol: str, n: int
+        ) -> DataFrame:
+            cos = F.expr(
+                V.spark_cosine(V.spark_dot(vcol, "cent_v"), ncol, "cent_n")
+            )
+            w = W.partitionBy(side.columns[0]).orderBy(
+                F.desc("cell_cos"), "cell"
+            )
+            return (
+                side.join(F.broadcast(cents), F.lit(True))
+                .withColumn("cell_cos", cos)
+                .withColumn("cell_rank", F.row_number().over(w))
+                .filter(F.col("cell_rank") <= n)
+            )
+
+        corpus_cells = nearest_cells(scaled, "c_v", "c_n", n_assign).select(
+            "c_id", "c_v", "c_n", "cell"
+        )
+        query_cells = nearest_cells(q_scaled, "q_v", "q_n", n_probe).select(
+            "q_id", "q_v", "q_n", "cell"
+        )
+        cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
+        pair_cos = (
+            query_cells.join(corpus_cells, "cell")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select(
+                F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                cos.alias("cos_sim"),
+            )
+        )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
-        query_cells.join(corpus_cells, "cell")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            cos.alias("cos_sim"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
+        pair_cos.dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def _cells_arrow(
+    side: DataFrame, prefix: str, n: int, cent_ids, cent_m, cent_n
+) -> DataFrame:
+    """(id, v, n, cell) rows for each vector's ``n`` nearest centroids,
+    computed as one int64 matmul per Arrow batch.
+
+    Ties replay the SQL form's ``row_number() OVER (ORDER BY cos DESC,
+    cell)``: the centroid matrix arrives cell-ascending and the argsort
+    on -cos is STABLE, so equal cosines resolve to the lower cell.
+    int64 matmul is exact (|component| ≤ ~1e8 ⇒ per-pair sums ≪ 2⁶³),
+    and the cosine is the same single-divide IEEE expression as
+    ``spark_cosine`` — bit-identical across impls (pinned in tests).
+    """
+    id_c, v_c, n_c = f"{prefix}_id", f"{prefix}_v", f"{prefix}_n"
+
+    # NOTE: self-contained closure — pickled to executor workers that
+    # may not have this package importable; captured arrays pickle by
+    # value (the _banded posture).
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+
+        n_eff = min(n, len(cent_ids))  # mirror row_number <= n
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                pdf[v_c].map(lambda a: np.asarray(a, dtype="int64"))
+            )
+            xn = pdf[n_c].to_numpy(dtype="int64")
+            dots = m @ cent_m.T
+            cos = dots.astype("float64") / (
+                np.sqrt(xn.astype("float64"))[:, None]
+                * np.sqrt(cent_n.astype("float64"))[None, :]
+            )
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :n_eff]
+            rows = len(pdf)
+            yield pd.DataFrame(
+                {
+                    id_c: np.repeat(pdf[id_c].to_numpy(), n_eff),
+                    v_c: [
+                        row
+                        for row in pdf[v_c].map(list)
+                        for _ in range(n_eff)
+                    ],
+                    n_c: np.repeat(xn, n_eff),
+                    "cell": cent_ids[order].reshape(rows * n_eff),
+                }
+            )
+
+    return side.mapInPandas(
+        _batches,
+        f"{id_c} long, {v_c} array<bigint>, {n_c} bigint, cell bigint",
+    )
+
+
+def _pair_cos_arrow(cand: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id, cos_sim) from joined candidate rows
+    carrying (q_v, q_n, c_v, c_n) — the vectorized twin of the
+    ``spark_cosine`` expression (same exact int64 dot, same IEEE
+    divide)."""
+
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qm = np.stack(pdf["q_v"].map(lambda a: np.asarray(a, dtype="int64")))
+            cm = np.stack(pdf["c_v"].map(lambda a: np.asarray(a, dtype="int64")))
+            dots = np.einsum("ij,ij->i", qm, cm)
+            cos = dots.astype("float64") / (
+                np.sqrt(pdf["q_n"].to_numpy(dtype="int64").astype("float64"))
+                * np.sqrt(pdf["c_n"].to_numpy(dtype="int64").astype("float64"))
+            )
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["q_id"],
+                    "neighbor_id": pdf["c_id"],
+                    "cos_sim": cos,
+                }
+            )
+
+    return cand.select("q_id", "q_v", "q_n", "c_id", "c_v", "c_n").mapInPandas(
+        _batches, "query_id long, neighbor_id long, cos_sim double"
     )
 
 
@@ -846,6 +980,66 @@ def mips_topk(
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "ip", "rn")
+    )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining: for each query, the k most-similar corpus
+    vectors whose label DIFFERS from the query's — the contrastive-
+    training data pass (dense-retriever / embedding fine-tuning):
+    easy negatives are random, hard negatives are the near-misses the
+    model must learn to separate.
+
+    Same shape as :func:`brute_force_topk` (broadcast scaled queries,
+    one corpus pass, window top-k) with the label-mismatch predicate
+    evaluated INSIDE the join, so same-label rows never reach the
+    ranking.  Bounded |Q| is the contract; unbounded query sides go
+    through the IVF candidate tier first and vote-filter after, like
+    :func:`knn_classify`.
+
+    Returns (query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim, rn).
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(label_col).alias("q_label"),
+        F.expr(V.spark_scaled(vec_col)).alias("q_v"),
+        F.expr(V.spark_dot(V.spark_scaled(vec_col), V.spark_scaled(vec_col))).alias(
+            "q_n"
+        ),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(label_col).alias("c_label"),
+        F.expr(V.spark_scaled(vec_col)).alias("c_v"),
+        F.expr(V.spark_dot(V.spark_scaled(vec_col), V.spark_scaled(vec_col))).alias(
+            "c_n"
+        ),
+    )
+    cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        c.join(
+            F.broadcast(q),
+            (F.col("q_id") != F.col("c_id"))
+            & (F.col("q_label") != F.col("c_label")),
+        )
+        .select(
+            F.col("q_id").alias("query_id"),
+            F.col("q_label").alias("query_label"),
+            F.col("c_id").alias("neighbor_id"),
+            F.col("c_label").alias("neighbor_label"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
     )
 
 

@@ -32,6 +32,7 @@ from . import relational4  # noqa: F401,E402
 from . import llm11  # noqa: F401,E402
 from . import llm12  # noqa: F401,E402
 from . import llm13  # noqa: F401,E402
+from . import llm14  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -251,6 +252,8 @@ _ROUND6_WINDOW = [
     "q_knn_label_propagation_ann",
     "q_knn_propagation_agreement",
     "q_similarity_mips_ivf",
+    "q_text_bpe_train",
+    "q_similarity_hard_negatives",
     # (b) touched this round
     "q_knn_label_propagation",
     "q_similarity_mips_topk",
@@ -299,8 +302,6 @@ _ROUND6_WINDOW = [
     "q_setops_customer_segments",
     "q_setops_intersect_active_both_years",
     "q_sort_limit_top_lineitems",
-    "q_subquery_correlated_above_avg",
-    "q_unpivot_part_metrics",
 ]
 _reorder(_ROUND6_WINDOW[:50])
 

@@ -134,3 +134,89 @@ def test_knn_ann_covers_every_query(emb):
     nn = ivf_topk(q, c, k=5)
     got = knn_classify(q, c, k=5, neighbors=nn).count()
     assert got == q.count()
+
+
+def test_ivf_arrow_equals_sql(emb):
+    """The Arrow matmul impl (cell assignment + pair scoring kernels)
+    must reproduce the SQL HOF impl bit-for-bit — the _banded
+    dual-impl contract, incl. the disjoint-corpus shape."""
+    q10 = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, ivf_topk(q10, emb, k=5, impl="arrow").collect()))
+    b = sorted(map(tuple, ivf_topk(q10, emb, k=5, impl="sql").collect()))
+    assert a == b
+    qs = emb.filter(F.col("vec_id") % 5 == 0)
+    cp = emb.filter(F.col("vec_id") % 5 != 0)
+    a = sorted(map(tuple, ivf_topk(qs, cp, k=5, impl="arrow").collect()))
+    b = sorted(map(tuple, ivf_topk(qs, cp, k=5, impl="sql").collect()))
+    assert a == b
+
+
+def test_ivf_arrow_equals_sql_refined(emb):
+    q10 = emb.filter(F.col("vec_id") < 10)
+    a = sorted(
+        map(
+            tuple,
+            ivf_topk(q10, emb, k=5, kmeans_iters=1, impl="arrow").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            ivf_topk(q10, emb, k=5, kmeans_iters=1, impl="sql").collect(),
+        )
+    )
+    assert a == b
+
+
+def test_bpe_replace_semantics_match_duckdb(spark):
+    """The merge application is DEFINED as one leftmost non-overlapping
+    replace-all pass; Spark's replace and DuckDB's replace must agree
+    on the adversarial same-symbol runs where that pass differs from
+    textbook greedy GROUPING (multiset of merges still identical)."""
+    cases = ["a a a", "a a a a", "a a a a a", "x y x y", "x y x y x y", "b"]
+    con = duckdb.connect()
+    rows = spark.createDataFrame([(c,) for c in cases], "s STRING").select(
+        F.expr(
+            "trim(replace(concat(' ', s, ' '), ' a a ', ' aa '))"
+        ).alias("m")
+    ).collect()
+    for c, r in zip(cases, rows):
+        d = con.execute(
+            "SELECT trim(replace(' ' || ? || ' ', ' a a ', ' aa '))", [c]
+        ).fetchone()[0]
+        assert r["m"] == d, (c, r["m"], d)
+
+
+def test_bpe_train_learns_ordered_merges(spark, sf_dir):
+    """Merges are rank-ordered by the count AT THEIR STEP (weakly
+    decreasing is not guaranteed, but each step's winner must beat or
+    tie every other pair of that step — spot-check step 0 against a
+    recount) and each merged symbol concatenates its parts."""
+    from spark_kafka_streaming_spark.operators.bpe import bpe_train, word_freq
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = bpe_train(docs, n_merges=3).collect()
+    assert [m["rank"] for m in merges] == [0, 1, 2]
+    for m in merges:
+        assert m["merged"] == m["left_sym"] + m["right_sym"]
+    wf = {r["word"]: r["freq"] for r in word_freq(docs).collect()}
+    best = {}
+    for w, f_ in wf.items():
+        chars = list(w)
+        for x, y in zip(chars, chars[1:]):
+            best[(x, y)] = best.get((x, y), 0) + f_
+    m0 = merges[0]
+    assert best[(m0["left_sym"], m0["right_sym"])] == m0["cnt"]
+    assert m0["cnt"] == max(best.values())
+
+
+def test_hard_negatives_labels_differ(emb):
+    from spark_kafka_streaming_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rows = hard_negatives(emb.filter(F.col("vec_id") < 10), emb, k=5).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["query_label"] != r["neighbor_label"]
+        assert r["query_id"] != r["neighbor_id"]
