@@ -51,30 +51,114 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector (self excluded).
 
-    Broadcast the scaled query set; one pass over the corpus computes
-    every (query, candidate) cosine; TakeOrdered per query via window
-    rank. Cost: |Q|·|C| dot products with zero shuffle of the corpus.
+    One pass over the corpus computes every (query, candidate)
+    cosine; TakeOrdered per query via window rank. Cost: |Q|·|C| dot
+    products with zero shuffle of the corpus.  Bounded |Q| is the
+    contract (this is the truth leg of the ANN tiers).
+
+    ``impl="arrow"`` (default): the (small, per the contract) scaled
+    query set is pulled to the driver — |Q|×(d+1) ints, the bounded
+    model-pull posture — and each corpus Arrow batch is scored as one
+    int64 matmul with a batch-local exact top-k per query
+    ((cos desc, neighbor_id) order, self excluded), so the window
+    stage ranks ≤ |Q|·k rows per batch instead of the full |Q|·|C|
+    fan-out.  ``impl="sql"`` is the pure built-in broadcast-join
+    form; bit-identical (pinned in tests).
     """
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"unknown impl: {impl!r} (want 'arrow' or 'sql')")
     q = _scaled(queries, id_col, vec_col, "q")
     c = _scaled(corpus, id_col, vec_col, "c")
-    dot = F.expr(V.spark_dot("q_v", "c_v"))
-    cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
-    pairs = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            cos.alias("cos_sim"),
-        )
-    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    if impl == "arrow":
+        pairs = _bounded_q_topk_arrow(q, c, k, metric="cosine")
+    else:
+        cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
+        pairs = (
+            c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+            .select(
+                F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                cos.alias("cos_sim"),
+            )
+        )
     return (
         pairs.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def _bounded_q_topk_arrow(
+    q: DataFrame, c: DataFrame, k: int, metric: str
+) -> DataFrame:
+    """(query_id, neighbor_id, score) candidate rows for the exact
+    bounded-|Q| tiers: queries collected (|Q|×(d+1) ints), corpus
+    scored batch-wise by one int64 matmul, batch-local top-k per
+    query under the exact (score desc, neighbor_id) order with self
+    excluded — the union of batch-local top-k lists always contains
+    the global top-k (a global winner ranks ≤ k within its own
+    batch), so the downstream window reproduces the SQL form
+    bit-for-bit.  ``metric``: 'cosine' (dot/(√n·√n)) or 'ip'
+    (dot/SCALE²)."""
+    rows = q.collect()
+    import numpy as np
+
+    q_ids = np.array([r["q_id"] for r in rows], dtype="int64")
+    q_m = (
+        np.array([r["q_v"] for r in rows], dtype="int64")
+        if rows
+        else np.zeros((0, 1), dtype="int64")
+    )
+    q_n = np.array([r["q_n"] for r in rows], dtype="int64")
+    scale2 = float(V.SCALE) * float(V.SCALE)
+    col = "cos_sim" if metric == "cosine" else "ip"
+
+    def _batches(it):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"query_id": [], "neighbor_id": [], col: []}
+        ).astype({"query_id": "int64", "neighbor_id": "int64", col: "float64"})
+        if not len(q_ids):
+            yield empty
+            return
+        for pdf in it:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("c_id", kind="stable")
+            cm = np.stack(pdf["c_v"].map(lambda a: np.asarray(a, dtype="int64")))
+            cid = pdf["c_id"].to_numpy(dtype="int64")
+            dots = (q_m @ cm.T).astype("float64")
+            if metric == "cosine":
+                cn = pdf["c_n"].to_numpy(dtype="int64")
+                score = dots / (
+                    np.sqrt(q_n.astype("float64"))[:, None]
+                    * np.sqrt(cn.astype("float64"))[None, :]
+                )
+            else:
+                score = dots / scale2
+            kk = min(k + 1, len(cid))  # +1 absorbs at most one self pair
+            idx = np.argsort(-score, axis=1, kind="stable")[:, :kk]
+            sel_cid = cid[idx]
+            valid = sel_cid != q_ids[:, None]
+            keep = valid & (np.cumsum(valid, axis=1) <= k)
+            rix = np.repeat(np.arange(len(q_ids)), kk).reshape(len(q_ids), kk)
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids[rix[keep]],
+                    "neighbor_id": sel_cid[keep],
+                    col: score[rix[keep], idx[keep]],
+                }
+            )
+
+    return c.mapInPandas(
+        _batches, f"query_id long, neighbor_id long, {col} double"
     )
 
 
@@ -802,11 +886,7 @@ def ivf_topk(
         query_cells = _cells_arrow(
             q_scaled, "q", n_probe, cent_ids, cent_m, cent_n
         )
-        cand = (
-            query_cells.join(corpus_cells, "cell")
-            .filter(F.col("q_id") != F.col("c_id"))
-        )
-        pair_cos = _pair_cos_arrow(cand)
+        pair_cos = _cell_topk_arrow(query_cells, corpus_cells, k)
     else:
         cents = track_persist(cents)
 
@@ -907,36 +987,70 @@ def _cells_arrow(
     )
 
 
-def _pair_cos_arrow(cand: DataFrame) -> DataFrame:
-    """(query_id, neighbor_id, cos_sim) from joined candidate rows
-    carrying (q_v, q_n, c_v, c_n) — the vectorized twin of the
-    ``spark_cosine`` expression (same exact int64 dot, same IEEE
-    divide)."""
+def _cell_topk_arrow(
+    query_cells: DataFrame, corpus_cells: DataFrame, k: int
+) -> DataFrame:
+    """Per-cell block scoring: cogroup query and corpus rows by cell,
+    one int64 matmul per cell (vectors cross into Python ONCE per
+    cell, never per candidate pair — a pair-wise kernel over the
+    joined candidates measured SLOWER than the HOF form at sf1
+    because it shipped both 64-int vectors per candidate row through
+    Arrow), then a per-(query, cell) top-k with the exact (cos desc,
+    neighbor_id) order, self excluded.
 
-    def _batches(it):
+    The local top-k is EXACT for the downstream global top-k: a
+    neighbor in the global top-k ranks ≤ k among its own cell's
+    candidates under the same total order, so the union of per-cell
+    top-k lists (|Q|·n_probe·k rows instead of the full candidate
+    fan-out) always contains it; the shared dropDuplicates + window
+    then reproduces the SQL impl's result bit-for-bit (pinned in
+    tests).  Per-cell matmul size is occupancy-bounded — auto-scaled
+    cell counts keep expected occupancy ≈ per·n_assign; a pathological
+    mega-cell degrades to one big (still vectorized) block.
+    """
+
+    def _score(left, right):
         import numpy as np
         import pandas as pd
 
-        for pdf in it:
-            if not len(pdf):
-                continue
-            qm = np.stack(pdf["q_v"].map(lambda a: np.asarray(a, dtype="int64")))
-            cm = np.stack(pdf["c_v"].map(lambda a: np.asarray(a, dtype="int64")))
-            dots = np.einsum("ij,ij->i", qm, cm)
-            cos = dots.astype("float64") / (
-                np.sqrt(pdf["q_n"].to_numpy(dtype="int64").astype("float64"))
-                * np.sqrt(pdf["c_n"].to_numpy(dtype="int64").astype("float64"))
-            )
-            yield pd.DataFrame(
-                {
-                    "query_id": pdf["q_id"],
-                    "neighbor_id": pdf["c_id"],
-                    "cos_sim": cos,
-                }
-            )
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "cos_sim": []}
+            ).astype({"query_id": "int64", "neighbor_id": "int64",
+                      "cos_sim": "float64"})
+        right = right.sort_values("c_id", kind="stable")
+        qm = np.stack(left["q_v"].map(lambda a: np.asarray(a, dtype="int64")))
+        cm = np.stack(right["c_v"].map(lambda a: np.asarray(a, dtype="int64")))
+        qn = left["q_n"].to_numpy(dtype="int64")
+        cn = right["c_n"].to_numpy(dtype="int64")
+        qid = left["q_id"].to_numpy(dtype="int64")
+        cid = right["c_id"].to_numpy(dtype="int64")
+        cos = (qm @ cm.T).astype("float64") / (
+            np.sqrt(qn.astype("float64"))[:, None]
+            * np.sqrt(cn.astype("float64"))[None, :]
+        )
+        kk = min(k + 1, len(cid))  # +1 absorbs at most one self pair
+        # columns are c_id-ascending; stable argsort on -cos replays
+        # row_number() OVER (ORDER BY cos DESC, neighbor_id)
+        idx = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+        sel_cid = cid[idx]
+        valid = sel_cid != qid[:, None]
+        keep = valid & (np.cumsum(valid, axis=1) <= k)
+        rows = np.repeat(np.arange(len(qid)), kk).reshape(len(qid), kk)
+        return pd.DataFrame(
+            {
+                "query_id": qid[rows[keep]],
+                "neighbor_id": sel_cid[keep],
+                "cos_sim": cos[rows[keep], idx[keep]],
+            }
+        )
 
-    return cand.select("q_id", "q_v", "q_n", "c_id", "c_v", "c_n").mapInPandas(
-        _batches, "query_id long, neighbor_id long, cos_sim double"
+    return (
+        query_cells.groupBy("cell")
+        .cogroup(corpus_cells.groupBy("cell"))
+        .applyInPandas(
+            _score, "query_id long, neighbor_id long, cos_sim double"
+        )
     )
 
 
@@ -946,38 +1060,49 @@ def mips_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    impl: str = "arrow",
 ) -> DataFrame:
     """Exact maximum-inner-product top-k per query (self excluded).
 
     Retrieval-augmented pipelines rank by raw inner product, not
     cosine — popular passages legitimately carry larger norms — so the
     cosine ANN tier cannot serve them unmodified.  This is the exact
-    MIPS baseline: broadcast scaled queries, one corpus pass, int64
-    dot products (engine-exact), window top-k with (ip desc, neighbor)
-    tiebreak.  Cost |Q|·|C| dots, zero corpus shuffle.
+    MIPS baseline: one corpus pass, int64 dot products
+    (engine-exact), window top-k with (ip desc, neighbor) tiebreak.
+    Cost |Q|·|C| dots, zero corpus shuffle.  ``impl``: the
+    :func:`brute_force_topk` dual-impl contract ('arrow' batch
+    matmul + local top-k, 'sql' broadcast join; bit-identical).
 
     Scale path (Bachrach et al., RecSys 2014): append
     ``sqrt(M² − ‖x‖²)`` to each corpus vector and 0 to each query —
     inner-product order then matches cosine order in the augmented
     space, so the existing hyperplane-LSH / IVF tiers index MIPS
-    unchanged; this exact form is the oracle for that reduction
-    (asserted in tests).  Reported ``ip`` is dot/SCALE² — the true
-    float inner product up to the deterministic quantization.
+    unchanged (:func:`mips_topk_ivf`); this exact form is the oracle
+    for that reduction (asserted in tests).  Reported ``ip`` is
+    dot/SCALE² — the true float inner product up to the deterministic
+    quantization.
     """
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"unknown impl: {impl!r} (want 'arrow' or 'sql')")
     q = _scaled(queries, id_col, vec_col, "q")
     c = _scaled(corpus, id_col, vec_col, "c")
-    ip = F.expr(V.spark_dot("q_v", "c_v")).cast("double") / F.lit(
-        float(V.SCALE) * float(V.SCALE)
-    )
     w = W.partitionBy("query_id").orderBy(F.desc("ip"), "neighbor_id")
-    return (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .select(
-            F.col("q_id").alias("query_id"),
-            F.col("c_id").alias("neighbor_id"),
-            ip.alias("ip"),
+    if impl == "arrow":
+        pairs = _bounded_q_topk_arrow(q, c, k, metric="ip")
+    else:
+        ip = F.expr(V.spark_dot("q_v", "c_v")).cast("double") / F.lit(
+            float(V.SCALE) * float(V.SCALE)
         )
-        .withColumn("rn", F.row_number().over(w).cast("int"))
+        pairs = (
+            c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+            .select(
+                F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                ip.alias("ip"),
+            )
+        )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "ip", "rn")
     )

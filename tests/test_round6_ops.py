@@ -220,3 +220,15 @@ def test_hard_negatives_labels_differ(emb):
     for r in rows:
         assert r["query_label"] != r["neighbor_label"]
         assert r["query_id"] != r["neighbor_id"]
+
+
+def test_brute_and_mips_arrow_equal_sql(emb):
+    """The bounded-|Q| batch-matmul impls must reproduce the SQL
+    broadcast-join forms bit-for-bit."""
+    q10 = emb.filter(F.col("vec_id") < 10)
+    a = sorted(map(tuple, brute_force_topk(q10, emb, k=5, impl="arrow").collect()))
+    b = sorted(map(tuple, brute_force_topk(q10, emb, k=5, impl="sql").collect()))
+    assert a == b
+    a = sorted(map(tuple, mips_topk(q10, emb, k=5, impl="arrow").collect()))
+    b = sorted(map(tuple, mips_topk(q10, emb, k=5, impl="sql").collect()))
+    assert a == b
