@@ -188,6 +188,13 @@ BENCH_QUERIES = [
     "q_multimodal_audio_decode",
     "q_knn_label_propagation",
     "q_similarity_mips_topk",
+    # Round-6 wave: ANN propagation + agreement, indexed MIPS, BPE
+    # training, hard negatives
+    "q_knn_label_propagation_ann",
+    "q_knn_propagation_agreement",
+    "q_similarity_mips_ivf",
+    "q_text_bpe_train",
+    "q_similarity_hard_negatives",
 ]
 
 
