@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "q_knn_propagation_agreement",
     "q_similarity_mips_ivf",
     "q_text_bpe_train",
+    "q_text_bpe_encode",
     "q_similarity_hard_negatives",
 ]
 

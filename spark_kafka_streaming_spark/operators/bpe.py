@@ -119,10 +119,11 @@ def bpe_train(
     )
 
 
-def duck_bpe_train_sql(n_merges: int = N_MERGES) -> str:
-    """DuckDB oracle twin of :func:`bpe_train`: the same word-freq
-    base, the same per-step (pair-count → top-1 → single replace-all
-    pass) schedule replayed in generated CTEs.
+def _duck_merge_chain(n_merges: int) -> list[str]:
+    """Shared CTE chain replaying the training schedule (used by both
+    the train and encode oracles; carries ``word`` through every step
+    so the encode oracle can join the final symbol table back to the
+    corpus).
 
     Every chain CTE is ``AS MATERIALIZED``: each ``s{i}`` is
     referenced twice (pair counts + next step), so DuckDB's default
@@ -139,7 +140,7 @@ def duck_bpe_train_sql(n_merges: int = N_MERGES) -> str:
         SELECT unnest({TH.duck_tokens('text')}) AS word FROM documents
       ) GROUP BY word
     )""",
-        f"s0 AS MATERIALIZED (SELECT freq, {chars} AS s FROM wf)",
+        f"s0 AS MATERIALIZED (SELECT word, freq, {chars} AS s FROM wf)",
     ]
     for i in range(n_merges):
         parts.append(
@@ -156,13 +157,21 @@ def duck_bpe_train_sql(n_merges: int = N_MERGES) -> str:
         )
         parts.append(
             f"""s{i + 1} AS MATERIALIZED (
-      SELECT freq,
+      SELECT word, freq,
              trim(replace(' ' || s || ' ',
                           ' ' || b{i}.a || ' ' || b{i}.b || ' ',
                           ' ' || b{i}.a || b{i}.b || ' ')) AS s
       FROM s{i} CROSS JOIN b{i}
     )""",
         )
+    return parts
+
+
+def duck_bpe_train_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB oracle twin of :func:`bpe_train`: the same word-freq
+    base, the same per-step (pair-count → top-1 → single replace-all
+    pass) schedule replayed in generated CTEs (:func:`_duck_merge_chain`)."""
+    parts = _duck_merge_chain(n_merges)
     union = "\n      UNION ALL ".join(
         f"SELECT {i} AS rank, a AS left_sym, b AS right_sym, a || b AS merged, "
         f"CAST(cnt AS BIGINT) AS cnt FROM b{i}"
@@ -171,5 +180,111 @@ def duck_bpe_train_sql(n_merges: int = N_MERGES) -> str:
     body = ",\n    ".join(parts)
     return f"""
     WITH {body}
-    SELECT * FROM ({union}) ORDER BY rank
+    SELECT rank, left_sym, right_sym, merged, cnt
+    FROM ({union}) ORDER BY rank
+    """
+
+
+def bpe_encode(
+    docs: DataFrame,
+    n_merges: int = N_MERGES,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the learned merges to the corpus — the tokenizer
+    APPLICATION pass that pairs with :func:`bpe_train`.
+
+    Spark-first shape: merges are trained (bounded ``n_merges``-row
+    driver pull), then the VOCAB is encoded — each distinct word's
+    char string gets the same per-step wrap → replace-all → trim pass
+    the trainer used, chained into one map-only expression — and the
+    encoded vocab (word → symbol count) broadcast-joins back to the
+    exploded corpus tokens.  Encoding cost is vocab-sized + one
+    corpus-sized hash join; no per-document Python, no UDFs.  At
+    crawl scale a 10M-word vocab is ~100 MB — still broadcastable;
+    beyond that the join falls back to shuffle-on-word, which AQE
+    picks automatically.
+
+    Returns per-document: ``n_words`` (token occurrences), ``n_chars``
+    (total token characters), ``n_bpe_tokens`` (symbols after merges),
+    and ``compression`` = round(n_chars / n_bpe_tokens, 6) — the
+    fertility metric tokenizer teams track.  Documents with no tokens
+    report zeros.
+    """
+    merges = bpe_train(docs, n_merges, text_col).orderBy("rank").collect()
+    expr = F.expr(_CHARS_SPARK)
+    for m in merges:
+        a, b, ab = m["left_sym"], m["right_sym"], m["merged"]
+        expr = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), expr, F.lit(" ")),
+                F.lit(f" {a} {b} "),
+                F.lit(f" {ab} "),
+            )
+        )
+    vocab = (
+        word_freq(docs, text_col)
+        .select("word", expr.alias("s"))
+        .select("word", F.size(F.split("s", " ")).alias("n_sym"))
+    )
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.expr(TH.spark_tokens(text_col))).alias("word"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "word")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum("n_sym").alias("n_bpe"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_words", F.lit(0)).cast("int").alias("n_words"),
+            F.coalesce("n_chars", F.lit(0)).cast("int").alias("n_chars"),
+            F.coalesce("n_bpe", F.lit(0)).cast("int").alias("n_bpe_tokens"),
+            F.round(
+                F.when(F.coalesce("n_bpe", F.lit(0)) == 0, F.lit(0.0)).otherwise(
+                    F.coalesce("n_chars", F.lit(0)).cast("double")
+                    / F.coalesce("n_bpe", F.lit(1))
+                ),
+                6,
+            ).alias("compression"),
+        )
+    )
+
+
+def duck_bpe_encode_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB oracle twin of :func:`bpe_encode`: the shared merge
+    chain (:func:`_duck_merge_chain`), the final symbol table joined
+    back to the exploded corpus tokens."""
+    parts = _duck_merge_chain(n_merges)
+    body = ",\n    ".join(parts)
+    return f"""
+    WITH {body},
+    enc AS (
+      SELECT word, len(string_split(s, ' ')) AS n_sym FROM s{n_merges}
+    ),
+    tok AS (
+      SELECT doc_id, unnest({TH.duck_tokens('text')}) AS word FROM documents
+    ),
+    pd AS (
+      SELECT doc_id, count(*) AS n_words,
+             SUM(length(word)) AS n_chars, SUM(n_sym) AS n_bpe
+      FROM tok JOIN enc USING (word) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(pd.n_words, 0) AS INT) AS n_words,
+           CAST(COALESCE(pd.n_chars, 0) AS INT) AS n_chars,
+           CAST(COALESCE(pd.n_bpe, 0) AS INT) AS n_bpe_tokens,
+           round(CASE WHEN COALESCE(pd.n_bpe, 0) = 0 THEN 0.0
+                 ELSE CAST(COALESCE(pd.n_chars, 0) AS DOUBLE)
+                      / COALESCE(pd.n_bpe, 1) END, 6) AS compression
+    FROM documents d LEFT JOIN pd USING (doc_id)
+    ORDER BY d.doc_id
     """

@@ -253,6 +253,7 @@ _ROUND6_WINDOW = [
     "q_knn_propagation_agreement",
     "q_similarity_mips_ivf",
     "q_text_bpe_train",
+    "q_text_bpe_encode",
     "q_similarity_hard_negatives",
     # (b) touched this round
     "q_knn_label_propagation",

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import vectors as V
-from ..operators.bpe import N_MERGES, duck_bpe_train_sql
+from ..operators.bpe import N_MERGES, duck_bpe_encode_sql, duck_bpe_train_sql
 from ..sources.batch import load_table
 from .registry import register
 
@@ -45,6 +45,29 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bpe_train(docs, n_merges=N_MERGES).orderBy("rank")
+
+
+@register(
+    "q_text_bpe_encode",
+    oracle=duck_bpe_encode_sql(N_MERGES),
+    doc="BPE tokenizer APPLICATION (pairs with q_text_bpe_train): "
+    "train the merge list (bounded driver pull), encode the VOCAB — "
+    "each distinct word replays the per-step wrap→replace-all→trim "
+    "pass as one chained map-only expression — then broadcast-join "
+    "the encoded vocab back to the exploded corpus tokens. Per doc: "
+    "word count, char count, post-merge symbol count, and the "
+    "chars-per-token compression (tokenizer fertility). Encoding is "
+    "vocab-sized + one corpus hash join — no per-document Python; at "
+    "crawl scale a 10M-word vocab (~100 MB) still broadcasts, beyond "
+    "that AQE falls back to shuffle-on-word. Oracle replays the "
+    "identical schedule via the shared generated-CTE chain.",
+    tags=("llm", "text", "tokenizer"),
+)
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode(docs, n_merges=N_MERGES).orderBy("doc_id")
 
 
 _HN_K = 5

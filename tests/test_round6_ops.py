@@ -232,3 +232,29 @@ def test_brute_and_mips_arrow_equal_sql(emb):
     a = sorted(map(tuple, mips_topk(q10, emb, k=5, impl="arrow").collect()))
     b = sorted(map(tuple, mips_topk(q10, emb, k=5, impl="sql").collect()))
     assert a == b
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_bpe_encode_invariants(docs):
+    """Encode pairs with train: 0 merges ⇒ one symbol per char; more
+    merges ⇒ total symbol count is non-increasing; symbol counts are
+    bounded by char counts below and 1-per-word above."""
+    from spark_kafka_streaming_spark.operators.bpe import bpe_encode
+
+    base = bpe_encode(docs, n_merges=0).collect()
+    for r in base:
+        assert r["n_bpe_tokens"] == r["n_chars"]
+    enc = {r["doc_id"]: r for r in bpe_encode(docs, n_merges=6).collect()}
+    assert sum(r["n_bpe_tokens"] for r in enc.values()) < sum(
+        r["n_bpe_tokens"] for r in base
+    )
+    for r in enc.values():
+        assert r["n_words"] <= r["n_bpe_tokens"] <= r["n_chars"]
+        if r["n_bpe_tokens"]:
+            assert r["compression"] == pytest.approx(
+                r["n_chars"] / r["n_bpe_tokens"], abs=1e-6
+            )
