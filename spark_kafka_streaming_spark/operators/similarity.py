@@ -791,6 +791,25 @@ def kmeans_refine(
     return cents
 
 
+def nearest_cells_sql(
+    side: DataFrame, cents: DataFrame, vcol: str, ncol: str, n: int
+) -> DataFrame:
+    """Assign each vector to its ``n`` nearest centroids (broadcast
+    centroid join + exact integer cosine, ``(cos desc, cell)``
+    tie-break) — the shared cell-assignment leg of :func:`ivf_topk`'s
+    SQL impl and the streaming vector-index store
+    (:mod:`..streaming.incremental_vectors`).  ``side``'s first
+    column must be its id."""
+    cos = F.expr(V.spark_cosine(V.spark_dot(vcol, "cent_v"), ncol, "cent_n"))
+    w = W.partitionBy(side.columns[0]).orderBy(F.desc("cell_cos"), "cell")
+    return (
+        side.join(F.broadcast(cents), F.lit(True))
+        .withColumn("cell_cos", cos)
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -803,6 +822,7 @@ def ivf_topk(
     n_assign: int = 2,
     prescaled: bool = False,
     impl: str = "arrow",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse quantize the corpus into cells, probe
     only the query's ``n_probe`` nearest cells.
@@ -860,17 +880,24 @@ def ivf_topk(
     if impl not in ("arrow", "sql"):
         raise ValueError(f"unknown impl: {impl!r} (want 'arrow' or 'sql')")
     scaled = _prep(corpus, "c")
-    cents = (
-        scaled.orderBy("c_id")
-        .limit(n_cells)
-        .select(
-            F.col("c_id").alias("cell"),
-            F.col("c_v").alias("cent_v"),
-            F.col("c_n").alias("cent_n"),
+    if centroids is not None:
+        # pinned centroid snapshot (the serving posture: an index
+        # maintained across corpus snapshots — see
+        # streaming/incremental_vectors.py); n_cells/kmeans_iters
+        # are ignored, the snapshot IS the model.
+        cents = centroids
+    else:
+        cents = (
+            scaled.orderBy("c_id")
+            .limit(n_cells)
+            .select(
+                F.col("c_id").alias("cell"),
+                F.col("c_v").alias("cent_v"),
+                F.col("c_n").alias("cent_n"),
+            )
         )
-    )
-    if kmeans_iters:
-        cents = kmeans_refine(scaled, cents, iters=kmeans_iters)
+        if kmeans_iters:
+            cents = kmeans_refine(scaled, cents, iters=kmeans_iters)
     q_scaled = _prep(queries, "q")
 
     if impl == "arrow":
@@ -889,29 +916,12 @@ def ivf_topk(
         pair_cos = _cell_topk_arrow(query_cells, corpus_cells, k)
     else:
         cents = track_persist(cents)
-
-        def nearest_cells(
-            side: DataFrame, vcol: str, ncol: str, n: int
-        ) -> DataFrame:
-            cos = F.expr(
-                V.spark_cosine(V.spark_dot(vcol, "cent_v"), ncol, "cent_n")
-            )
-            w = W.partitionBy(side.columns[0]).orderBy(
-                F.desc("cell_cos"), "cell"
-            )
-            return (
-                side.join(F.broadcast(cents), F.lit(True))
-                .withColumn("cell_cos", cos)
-                .withColumn("cell_rank", F.row_number().over(w))
-                .filter(F.col("cell_rank") <= n)
-            )
-
-        corpus_cells = nearest_cells(scaled, "c_v", "c_n", n_assign).select(
-            "c_id", "c_v", "c_n", "cell"
-        )
-        query_cells = nearest_cells(q_scaled, "q_v", "q_n", n_probe).select(
-            "q_id", "q_v", "q_n", "cell"
-        )
+        corpus_cells = nearest_cells_sql(
+            scaled, cents, "c_v", "c_n", n_assign
+        ).select("c_id", "c_v", "c_n", "cell")
+        query_cells = nearest_cells_sql(
+            q_scaled, cents, "q_v", "q_n", n_probe
+        ).select("q_id", "q_v", "q_n", "cell")
         cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
         pair_cos = (
             query_cells.join(corpus_cells, "cell")

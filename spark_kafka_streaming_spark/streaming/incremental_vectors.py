@@ -1,0 +1,191 @@
+"""Incremental (streaming) vector-index maintenance — the similarity
+tier's serving loop, the fifth member of the maintenance family
+(signatures → :mod:`.incremental_dedup`, tf partials →
+:mod:`.incremental_index`, MERGE → :mod:`.incremental_merge`, window
+hashes → :mod:`.incremental_spans`).
+
+The batch IVF operator (:func:`..operators.similarity.ivf_topk`)
+builds cells from a static corpus; a retrieval deployment ingests
+embeddings continuously and must serve top-k against everything
+accepted so far without re-indexing history.  The mergeable state is
+the cell-assigned vector table itself: cell membership of a vector
+depends only on the vector and the (pinned) centroid snapshot, so any
+split of the corpus unions to the batch index — append-only
+maintenance, no merge arithmetic at all.
+
+Design (the 100 TB shape):
+
+* the **centroid snapshot** is trained once from the first micro-batch
+  (deterministic: the ``n_cells`` smallest-id vectors, the exact seed
+  rule of :func:`..operators.similarity.ivf_topk`) and persisted
+  beside the store — production would retrain periodically and
+  version snapshots; a snapshot swap is a full re-assignment, which
+  is why it is an explicit operator here, not something the ingest
+  path does implicitly;
+* each micro-batch, via ``foreachBatch``: integer-scale the incoming
+  vectors, assign each to its ``n_assign`` nearest cells (broadcast
+  centroid join — the batch side is never shuffled), and append under
+  ``cell=C/batch=B`` with dynamic partition overwrite (replaying a
+  crashed trigger overwrites exactly its own leaves — the
+  exactly-once posture of the other stores);
+* :meth:`IncrementalVectorIndexer.topk` serves queries from the
+  store: probe each query's ``n_probe`` nearest cells, read ONLY the
+  matching ``cell=…`` directories (the probed cell list is bounded by
+  \\|Q\\|·n_probe, pushed as an ``isin`` filter so partition pruning
+  drops every other directory), exact integer cosine over the
+  candidates, window top-k.  Served rows are bit-identical to
+  ``ivf_topk(queries, everything_ingested, centroids=snapshot)`` —
+  pinned in tests/test_streaming_extra.py;
+* :meth:`IncrementalVectorIndexer.compact` folds per-batch leaves
+  into one ``batch=-1`` base per cell, bounding file counts (temp
+  dir + rename; a transactional table format would make the same
+  move atomic).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..functions import vectors as V
+from ..operators.similarity import _scaled, nearest_cells_sql
+
+
+class IncrementalVectorIndexer:
+    """foreachBatch processor maintaining a cell-assigned vector store
+    at ``root``; ``topk()`` serves ANN queries equal to a batch
+    :func:`..operators.similarity.ivf_topk` over everything ingested
+    (same centroid snapshot, same probe/replication parameters)."""
+
+    def __init__(
+        self,
+        root: str,
+        n_cells: int = 16,
+        n_assign: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        compact_every: int = 0,
+    ):
+        self.root = root
+        self.cells_path = os.path.join(root, "cells")
+        self.centroids_path = os.path.join(root, "centroids")
+        self.n_cells = n_cells
+        self.n_assign = n_assign
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.compact_every = compact_every
+
+    # -- model ---------------------------------------------------------
+
+    def centroids(self, spark: SparkSession) -> DataFrame | None:
+        """The pinned centroid snapshot (cell, cent_v, cent_n)."""
+        if not os.path.exists(self.centroids_path):
+            return None
+        return spark.read.parquet(self.centroids_path)
+
+    def _train_centroids(self, scaled: DataFrame) -> None:
+        (
+            scaled.orderBy("c_id")
+            .limit(self.n_cells)
+            .select(
+                F.col("c_id").alias("cell"),
+                F.col("c_v").alias("cent_v"),
+                F.col("c_n").alias("cent_n"),
+            )
+            .write.mode("overwrite")
+            .parquet(self.centroids_path)
+        )
+
+    # -- ingest --------------------------------------------------------
+
+    def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        scaled = _scaled(batch, self.id_col, self.vec_col, "c")
+        if not os.path.exists(self.centroids_path):
+            self._train_centroids(scaled)
+        cents = self.centroids(batch.sparkSession)
+        (
+            nearest_cells_sql(scaled, cents, "c_v", "c_n", self.n_assign)
+            .select("c_id", "c_v", "c_n", "cell")
+            .withColumn("batch", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("cell", "batch")
+            .parquet(self.cells_path)
+        )
+        if (
+            self.compact_every
+            and batch_id > 0
+            and batch_id % self.compact_every == 0
+        ):
+            self.compact(batch.sparkSession)
+
+    # -- serve ---------------------------------------------------------
+
+    def topk(
+        self,
+        queries: DataFrame,
+        k: int = 5,
+        n_probe: int = 4,
+    ) -> DataFrame | None:
+        """Top-k ANN from the maintained store: probe each query's
+        ``n_probe`` nearest cells, scan only those ``cell=…``
+        directories, exact integer cosine, ``(cos desc, neighbor_id)``
+        top-k — bit-identical to the batch ``ivf_topk`` over all
+        ingested vectors with the same snapshot."""
+        spark = queries.sparkSession
+        cents = self.centroids(spark)
+        if cents is None or not os.path.exists(self.cells_path):
+            return None
+        q_scaled = _scaled(queries, self.id_col, self.vec_col, "q")
+        q_cells = nearest_cells_sql(
+            q_scaled, cents, "q_v", "q_n", n_probe
+        ).select("q_id", "q_v", "q_n", "cell")
+        # bounded |Q|·n_probe probed-cell list → static isin filter so
+        # partition pruning never opens unprobed cell directories
+        probed = sorted(
+            {r["cell"] for r in q_cells.select("cell").distinct().collect()}
+        )
+        store = spark.read.parquet(self.cells_path).filter(
+            F.col("cell").isin(probed)
+        )
+        cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
+        pair_cos = (
+            q_cells.join(store, "cell")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select(
+                F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                cos.alias("cos_sim"),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+        return (
+            pair_cos.dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("query_id", "neighbor_id", "cos_sim", "rn")
+        )
+
+    # -- maintenance ---------------------------------------------------
+
+    def compact(self, spark: SparkSession) -> None:
+        """Fold per-batch leaves into one ``batch=-1`` base per cell."""
+        if not os.path.exists(self.cells_path):
+            return
+        store = spark.read.parquet(self.cells_path)
+        tmp = self.cells_path + ".compact.tmp"
+        (
+            store.select("c_id", "c_v", "c_n", "cell")
+            .withColumn("batch", F.lit(-1))
+            .repartition(F.col("cell"))
+            .sortWithinPartitions("c_id")
+            .write.mode("overwrite")
+            .partitionBy("cell", "batch")
+            .parquet(tmp)
+        )
+        shutil.rmtree(self.cells_path)
+        os.rename(tmp, self.cells_path)

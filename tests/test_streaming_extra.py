@@ -678,3 +678,93 @@ def test_incremental_span_dedup_equals_batch(spark, sf_dir, tmp_path):
     got2 = sorted(tuple(r) for r in deduper.span_stats(second).collect())
     want2 = [r for r in want if r[0] >= docs[half]["doc_id"]]
     assert got2 == sorted(want2)
+
+
+def test_incremental_vector_index_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming twin of the similarity tier (the maintenance family's
+    fifth member): the foreachBatch-maintained cell-assigned vector
+    store, served via probe-and-score, must reproduce the batch
+    ivf_topk over everything ingested bit-for-bit — same pinned
+    centroid snapshot, both impls, and again after compaction."""
+    import glob
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from spark_kafka_streaming_spark.operators.similarity import ivf_topk
+    from spark_kafka_streaming_spark.streaming.incremental_vectors import (
+        IncrementalVectorIndexer,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(120)
+    )
+    emb.persist().count()
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    mid = ids[len(ids) // 2]
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    for i, half in enumerate(
+        (emb.filter(F.col("vec_id") < mid), emb.filter(F.col("vec_id") >= mid))
+    ):
+        part_dir = tmp_path / f"half{i}"
+        half.coalesce(1).write.parquet(str(part_dir))
+        (part,) = glob.glob(str(part_dir / "part-*.parquet"))
+        _sh.copy(part, str(src / f"b{i}.parquet"))
+
+    indexer = IncrementalVectorIndexer(
+        str(tmp_path / "vstore"), n_cells=8, n_assign=2
+    )
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(indexer)
+        .option("checkpointLocation", str(tmp_path / "ck_vec"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    queries = emb.filter(F.col("vec_id").isin(ids[:10]))
+    got = sorted(map(tuple, indexer.topk(queries, k=5, n_probe=3).collect()))
+    assert len(got) == 50
+
+    cents = indexer.centroids(spark)
+    for impl in ("sql", "arrow"):
+        want = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    queries,
+                    emb,
+                    k=5,
+                    n_probe=3,
+                    n_assign=2,
+                    centroids=cents,
+                    impl=impl,
+                ).collect(),
+            )
+        )
+        assert got == want, f"store-served != batch ivf_topk ({impl})"
+
+    # the store really is incremental (per-micro-batch leaves under
+    # each cell)…
+    batches = {
+        p.rsplit("batch=", 1)[1]
+        for p in glob.glob(str(tmp_path / "vstore" / "cells" / "cell=*" / "batch=*"))
+    }
+    assert batches == {"0", "1"}
+    # …and compaction preserves served results bit-for-bit
+    indexer.compact(spark)
+    assert (
+        sorted(map(tuple, indexer.topk(queries, k=5, n_probe=3).collect()))
+        == got
+    )
+    emb.unpersist()
