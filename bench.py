@@ -198,6 +198,13 @@ BENCH_QUERIES = [
     "q_similarity_hard_negatives",
 ]
 
+# Round-6 (second half): bench the ENTIRE catalog.  The explicit list
+# above keeps the headline ordering stable for cross-round comparison;
+# everything else in the registry (the formerly-unbenched sub-second
+# scalar/window/join shapes plus any future registration) appends in
+# name order, so "bench coverage" and "catalog" cannot drift apart.
+BENCH_QUERIES += sorted(n for n in REGISTRY if n not in set(BENCH_QUERIES))
+
 
 def _drain_or_stop(q, timeout_sec: int = 300) -> None:
     """Wait for an availableNow drain; on timeout stop the query before

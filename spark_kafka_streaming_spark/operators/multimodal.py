@@ -234,6 +234,211 @@ def decode_wav(payload: bytes) -> tuple[int, "object"]:
     return rate, np.frombuffer(data, dtype="<i2")
 
 
+def encode_avi(frames: "object", fps: int = 10) -> bytes:
+    """List of HxWx3 uint8 RGB frames → real RIFF AVI bytes.
+
+    Emits the canonical chunk layout a real AVI carries: ``RIFF('AVI ')``
+    containing ``LIST('hdrl')`` (a 56-byte ``avih`` MainAVIHeader and a
+    ``LIST('strl')`` with ``strh``/``strf`` stream headers for an
+    uncompressed ``DIB`` video stream), ``LIST('movi')`` with one
+    ``00db`` chunk per frame (bottom-up BGR raster, 4-byte row padding
+    — the same BI_RGB layout as BMP), and a trailing ``idx1`` index.
+    """
+    import struct
+
+    import numpy as np
+
+    fl = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = fl[0].shape
+    stride = (w * 3 + 3) & ~3
+    rasters = []
+    for a in fl:
+        body = bytearray(h * stride)
+        bgr = a[:, :, ::-1]
+        for r in range(h):
+            row = bgr[h - 1 - r].tobytes()
+            body[r * stride : r * stride + len(row)] = row
+        rasters.append(bytes(body))
+    frame_bytes = h * stride
+
+    avih = struct.pack(
+        "<10I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10, len(fl), 0,
+        1, frame_bytes, w, h,
+    ) + b"\x00" * 16
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIi", 0, 0, 0, 0, 1, fps, 0, len(fl), frame_bytes, 10000, 0)
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b"".join(chunk(b"00db", r) for r in rasters)
+    movi = lst(b"movi", movi_body)
+    # idx1: one entry per frame; offsets are relative to the 'movi'
+    # fourcc (the common convention)
+    idx_entries, off = [], 4
+    for r in rasters:
+        idx_entries.append(b"00db" + struct.pack("<III", 0x10, off, len(r)))
+        off += 8 + len(r) + (len(r) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    payload = hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", 4 + len(payload)) + b"AVI " + payload
+
+
+def _avi_walk(payload: bytes):
+    """Yield ``(fourcc, list_type_or_None, body_offset, size)`` for the
+    top-level chunks of a RIFF AVI payload."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError(f"not a RIFF/AVI payload (magic {payload[:4]!r})")
+    pos, end = 12, len(payload)
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        size = struct.unpack_from("<I", payload, pos + 4)[0]
+        ltype = payload[pos + 8 : pos + 12] if cid == b"LIST" else None
+        yield cid, ltype, pos + 8, size
+        pos += 8 + size + (size % 2)
+
+
+def avi_info(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, n_frames) from the ``avih``/``strf`` headers,
+    validating the stream is uncompressed 24-bit ``DIB`` video."""
+    import struct
+
+    for cid, ltype, off, size in _avi_walk(payload):
+        if cid != b"LIST" or ltype != b"hdrl":
+            continue
+        pos, end = off + 4, off + size
+        w = h = n = None
+        while pos + 8 <= end:
+            c = payload[pos : pos + 4]
+            sz = struct.unpack_from("<I", payload, pos + 4)[0]
+            if c == b"avih":
+                n, w, h = struct.unpack_from("<I", payload, pos + 8 + 16)[0], *struct.unpack_from("<II", payload, pos + 8 + 32)
+            elif c == b"LIST" and payload[pos + 8 : pos + 12] == b"strl":
+                spos, send = pos + 12, pos + 8 + sz
+                while spos + 8 <= send:
+                    sc = payload[spos : spos + 4]
+                    ssz = struct.unpack_from("<I", payload, spos + 4)[0]
+                    if sc == b"strf":
+                        bpp, comp = struct.unpack_from("<H", payload, spos + 8 + 14)[0], struct.unpack_from("<I", payload, spos + 8 + 16)[0]
+                        if bpp != 24 or comp != 0:
+                            raise ValueError(
+                                f"unsupported AVI stream ({bpp}-bit, compression {comp}); plug ffmpeg/cv2 here"
+                            )
+                    spos += 8 + ssz + (ssz % 2)
+            pos += 8 + sz + (sz % 2)
+        if None in (w, h, n):
+            raise ValueError("AVI hdrl missing avih header")
+        return w, h, n
+    raise ValueError("AVI missing hdrl list")
+
+
+def decode_avi_frames(payload: bytes, frame_nos: "object") -> dict:
+    """Decode only the requested frames of an uncompressed-DIB AVI.
+
+    Walks the ``movi`` list chunk-by-chunk but materializes a numpy
+    raster ONLY for sampled frame numbers — unsampled frames are
+    skipped by size, which is the I/O-shape a real frame sampler wants
+    (touch a bounded subset of the bytes). Returns
+    ``{frame_no: HxWx3 uint8 RGB array}``.
+    """
+    import struct
+
+    import numpy as np
+
+    w, h, n_frames = avi_info(payload)
+    want = {int(f) for f in frame_nos if 0 <= int(f) < n_frames}
+    stride = (w * 3 + 3) & ~3
+    out = {}
+    for cid, ltype, off, size in _avi_walk(payload):
+        if cid != b"LIST" or ltype != b"movi":
+            continue
+        pos, end, frame_no = off + 4, off + size, 0
+        while pos + 8 <= end and len(out) < len(want):
+            c = payload[pos : pos + 4]
+            sz = struct.unpack_from("<I", payload, pos + 4)[0]
+            if c in (b"00db", b"00dc"):
+                if frame_no in want:
+                    if sz < h * stride:
+                        raise ValueError(f"truncated AVI frame {frame_no}")
+                    rows = np.frombuffer(
+                        payload, np.uint8, count=h * stride, offset=pos + 8
+                    ).reshape(h, stride)
+                    bgr = rows[:, : w * 3].reshape(h, w, 3)
+                    out[frame_no] = bgr[::-1, :, ::-1].copy()
+                frame_no += 1
+            pos += 8 + sz + (sz % 2)
+    return out
+
+
+def video_frame_features(
+    df: DataFrame, every_n: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """Frame-sampled video decode + per-frame pixel statistics.
+
+    For each ``payload`` (uncompressed-DIB AVI bytes) reads the header
+    for the frame count, samples frames ``0, every_n, 2·every_n, …``,
+    decodes ONLY those rasters (:func:`decode_avi_frames` skips the
+    rest by chunk size), and emits one row per sampled frame with
+    integer-exact pixel stats — the front-end shape of a video
+    curation pipeline (scene filtering, CLIP-scoring frame selection).
+    Undecodable payloads yield a single NULL-stats row for the DLQ
+    split, same contract as :func:`image_features`.
+    """
+    schema = (
+        f"{id_col} bigint, frame_no int, width int, height int, "
+        "sum_px bigint, max_px int, mean_px double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "f", "w", "h", "s", "mx", "mean")}
+            for vid, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    b = bytes(payload)
+                    w, h, n = avi_info(b)
+                    frames = decode_avi_frames(b, range(0, n, every_n))
+                    for fno in sorted(frames):
+                        a = frames[fno].astype("int64")
+                        out["id"].append(vid)
+                        out["f"].append(fno)
+                        out["w"].append(w)
+                        out["h"].append(h)
+                        out["s"].append(int(a.sum()))
+                        out["mx"].append(int(a.max()))
+                        out["mean"].append(float(a.sum()) / a.size)
+                except (ValueError, IndexError, struct.error):
+                    out["id"].append(vid)
+                    for k in ("f", "w", "h", "s", "mx", "mean"):
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "frame_no": pd.array(out["f"], dtype="Int32"),
+                    "width": pd.array(out["w"], dtype="Int32"),
+                    "height": pd.array(out["h"], dtype="Int32"),
+                    "sum_px": pd.array(out["s"], dtype="Int64"),
+                    "max_px": pd.array(out["mx"], dtype="Int32"),
+                    "mean_px": pd.array(out["mean"], dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
 def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """End-to-end audio decode + waveform statistics, Arrow-batched.
 

@@ -307,3 +307,89 @@ def hist_filter_duck(value_col: str) -> str:
 def duck_log_bucket_sql(value_col: str) -> str:
     vc = f"CAST(floor({value_col} * {HIST_SCALE} + 0.5) AS BIGINT)"
     return f"CAST(length(bin({vc})) - 1 AS INT)"
+
+
+# --------------------------------------------- Misra-Gries heavy hitters
+
+def misra_gries_candidates(
+    items: DataFrame, item_col: str = "token", capacity: int = 1000
+) -> DataFrame:
+    """Bounded-memory per-task frequent-item candidates (Misra-Gries).
+
+    Each task folds its item stream into at most ``capacity`` counters
+    using the weighted Misra-Gries batch merge (Berinde et al. 2010,
+    "Space-optimal heavy hitters with strong error bounds"): per Arrow
+    batch, vectorized value counts are added to the summary; when it
+    exceeds ``capacity`` the (capacity+1)-th largest count is
+    subtracted from every counter and non-positive counters dropped —
+    the standard k-of-(k+1) reduction, whose undercount per item is
+    bounded by N_task/(capacity+1) regardless of arrival order.
+
+    Guarantee (what makes the 2-pass output deterministic even though
+    the summary itself is order-dependent): any item with task-local
+    count > N_task/(capacity+1) survives its task's summary, so any
+    item with GLOBAL count > N/(capacity+1) survives in at least one
+    task (pigeonhole over tasks).  The emitted candidate set is
+    therefore a guaranteed superset of the phi-heavy hitters whenever
+    ``capacity + 1 >= 1/phi`` — false positives are allowed (the exact
+    second pass removes them), false negatives are impossible.
+
+    Output: distinct candidate items, at most ``capacity`` per task —
+    O(tasks * capacity) rows total, NO shuffle of the full item stream.
+    """
+    schema = f"{item_col} string"
+
+    def run(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for item, cnt in pdf[item_col].value_counts().items():
+                counters[item] = counters.get(item, 0) + int(cnt)
+            if len(counters) > capacity:
+                # subtract the (capacity+1)-th largest value from all
+                offset = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: v - offset for k, v in counters.items() if v > offset
+                }
+        yield pd.DataFrame({item_col: list(counters)})
+
+    return items.select(item_col).mapInPandas(run, schema=schema)
+
+
+def heavy_hitters_exact(
+    items: DataFrame,
+    item_col: str = "token",
+    phi: float = 0.002,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact phi-heavy hitters in two bounded passes — the 100 TB
+    alternative to ``GROUP BY`` over the full distinct-item space.
+
+    Pass 1 (:func:`misra_gries_candidates`): map-only bounded-memory
+    candidate generation; the only shuffled rows are the O(tasks *
+    capacity) candidates.  Pass 2: exact counts for candidate items
+    only, via a broadcast semi-join that never materializes counts for
+    the (possibly billions of) non-candidate items, filtered to
+    ``count >= ceil(phi * N)``.
+
+    Because the candidate set is a guaranteed superset of the true
+    phi-heavy hitters (see pass-1 guarantee) and pass 2 is exact, the
+    result is deterministic and identical to the full-groupBy answer —
+    which is exactly what the DuckDB oracle computes.
+    """
+    capacity = capacity or max(16, int(2.0 / phi))
+    cands = misra_gries_candidates(items, item_col, capacity).distinct()
+    total = items.groupBy().agg(F.count("*").alias("n_total"))
+    return (
+        items.join(F.broadcast(cands), item_col)
+        .groupBy(item_col)
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_total")))
+        .select(
+            item_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_total"), 6).alias("frac"),
+        )
+    )

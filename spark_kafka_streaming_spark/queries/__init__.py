@@ -33,6 +33,7 @@ from . import llm11  # noqa: F401,E402
 from . import llm12  # noqa: F401,E402
 from . import llm13  # noqa: F401,E402
 from . import llm14  # noqa: F401,E402
+from . import llm15  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -249,6 +250,10 @@ _ROUND5_FILL = [
 # left out so the window stays 50/50 green-able).
 _ROUND6_WINDOW = [
     # (a) new registrations this round
+    "q_multimodal_video_frames",
+    "q_text_heavy_hitters",
+    "q_graph_triangles",
+    "q_vector_random_projection",
     "q_knn_label_propagation_ann",
     "q_knn_propagation_agreement",
     "q_similarity_mips_ivf",

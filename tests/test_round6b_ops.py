@@ -1,0 +1,181 @@
+"""Round-6 second-half operators: AVI video codec + frame sampling,
+Misra-Gries exact heavy hitters, triangle counting, JL random
+projection."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from spark_kafka_streaming_spark.operators.multimodal import (
+    avi_info,
+    decode_avi_frames,
+    encode_avi,
+    video_frame_features,
+)
+from spark_kafka_streaming_spark.operators.sketches import (
+    heavy_hitters_exact,
+    misra_gries_candidates,
+)
+
+# ------------------------------------------------------------ AVI codec
+
+
+def _frames(n, h=6, w=8, seed=0):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_avi_roundtrip_all_frames():
+    frames = _frames(5)
+    payload = encode_avi(frames, fps=10)
+    assert avi_info(payload) == (8, 6, 5)
+    dec = decode_avi_frames(payload, range(5))
+    assert sorted(dec) == [0, 1, 2, 3, 4]
+    for i, f in enumerate(frames):
+        assert (dec[i] == f).all()
+
+
+def test_avi_sampled_decode_skips_frames():
+    frames = _frames(9)
+    payload = encode_avi(frames)
+    dec = decode_avi_frames(payload, range(0, 9, 3))
+    assert sorted(dec) == [0, 3, 6]
+    assert all((dec[i] == frames[i]).all() for i in dec)
+
+
+def test_avi_odd_width_row_padding():
+    # w=5 → stride 16 ≠ 15: padding must be honored both directions
+    frames = _frames(3, h=4, w=5, seed=1)
+    payload = encode_avi(frames)
+    dec = decode_avi_frames(payload, [1])
+    assert (dec[1] == frames[1]).all()
+
+
+def test_avi_rejects_malformed():
+    with pytest.raises(ValueError):
+        avi_info(b"RIFF\x00\x00\x00\x00WAVE")  # not AVI
+    with pytest.raises(ValueError):
+        avi_info(b"RIFF\x10\x00\x00\x00AVI \x00" * 2)  # no hdrl
+    payload = encode_avi(_frames(2))
+    with pytest.raises((ValueError, struct.error)):
+        avi_info(payload[:30])  # truncated inside hdrl
+    with pytest.raises(ValueError):
+        # corrupt strf to claim 32-bit: decode must name the blocker
+        bad = bytearray(payload)
+        i = bad.index(b"strf")
+        struct.unpack_from("<H", bad, i + 8 + 14)  # sanity: field exists
+        struct.pack_into("<H", bad, i + 8 + 14, 32)
+        avi_info(bytes(bad))
+
+
+def test_video_frame_features_dlq_contract(spark):
+    good = encode_avi(_frames(4))
+    rows = [(1, bytearray(good)), (2, bytearray(b"garbage-not-avi"))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = video_frame_features(df, every_n=2).toPandas()
+    ok = out[out["doc_id"] == 1]
+    bad = out[out["doc_id"] == 2]
+    assert sorted(ok["frame_no"]) == [0, 2]
+    assert len(bad) == 1 and bad["width"].isna().all()
+
+
+# ----------------------------------------------------- heavy hitters
+
+
+def _token_df(spark, counts: dict[str, int], partitions=4):
+    rows = [(t,) for t, c in counts.items() for _ in range(c)]
+    return spark.createDataFrame(rows, "token string").repartition(partitions)
+
+
+def test_mg_candidates_never_lose_heavy_items(spark):
+    # 3 heavy items among 500 singleton tail items, capacity far below
+    # the distinct count: the superset guarantee must hold.
+    counts = {f"tail{i}": 1 for i in range(500)}
+    counts.update({"alpha": 200, "beta": 150, "gamma": 120})
+    df = _token_df(spark, counts)
+    cands = {
+        r["token"]
+        for r in misra_gries_candidates(df, "token", capacity=50).collect()
+    }
+    assert {"alpha", "beta", "gamma"} <= cands
+    # and the summary is bounded: ≤ capacity per task
+    assert len(cands) <= 50 * df.rdd.getNumPartitions()
+
+
+def test_heavy_hitters_exact_equals_full_groupby(spark):
+    counts = {f"w{i}": (i % 7) + 1 for i in range(300)}
+    counts.update({"hot1": 400, "hot2": 300, "warm": 90})
+    df = _token_df(spark, counts)
+    n_total = sum(counts.values())
+    phi = 0.02
+    expected = {
+        t: c for t, c in counts.items() if c >= -(-phi * n_total // 1)
+    }
+    got = {
+        r["token"]: r["cnt"]
+        for r in heavy_hitters_exact(df, "token", phi=phi, capacity=100).collect()
+    }
+    assert got == expected
+
+
+def test_heavy_hitters_frac_sums_below_one(spark):
+    df = _token_df(spark, {"a": 50, "b": 30, "c": 20})
+    out = heavy_hitters_exact(df, "token", phi=0.1).toPandas()
+    assert set(out["token"]) == {"a", "b", "c"}
+    assert abs(out["frac"].sum() - 1.0) < 1e-6
+
+
+# --------------------------------------------------------- triangles
+
+
+def test_triangle_join_enumerates_each_once(spark, sf_dir):
+    from spark_kafka_streaming_spark.queries.llm15 import q_graph_triangles
+
+    out = q_graph_triangles(spark, sf_dir).toPandas()
+    # oriented enumeration: strictly increasing brand triples, no dups
+    assert (out["brand_a"] < out["brand_b"]).all()
+    assert (out["brand_b"] < out["brand_c"]).all()
+    trips = list(zip(out["brand_a"], out["brand_b"], out["brand_c"]))
+    assert len(trips) == len(set(trips))
+
+
+# -------------------------------------------------- random projection
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    from spark_kafka_streaming_spark.functions.vectors import np_scaled
+    from spark_kafka_streaming_spark.queries.llm15 import (
+        _RP_D,
+        q_vector_random_projection,
+    )
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 40)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    v = np_scaled(np.array(emb["embedding"].tolist()))
+    d = v.shape[1]
+    i = np.arange(d, dtype=np.int64)[:, None]
+    j = np.arange(_RP_D, dtype=np.int64)[None, :]
+    signs = np.where(((i * 2654435761 + j * 40503 + 12345) % 7) % 2 == 0, 1, -1)
+    y = v @ signs  # exact: int64 well within range
+    proj_sq = (y * y).sum(axis=1)
+    orig_sq = (v * v).sum(axis=1)
+
+    out = q_vector_random_projection(spark, sf_dir).toPandas()
+    ids = emb["vec_id"].tolist()
+    idx = {vid: k for k, vid in enumerate(ids)}
+    for _, r in out.iterrows():
+        a, b = idx[r["id_a"]], idx[r["id_b"]]
+        assert r["sq_sum"] == orig_sq[a] + orig_sq[b]
+        assert r["proj_sq_sum"] == proj_sq[a] + proj_sq[b]
+    # JL concentration: mean pairwise norm ratio near 1 (±1 signs,
+    # d'=8 → relative std ~ sqrt(2/8); the mean over 780 pairs is tight)
+    assert 0.5 < out["norm_ratio"].mean() < 1.5
