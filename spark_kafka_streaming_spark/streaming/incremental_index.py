@@ -116,6 +116,40 @@ class IncrementalIndexer:
         )
         return IX.bm25_score_per_doc(per_doc, terms, topk)
 
+    def heavy_hitters_snapshot(
+        self, spark: SparkSession, phi: float = 0.002
+    ) -> DataFrame | None:
+        """Exact phi-heavy hitters served from the maintained store —
+        the streaming twin of
+        :func:`..operators.sketches.heavy_hitters_exact`
+        (q_text_heavy_hitters).
+
+        The tf partials sum exactly, so corpus-wide token counts (and
+        the corpus total) reduce from the store without touching any
+        document bytes; the threshold expression
+        (``cnt >= ceil(phi * n_total)``, frac rounded the same way)
+        matches the batch operator so stream-served heavy hitters are
+        bit-identical to a batch rebuild over everything ingested
+        (pinned in tests/test_streaming_extra.py).  At scale this is
+        the monitoring read a curation pipeline wants continuously:
+        vocabulary drift and boilerplate-token surges show up here
+        batches after they enter, with no corpus re-scan.
+        """
+        tf = self._merged_tf(spark)
+        if tf is None:
+            return None
+        counts = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("cnt"))
+        total = counts.groupBy().agg(F.sum("cnt").alias("n_total"))
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_total")))
+            .select(
+                F.col("term").alias("token"),
+                "cnt",
+                F.round(F.col("cnt") / F.col("n_total"), 6).alias("frac"),
+            )
+        )
+
     def compact(self, spark: SparkSession) -> None:
         """Fold per-batch partials into one summed ``batch=-1`` base
         per term bucket (temp dir + rename; a transactional table

@@ -394,6 +394,27 @@ def test_incremental_inverted_index_equals_batch(spark, sf_dir, tmp_path):
     assert len(want_bm25) > 0
     assert got_bm25 == want_bm25
 
+    # heavy-hitter serving loop: exact phi-heavy hitters from the
+    # maintained store are bit-identical to the batch 2-pass operator
+    # (q_text_heavy_hitters) over the same docs — counts, fracs, set.
+    from spark_kafka_streaming_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    phi = 0.01
+    want_hh = sorted(
+        tuple(r)
+        for r in heavy_hitters_exact(
+            tok.select(F.col("term").alias("token")), "token", phi=phi
+        ).collect()
+    )
+    got_hh = sorted(
+        tuple(r)
+        for r in indexer.heavy_hitters_snapshot(spark, phi=phi).collect()
+    )
+    assert len(want_hh) > 0
+    assert got_hh == want_hh
+
 
 def test_incremental_moments_equals_batch(spark, sf_dir, tmp_path):
     """Streaming twin of q_stats_moments_merge: per-micro-batch exact
