@@ -312,7 +312,10 @@ def duck_log_bucket_sql(value_col: str) -> str:
 # --------------------------------------------- Misra-Gries heavy hitters
 
 def misra_gries_candidates(
-    items: DataFrame, item_col: str = "token", capacity: int = 1000
+    items: DataFrame,
+    item_col: str = "token",
+    capacity: int = 1000,
+    with_task_totals: bool = False,
 ) -> DataFrame:
     """Bounded-memory per-task frequent-item candidates (Misra-Gries).
 
@@ -336,14 +339,23 @@ def misra_gries_candidates(
 
     Output: distinct candidate items, at most ``capacity`` per task —
     O(tasks * capacity) rows total, NO shuffle of the full item stream.
+    With ``with_task_totals`` each task also emits one sentinel row
+    (``item NULL, cnt = task item count``) so the caller can derive
+    the exact global N from the same scan instead of paying a second
+    one; the per-item ``cnt`` values are the order-dependent MG
+    residuals (diagnostic lower bounds — do not compare across runs).
     """
-    schema = f"{item_col} string"
+    schema = f"{item_col} string" + (
+        ", cnt bigint" if with_task_totals else ""
+    )
 
     def run(batches):
         import pandas as pd
 
         counters: dict = {}
+        n_task = 0
         for pdf in batches:
+            n_task += len(pdf)
             for item, cnt in pdf[item_col].value_counts().items():
                 counters[item] = counters.get(item, 0) + int(cnt)
             if len(counters) > capacity:
@@ -352,7 +364,15 @@ def misra_gries_candidates(
                 counters = {
                     k: v - offset for k, v in counters.items() if v > offset
                 }
-        yield pd.DataFrame({item_col: list(counters)})
+        if with_task_totals:
+            yield pd.DataFrame(
+                {
+                    item_col: list(counters) + [None],
+                    "cnt": list(counters.values()) + [n_task],
+                }
+            )
+        else:
+            yield pd.DataFrame({item_col: list(counters)})
 
     return items.select(item_col).mapInPandas(run, schema=schema)
 
@@ -379,8 +399,19 @@ def heavy_hitters_exact(
     which is exactly what the DuckDB oracle computes.
     """
     capacity = capacity or max(16, int(2.0 / phi))
-    cands = misra_gries_candidates(items, item_col, capacity).distinct()
-    total = items.groupBy().agg(F.count("*").alias("n_total"))
+    # one scan yields BOTH the candidates (non-null rows) and the exact
+    # global N (sum of per-task sentinel totals) — 2 scans total, not 3
+    from ..functions.caching import track_persist
+
+    summary = track_persist(
+        misra_gries_candidates(items, item_col, capacity, with_task_totals=True)
+    )
+    cands = summary.filter(F.col(item_col).isNotNull()).select(item_col).distinct()
+    total = (
+        summary.filter(F.col(item_col).isNull())
+        .groupBy()
+        .agg(F.sum("cnt").alias("n_total"))
+    )
     return (
         items.join(F.broadcast(cands), item_col)
         .groupBy(item_col)

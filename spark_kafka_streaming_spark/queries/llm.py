@@ -272,29 +272,20 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id1, id2
     """,
     doc="Embedding-cosine near-dup pairs (exact baseline; integer-scaled "
-    "dot products are engine-exact). Scale path: hyperplane-LSH variant "
-    "(q_similarity_ann_lsh) replaces the O(n²) pair generation.",
+    "dot products are engine-exact), computed as blocked int64 matmuls: "
+    "each of the B(B+1)/2 block pairs scores in one cogrouped Arrow "
+    "task (operators/similarity.py::cosine_all_pairs — bit-identical "
+    "to the theta-join SQL form the oracle mirrors, measured ~13× "
+    "faster). The O(n²) scoring cost is this tier's documented "
+    "contract; hyperplane-LSH (q_dedup_embedding_lsh) and SemDeDup "
+    "replace the pair generation at corpus scale.",
     tags=("llm", "dedup", "embedding"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_all_pairs
+
     emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.expr(V.spark_scaled("embedding")).alias("v"),
-        F.expr(V.spark_dot(V.spark_scaled("embedding"), V.spark_scaled("embedding"))).alias("n"),
-    )
-    a, b = base.alias("a"), base.alias("b")
-    cos = F.expr(V.spark_cosine(V.spark_dot("a.v", "b.v"), "a.n", "b.n"))
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id1"),
-            F.col("b.vec_id").alias("id2"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= 0.45)
-        .orderBy("id1", "id2")
-    )
+    return cosine_all_pairs(emb, threshold=0.45).orderBy("id1", "id2")
 
 
 @register(

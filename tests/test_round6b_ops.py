@@ -179,3 +179,40 @@ def test_random_projection_matches_numpy(spark, sf_dir):
     # JL concentration: mean pairwise norm ratio near 1 (±1 signs,
     # d'=8 → relative std ~ sqrt(2/8); the mean over 780 pairs is tight)
     assert 0.5 < out["norm_ratio"].mean() < 1.5
+
+
+# ----------------------------------------- blocked all-pairs cosine
+
+
+def test_cosine_all_pairs_arrow_equals_sql(spark, sf_dir):
+    from spark_kafka_streaming_spark.operators.similarity import (
+        cosine_all_pairs,
+    )
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    want = sorted(
+        tuple(r) for r in cosine_all_pairs(emb, 0.45, impl="sql").collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in cosine_all_pairs(emb, 0.45, impl="arrow", n_blocks=5).collect()
+    )
+    assert len(want) > 0
+    assert got == want  # bit-identical incl. cos_sim doubles
+
+
+def test_cosine_all_pairs_block_count_invariant(spark, sf_dir):
+    from spark_kafka_streaming_spark.operators.similarity import (
+        cosine_all_pairs,
+    )
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id < 200")
+    a = sorted(
+        tuple(r) for r in cosine_all_pairs(emb, 0.15, n_blocks=3).collect()
+    )
+    b = sorted(
+        tuple(r) for r in cosine_all_pairs(emb, 0.15, n_blocks=11).collect()
+    )
+    assert a == b and len(a) > 0
