@@ -612,7 +612,8 @@ def cosine_all_pairs(
     measured ~13× faster than the join form at sf0.1.  Size ``n_blocks``
     so a block pair (~2·(n/B)·(d+1) int64s) fits an executor; the
     O(n²) scoring cost is the tier's documented contract (the LSH /
-    SemDeDup tiers are the candidate-pruned scale path).
+    SemDeDup tiers are the candidate-pruned scale path).  Measured at
+    sf0.1: 37.9 s (join form) → 1.5 s warm.
 
     ``impl="sql"`` is the pure built-in theta-join form; bit-identical
     (pinned in tests/test_round6b_ops.py) and the shape the DuckDB

@@ -275,8 +275,8 @@ def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dot products are engine-exact), computed as blocked int64 matmuls: "
     "each of the B(B+1)/2 block pairs scores in one cogrouped Arrow "
     "task (operators/similarity.py::cosine_all_pairs — bit-identical "
-    "to the theta-join SQL form the oracle mirrors, measured ~13× "
-    "faster). The O(n²) scoring cost is this tier's documented "
+    "to the theta-join SQL form the oracle mirrors; 37.9 s → 1.5 s at "
+    "sf0.1). The O(n²) scoring cost is this tier's documented "
     "contract; hyperplane-LSH (q_dedup_embedding_lsh) and SemDeDup "
     "replace the pair generation at corpus scale.",
     tags=("llm", "dedup", "embedding"),

@@ -153,3 +153,32 @@ def test_span_tier_accounts_planted_embeds(zipf_corpus):
         if stats[host]["n_dup_tokens"] >= src_len:
             ok += 1
     assert ok / len(contain) >= 0.9
+
+
+def test_heavy_hitters_on_zipf_match_true_counts(zipf_corpus, spark):
+    """On the 30k-word Zipf-Mandelbrot vocabulary the MG candidate
+    pass runs far below the distinct-token count (capacity 1000 ≪
+    vocab), i.e. the sketch actually sketches — and the 2-pass result
+    must still equal the exact python-side frequency answer."""
+    from collections import Counter
+
+    from spark_kafka_streaming_spark.functions import texthash as TH
+    from spark_kafka_streaming_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    df, texts, _ = zipf_corpus
+    truth = Counter(t for s in texts for t in s.split(" ") if t)
+    n_total = sum(truth.values())
+    phi = 0.005
+    thresh = -(-phi * n_total // 1)  # ceil
+    expected = {w: c for w, c in truth.items() if c >= thresh}
+    assert 0 < len(expected) < len(truth)  # head only, sketch meaningful
+
+    toks = df.select(F.explode(F.expr(TH.spark_tokens("text"))).alias("token"))
+    got = {
+        r["token"]: r["cnt"]
+        for r in heavy_hitters_exact(toks, "token", phi=phi, capacity=1000)
+        .collect()
+    }
+    assert got == expected
