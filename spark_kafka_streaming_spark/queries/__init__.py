@@ -251,6 +251,7 @@ _ROUND5_FILL = [
 _ROUND6_WINDOW = [
     # (a) new registrations this round
     "q_multimodal_video_frames",
+    "q_multimodal_video_scene_cuts",
     "q_text_heavy_hitters",
     "q_graph_triangles",
     "q_vector_random_projection",

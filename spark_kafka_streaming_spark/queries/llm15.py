@@ -336,3 +336,86 @@ def q_vector_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+# ------------------------------------------------- video scene cuts
+
+_CUT_DELTA = 20.0  # mean-pixel jump that counts as a scene cut
+
+
+@register(
+    "q_multimodal_video_scene_cuts",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, 4 + doc_id % 5 AS n_frames FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             unnest(generate_series(0, CAST(n_frames - 1 AS BIGINT),
+                                    {_VID_EVERY})) AS frame_no
+      FROM d
+    ),
+    px AS (
+      SELECT f.doc_id, f.frame_no,
+             (f.doc_id * 7 + f.frame_no * 31 + y.y * 13 + x.x * 5
+              + c.c * 3) % 256 AS v
+      FROM f,
+           generate_series(0, {_VID_H - 1}) y(y),
+           generate_series(0, {_VID_W - 1}) x(x),
+           generate_series(0, 2) c(c)
+    ),
+    frames AS (
+      SELECT doc_id, frame_no,
+             CAST(SUM(v) AS DOUBLE) / {_VID_NPX} AS mean_px
+      FROM px GROUP BY doc_id, frame_no
+    ),
+    deltas AS (
+      SELECT doc_id, frame_no,
+             mean_px - lag(mean_px) OVER (
+               PARTITION BY doc_id ORDER BY frame_no
+             ) AS delta
+      FROM frames
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (delta IS NOT NULL) AS INT) AS n_transitions,
+           CAST(count(*) FILTER (abs(delta) > {_CUT_DELTA}) AS INT) AS n_cuts,
+           round(coalesce(max(abs(delta)), 0.0), 6) AS max_delta
+    FROM deltas GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    doc="Scene-cut detection over the sampled-frame decode: per clip, "
+    "consecutive sampled frames are compared by mean pixel level (a "
+    "real cut detector swaps in an HSV histogram or feature distance "
+    "— same plan shape) and jumps above a threshold count as cuts. "
+    "Composes q_multimodal_video_frames' decode stage with a "
+    "doc-partitioned lag window, so the whole detector is one "
+    "mapInPandas pass plus one bounded per-clip window — the shape of "
+    "shot segmentation for video-curation pipelines (sample frames → "
+    "per-frame signal → temporal structure). The oracle recomputes "
+    "frame means arithmetically and replays the same lag/threshold "
+    "logic in SQL.",
+    tags=("llm", "multimodal", "video"),
+)
+def q_multimodal_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    frames = q_multimodal_video_frames(spark, sf_dir)
+    w = W.partitionBy("doc_id").orderBy("frame_no")
+    deltas = frames.withColumn(
+        "delta", F.col("mean_px") - F.lag("mean_px").over(w)
+    )
+    return (
+        deltas.groupBy("doc_id")
+        .agg(
+            F.count("delta").cast("int").alias("n_transitions"),
+            F.sum(
+                F.when(F.abs(F.col("delta")) > _CUT_DELTA, 1).otherwise(0)
+            )
+            .cast("int")
+            .alias("n_cuts"),
+            F.round(F.coalesce(F.max(F.abs(F.col("delta"))), F.lit(0.0)), 6).alias(
+                "max_delta"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -216,3 +216,20 @@ def test_cosine_all_pairs_block_count_invariant(spark, sf_dir):
         tuple(r) for r in cosine_all_pairs(emb, 0.15, n_blocks=11).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_scene_cut_detects_planted_jump(spark):
+    from pyspark.sql import Window as W
+
+    # frames 0/2 flat dark, frame 4 flat bright: one cut at frame 4
+    flat = lambda v: np.full((6, 8, 3), v, dtype=np.uint8)
+    payload = encode_avi([flat(10), flat(10), flat(10), flat(10), flat(200)])
+    df = spark.createDataFrame([(7, bytearray(payload))], "doc_id long, payload binary")
+    frames = video_frame_features(df, every_n=2)
+    w = W.partitionBy("doc_id").orderBy("frame_no")
+    deltas = frames.withColumn(
+        "delta", F.col("mean_px") - F.lag("mean_px").over(w)
+    ).collect()
+    jumps = [r["delta"] for r in deltas if r["delta"] is not None]
+    assert sum(1 for d in jumps if abs(d) > 20.0) == 1
+    assert abs(max(jumps) - 190.0) < 1e-9
