@@ -272,3 +272,67 @@ def test_moment_partials_merge_for_any_split(spark, vals, cut):
         mean = s1 / n
         direct = sum((x - mean) ** 2 for x in vals) / n
         assert math.isclose(var, direct, rel_tol=1e-9, abs_tol=1e-6)
+
+
+# ---------------------------------------------------- AVI codec (r6)
+
+_frame_dims = st.tuples(
+    st.integers(min_value=1, max_value=9),  # h
+    st.integers(min_value=1, max_value=9),  # w
+    st.integers(min_value=1, max_value=6),  # n frames
+    st.integers(min_value=0, max_value=2**31 - 1),  # seed
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_frame_dims)
+def test_avi_roundtrip_any_geometry(dims):
+    """encode→decode is the identity for every frame at every (h, w,
+    n) geometry — including odd widths where DIB row padding kicks in."""
+    import numpy as np
+
+    from spark_kafka_streaming_spark.operators.multimodal import (
+        avi_info,
+        decode_avi_frames,
+        encode_avi,
+    )
+
+    h, w, n, seed = dims
+    rng = np.random.default_rng(seed)
+    frames = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+    payload = encode_avi(frames)
+    assert avi_info(payload) == (w, h, n)
+    dec = decode_avi_frames(payload, range(n))
+    assert sorted(dec) == list(range(n))
+    for i in range(n):
+        assert (dec[i] == frames[i]).all()
+
+
+# ------------------------------------------- Misra-Gries guarantee (r6)
+
+_stream = st.lists(
+    st.sampled_from([f"t{i}" for i in range(40)]), min_size=1, max_size=300
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_stream, st.integers(min_value=2, max_value=12))
+def test_mg_batch_merge_superset_guarantee(stream, capacity):
+    """Pure-python replay of the weighted MG batch merge over arbitrary
+    batch splits: every item with count > N/(capacity+1) must survive —
+    the guarantee heavy_hitters_exact's determinism rests on."""
+    from collections import Counter
+
+    truth = Counter(stream)
+    n = len(stream)
+    # replay the operator's per-batch fold (value-counts merge + offset
+    # subtraction) over a fixed batch split
+    counters: dict = {}
+    for k in range(0, n, 37):
+        for item, cnt in Counter(stream[k : k + 37]).items():
+            counters[item] = counters.get(item, 0) + cnt
+        if len(counters) > capacity:
+            offset = sorted(counters.values(), reverse=True)[capacity]
+            counters = {k2: v - offset for k2, v in counters.items() if v > offset}
+    must_survive = {t for t, c in truth.items() if c > n / (capacity + 1)}
+    assert must_survive <= set(counters)
