@@ -34,6 +34,7 @@ from . import llm12  # noqa: F401,E402
 from . import llm13  # noqa: F401,E402
 from . import llm14  # noqa: F401,E402
 from . import llm15  # noqa: F401,E402
+from . import llm16  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -252,6 +253,8 @@ _ROUND6_WINDOW = [
     # (a) new registrations this round
     "q_multimodal_video_frames",
     "q_multimodal_video_scene_cuts",
+    "q_similarity_filtered_ann",
+    "q_search_hybrid_rrf",
     "q_text_heavy_hitters",
     "q_graph_triangles",
     "q_vector_random_projection",

@@ -1,0 +1,194 @@
+"""Round-6 retrieval composition queries: metadata-filtered vector
+search and hybrid lexical+vector retrieval (Reciprocal Rank Fusion) —
+the two serving shapes a RAG/retrieval stack runs on top of the ANN
+and BM25 tiers this catalog already implements.
+
+Reference provenance: the reference repo (wgnet/spark-kafka-streaming)
+has no retrieval surface; these extend the §2c similarity/search
+families per SURVEY.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import texthash as TH
+from ..functions import vectors as V
+from ..operators import index as IX
+from ..sources.batch import load_table
+from .registry import register
+
+# ------------------------------------------------ filtered ANN
+
+
+def _filtered_ann_oracle() -> str:
+    from ..operators.similarity import duck_ivf_topk_sql
+
+    return duck_ivf_topk_sql(
+        5,
+        "id < 10",
+        corpus_pred="id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+    )
+
+
+@register(
+    "q_similarity_filtered_ann",
+    oracle=_filtered_ann_oracle(),
+    doc="Metadata-filtered vector search: ANN top-5 restricted to the "
+    "corpus slice whose joined document metadata passes a predicate "
+    "(lang = 'en'), the filtered-search mode every production vector "
+    "store serves (permission scopes, language routing, freshness "
+    "windows). The filter is applied to the INDEXED side before cell "
+    "assignment — a semi-join against the metadata table — so cells, "
+    "probes, and candidates all live in the filtered universe "
+    "(pre-filtering; no post-filter recall loss at low selectivity). "
+    "Oracle: the generated IVF CTE twin with the same corpus "
+    "predicate, same seed centroids, same probe set, same exact "
+    "cosines and tiebreaks.",
+    tags=("llm", "similarity", "filtered"),
+)
+def q_similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    en = docs.filter(F.col("lang") == "en").select("doc_id")
+    corpus = emb.join(
+        F.broadcast(en), emb.vec_id == en.doc_id, "left_semi"
+    )
+    return ivf_topk(emb.filter(F.col("vec_id") < 10), corpus, k=5).orderBy(
+        "query_id", "rn"
+    )
+
+
+# ------------------------------------------------ hybrid RRF
+
+_RRF_K = 60  # the standard RRF damping constant
+_LEG_K = 50  # per-leg candidate depth
+_HYBRID_TOPK = 15
+_QVEC_ID = 0  # the query vector (stands in for an encoded query text)
+
+
+def _hybrid_oracle() -> str:
+    terms = IX.BM25_TERMS
+    tf_cols = ", ".join(
+        f"CAST({IX.bm25_tf_case(t)} AS BIGINT) AS tf_{t}" for t in terms
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in terms
+    )
+    idfq_cols = ", ".join(
+        IX.bm25_idfq(f"s.df_{t}", "//") + f" AS idfq_{t}" for t in terms
+    )
+    score_cols = ", ".join(
+        IX.BM25_SCORE.format(t=t) + f" AS s_{t}" for t in terms
+    )
+    total = f"s_{terms[0]}"
+    for t in terms[1:]:
+        total = f"({total} + s_{t})"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TH.duck_tokens('text')}) AS term FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS dl, {tf_cols} FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl, {df_cols}
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT d.doc_id, d.dl, {', '.join(f'd.tf_{t}' for t in terms)},
+             s.n_docs, s.sum_dl, {idfq_cols}
+      FROM per_doc d CROSS JOIN stats s
+    ),
+    final AS (SELECT doc_id, {score_cols} FROM scored),
+    bm AS (
+      SELECT doc_id, CAST(rn AS INT) AS bm25_rank FROM (
+        SELECT doc_id, ROW_NUMBER() OVER (
+          ORDER BY {total} DESC, doc_id
+        ) AS rn FROM final
+      ) WHERE rn <= {_LEG_K}
+    ),
+    sv AS (
+      SELECT vec_id, {V.duck_scaled('embedding')} AS v FROM embeddings
+    ),
+    sn AS (SELECT vec_id, v, {V.duck_dot('v', 'v')} AS n FROM sv),
+    q AS (SELECT * FROM sn WHERE vec_id = {_QVEC_ID}),
+    cosr AS (
+      SELECT c.vec_id AS id, ROW_NUMBER() OVER (
+        ORDER BY CAST({V.duck_dot('q.v', 'c.v')} AS DOUBLE)
+                 / (sqrt(CAST(q.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE)))
+                 DESC, c.vec_id
+      ) AS rn
+      FROM q JOIN sn c ON c.vec_id <> {_QVEC_ID}
+    ),
+    cv AS (SELECT id, CAST(rn AS INT) AS cos_rank FROM cosr WHERE rn <= {_LEG_K})
+    SELECT COALESCE(b.doc_id, v.id) AS id, b.bm25_rank, v.cos_rank,
+           (COALESCE(1.0 / ({_RRF_K} + b.bm25_rank), 0.0)
+            + COALESCE(1.0 / ({_RRF_K} + v.cos_rank), 0.0)) AS rrf
+    FROM bm b FULL JOIN cv v ON b.doc_id = v.id
+    ORDER BY rrf DESC, id LIMIT {_HYBRID_TOPK}
+    """
+
+
+@register(
+    "q_search_hybrid_rrf",
+    oracle=_hybrid_oracle(),
+    doc="Hybrid lexical+vector retrieval via Reciprocal Rank Fusion: "
+    "the BM25 leg ranks documents for the multi-term query and the "
+    "vector leg ranks by exact cosine to a query embedding (vec 0 "
+    "stands in for the encoded query text); each doc's fused score is "
+    "Σ 1/(60 + rank) over the legs it appears in (Cormack 2009), "
+    "top-15 fused — the default serving recipe of every hybrid search "
+    "stack (sparse recall + dense recall, fusion without score "
+    "calibration). Rank fusion is deliberately score-free, so the "
+    "fused ordering is engine-exact (ranks are integers; 1/(60+r) is "
+    "one IEEE division). Scale shape: each leg is its own documented "
+    "plan (BM25: one shuffle + broadcast stats; cosine: one corpus "
+    "pass, bounded query side); fusion joins two ≤50-row rank lists.",
+    tags=("llm", "search", "hybrid"),
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(TH.spark_tokens("text"))).alias("term")
+    )
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.expr(IX.bm25_tf_case(t)).cast("bigint").alias(f"tf_{t}")
+            for t in IX.BM25_TERMS
+        ],
+    )
+    w_bm = Window.orderBy(F.desc("score"), "doc_id")
+    bm = (
+        IX.bm25_score_per_doc(per_doc, topk=_LEG_K)
+        .withColumn("bm25_rank", F.row_number().over(w_bm).cast("int"))
+        .select("doc_id", "bm25_rank")
+    )
+    cv = (
+        brute_force_topk(
+            emb.filter(F.col("vec_id") == _QVEC_ID), emb, k=_LEG_K
+        )
+        .select(
+            F.col("neighbor_id").alias("id"),
+            F.col("rn").cast("int").alias("cos_rank"),
+        )
+    )
+    fused = bm.join(cv, bm.doc_id == cv.id, "full_outer").select(
+        F.coalesce("doc_id", "id").alias("id"),
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("cos_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "id").limit(_HYBRID_TOPK)

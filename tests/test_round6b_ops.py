@@ -233,3 +233,45 @@ def test_scene_cut_detects_planted_jump(spark):
     jumps = [r["delta"] for r in deltas if r["delta"] is not None]
     assert sum(1 for d in jumps if abs(d) > 20.0) == 1
     assert abs(max(jumps) - 190.0) < 1e-9
+
+
+# ----------------------------------------------- retrieval composition
+
+
+def test_filtered_ann_neighbors_respect_predicate(spark, sf_dir):
+    from spark_kafka_streaming_spark.queries.llm16 import (
+        q_similarity_filtered_ann,
+    )
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    out = q_similarity_filtered_ann(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    en = {
+        r["doc_id"]
+        for r in load_table(spark, sf_dir, "documents")
+        .filter("lang = 'en'")
+        .select("doc_id")
+        .collect()
+    }
+    assert set(out["neighbor_id"]) <= en  # pre-filtering: no leakage
+
+
+def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
+    from spark_kafka_streaming_spark.queries.llm16 import (
+        _RRF_K,
+        q_search_hybrid_rrf,
+    )
+
+    out = q_search_hybrid_rrf(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    # every fused score is reproducible from its rank columns
+    for _, r in out.iterrows():
+        want = 0.0
+        if r["bm25_rank"] == r["bm25_rank"]:  # not NaN
+            want += 1.0 / (_RRF_K + int(r["bm25_rank"]))
+        if r["cos_rank"] == r["cos_rank"]:
+            want += 1.0 / (_RRF_K + int(r["cos_rank"]))
+        assert abs(r["rrf"] - want) < 1e-12
+    # docs present in BOTH legs outrank equal-rank single-leg docs:
+    # the fused list is sorted by rrf desc
+    assert (out["rrf"].values[:-1] >= out["rrf"].values[1:]).all()
