@@ -155,3 +155,30 @@ def bm25_score_per_doc(
         .orderBy(F.desc("score"), "doc_id")
         .limit(topk)
     )
+
+
+def rrf_fuse(
+    bm: DataFrame, cv: DataFrame, rrf_k: int = 60, topk: int = 15
+) -> DataFrame:
+    """Reciprocal Rank Fusion of a lexical and a dense rank list.
+
+    ``bm``: (doc_id, bm25_rank); ``cv``: (id, cos_rank).  Fused score
+    is Σ 1/(rrf_k + rank) over the legs a doc appears in (Cormack
+    2009) — score-free, so the ordering is engine-exact (ranks are
+    integers; 1/(rrf_k+r) is one IEEE division).  Shared by the batch
+    query (q_search_hybrid_rrf) and the streaming serving loop
+    (streaming/serving.py::hybrid_rrf_from_stores), the same
+    batch/stream-shared-expression contract as BM25 scoring above.
+    The join is between two ≤leg_k-row rank lists — bounded at any
+    corpus size.
+    """
+    fused = bm.join(cv, bm.doc_id == cv.id, "full_outer").select(
+        F.coalesce("doc_id", "id").alias("id"),
+        "bm25_rank",
+        "cos_rank",
+        (
+            F.coalesce(1.0 / (rrf_k + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (rrf_k + F.col("cos_rank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "id").limit(topk)

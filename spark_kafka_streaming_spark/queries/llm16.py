@@ -182,13 +182,4 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int").alias("cos_rank"),
         )
     )
-    fused = bm.join(cv, bm.doc_id == cv.id, "full_outer").select(
-        F.coalesce("doc_id", "id").alias("id"),
-        "bm25_rank",
-        "cos_rank",
-        (
-            F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
-            + F.coalesce(1.0 / (_RRF_K + F.col("cos_rank")), F.lit(0.0))
-        ).alias("rrf"),
-    )
-    return fused.orderBy(F.desc("rrf"), "id").limit(_HYBRID_TOPK)
+    return IX.rrf_fuse(bm, cv, rrf_k=_RRF_K, topk=_HYBRID_TOPK)
