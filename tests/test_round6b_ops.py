@@ -275,3 +275,30 @@ def test_hybrid_rrf_fuses_both_legs(spark, sf_dir):
     # docs present in BOTH legs outrank equal-rank single-leg docs:
     # the fused list is sorted by rrf desc
     assert (out["rrf"].values[:-1] >= out["rrf"].values[1:]).all()
+
+
+# ------------------------------------------------------- edge cases
+
+
+def test_heavy_hitters_all_unique_returns_empty(spark):
+    df = _token_df(spark, {f"u{i}": 1 for i in range(400)})
+    out = heavy_hitters_exact(df, "token", phi=0.01, capacity=64).collect()
+    assert out == []  # no token reaches 1% of 400
+
+
+def test_single_frame_video_roundtrip():
+    frames = _frames(1)
+    payload = encode_avi(frames)
+    assert avi_info(payload) == (8, 6, 1)
+    dec = decode_avi_frames(payload, [0])
+    assert (dec[0] == frames[0]).all()
+
+
+def test_cosine_all_pairs_single_vector_yields_nothing(spark, sf_dir):
+    from spark_kafka_streaming_spark.operators.similarity import (
+        cosine_all_pairs,
+    )
+    from spark_kafka_streaming_spark.sources.batch import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id = 3")
+    assert cosine_all_pairs(emb, 0.0).collect() == []
