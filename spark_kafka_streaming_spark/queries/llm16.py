@@ -22,13 +22,25 @@ from .registry import register
 # ------------------------------------------------ filtered ANN
 
 
+_EN_PRED = "id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+
+#: SQL twin of ``auto_cells`` over the FILTERED corpus — the cell
+#: count must scale with the indexed slice, not the full table
+#: (parameterized-oracle pattern; see queries/llm13.py::auto_cells).
+_EN_NCELLS_SQL = (
+    "SELECT greatest(16, count(*) // 400) FROM embeddings "
+    "WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
+)
+
+
 def _filtered_ann_oracle() -> str:
     from ..operators.similarity import duck_ivf_topk_sql
 
     return duck_ivf_topk_sql(
         5,
         "id < 10",
-        corpus_pred="id IN (SELECT doc_id FROM documents WHERE lang = 'en')",
+        corpus_pred=_EN_PRED,
+        n_cells_sql=_EN_NCELLS_SQL,
     )
 
 
@@ -43,13 +55,17 @@ def _filtered_ann_oracle() -> str:
     "assignment — a semi-join against the metadata table — so cells, "
     "probes, and candidates all live in the filtered universe "
     "(pre-filtering; no post-filter recall loss at low selectivity). "
-    "Oracle: the generated IVF CTE twin with the same corpus "
-    "predicate, same seed centroids, same probe set, same exact "
-    "cosines and tiebreaks.",
+    "The cell count scales with the FILTERED slice (auto_cells over "
+    "the predicate's survivors, same count formula in engine and "
+    "oracle) so per-cell occupancy stays constant however selective "
+    "the filter. Oracle: the generated IVF CTE twin with the same "
+    "corpus predicate, same seed centroids, same probe set, same "
+    "exact cosines and tiebreaks.",
     tags=("llm", "similarity", "filtered"),
 )
 def q_similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk
+    from .llm13 import auto_cells
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
@@ -57,9 +73,12 @@ def q_similarity_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.join(
         F.broadcast(en), emb.vec_id == en.doc_id, "left_semi"
     )
-    return ivf_topk(emb.filter(F.col("vec_id") < 10), corpus, k=5).orderBy(
-        "query_id", "rn"
-    )
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 10),
+        corpus,
+        k=5,
+        n_cells=auto_cells(corpus.count()),
+    ).orderBy("query_id", "rn")
 
 
 # ------------------------------------------------ hybrid RRF
