@@ -492,6 +492,58 @@ def audio_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col, "payload").mapInPandas(run, schema=schema)
 
 
+def audio_window_features(
+    df: DataFrame, win: int = 8, id_col: str = "doc_id"
+) -> DataFrame:
+    """Windowed waveform features over decoded PCM — the VAD /
+    speech-segmentation front-end shape (short-time energy + zero
+    crossings per frame), emitted one row per non-overlapping
+    ``win``-sample window.  Integer-exact: energy is an int64 sum of
+    squares, zero crossings count adjacent sign-product < 0 pairs
+    inside the window.  Undecodable payloads yield one NULL-stats row
+    (same DLQ contract as :func:`audio_features`).
+    """
+    schema = (
+        f"{id_col} bigint, win_no int, energy bigint, "
+        "n_zero_cross int, peak int"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in batches:
+            out = {k: [] for k in ("id", "w", "e", "z", "p")}
+            for vid, payload in zip(pdf[id_col], pdf["payload"]):
+                try:
+                    _, s = decode_wav(bytes(payload))
+                    x = s.astype("int64")
+                    n_win = len(x) // win
+                    for wno in range(n_win):
+                        seg = x[wno * win : (wno + 1) * win]
+                        out["id"].append(vid)
+                        out["w"].append(wno)
+                        out["e"].append(int((seg * seg).sum()))
+                        out["z"].append(int((seg[:-1] * seg[1:] < 0).sum()))
+                        out["p"].append(int(np.abs(seg).max()))
+                except (ValueError, IndexError, struct.error):
+                    out["id"].append(vid)
+                    for k in ("w", "e", "z", "p"):
+                        out[k].append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: out["id"],
+                    "win_no": pd.array(out["w"], dtype="Int32"),
+                    "energy": pd.array(out["e"], dtype="Int64"),
+                    "n_zero_cross": pd.array(out["z"], dtype="Int32"),
+                    "peak": pd.array(out["p"], dtype="Int32"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(run, schema=schema)
+
+
 def image_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """End-to-end image decode + per-channel statistics, Arrow-batched.
 

@@ -255,6 +255,7 @@ _ROUND6_WINDOW = [
     "q_multimodal_video_scene_cuts",
     "q_similarity_filtered_ann",
     "q_search_hybrid_rrf",
+    "q_multimodal_audio_windows",
     "q_text_heavy_hitters",
     "q_graph_triangles",
     "q_vector_random_projection",

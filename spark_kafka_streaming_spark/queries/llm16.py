@@ -202,3 +202,86 @@ def q_search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return IX.rrf_fuse(bm, cv, rrf_k=_RRF_K, topk=_HYBRID_TOPK)
+
+
+# ------------------------------------------- audio windowed features
+
+_AW_N = 32  # samples per payload (matches q_multimodal_audio_decode)
+_AW_RATE = 8000
+_AW_WIN = 8
+
+
+@register(
+    "q_multimodal_audio_windows",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, unnest(generate_series(0, {_AW_N - 1})) AS i
+      FROM documents
+    ),
+    v AS (
+      SELECT doc_id, i, i // {_AW_WIN} AS win_no,
+             (doc_id * 31 + i * 17) % 65536 - 32768 AS x
+      FROM s
+    ),
+    zc AS (
+      SELECT a.doc_id, a.win_no,
+             SUM(CASE WHEN a.x * b.x < 0 THEN 1 ELSE 0 END) AS z
+      FROM v a JOIN v b
+        ON b.doc_id = a.doc_id AND b.i = a.i + 1
+       AND b.win_no = a.win_no
+      GROUP BY a.doc_id, a.win_no
+    )
+    SELECT v.doc_id AS doc_id,
+           CAST(v.win_no AS INT) AS win_no,
+           CAST(SUM(v.x * v.x) AS BIGINT) AS energy,
+           CAST(MAX(zc.z) AS INT) AS n_zero_cross,
+           CAST(MAX(abs(v.x)) AS INT) AS peak
+    FROM v JOIN zc ON zc.doc_id = v.doc_id AND zc.win_no = v.win_no
+    GROUP BY v.doc_id, v.win_no
+    ORDER BY v.doc_id, win_no
+    """,
+    doc="Windowed audio features over real decoded PCM — short-time "
+    "energy, zero-crossing count, and peak per non-overlapping "
+    "8-sample frame, the voice-activity-detection / "
+    "speech-segmentation front-end (the audio twin of "
+    "q_multimodal_video_scene_cuts' per-frame signal). The payload "
+    "rides the same encode → RIFF chunk-walk → decode path as "
+    "q_multimodal_audio_decode; the oracle recomputes every window's "
+    "integer-exact stats arithmetically without seeing the bytes, so "
+    "a flipped bit or a mis-sliced window breaks the hash. At 100 TB "
+    "the per-window fan-out stays inside the Arrow batch (rows out = "
+    "4 per clip here; real audio emits ~100 frames/s) and the "
+    "features feed the usual downstream filters (silence drop, "
+    "music/speech routing).",
+    tags=("llm", "multimodal", "audio"),
+)
+def q_multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.multimodal import audio_window_features, encode_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    n, rate, win = _AW_N, _AW_RATE, _AW_WIN
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(n, dtype=np.int64)
+        for pdf in batches:
+            payloads = [
+                bytearray(
+                    encode_wav(
+                        ((int(did) * 31 + i * 17) % 65536 - 32768).astype("<i2"),
+                        rate,
+                    )
+                )
+                for did in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    payload_df = docs.mapInPandas(synth, "doc_id bigint, payload binary")
+    return audio_window_features(payload_df, win=win).orderBy(
+        "doc_id", "win_no"
+    )

@@ -302,3 +302,23 @@ def test_cosine_all_pairs_single_vector_yields_nothing(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings").filter("vec_id = 3")
     assert cosine_all_pairs(emb, 0.0).collect() == []
+
+
+def test_audio_window_features_planted_signal(spark):
+    from spark_kafka_streaming_spark.operators.multimodal import (
+        audio_window_features,
+        encode_wav,
+    )
+
+    # window 0: alternating +/-1000 → 7 zero crossings, energy 8e6
+    # window 1: constant 5 → 0 crossings, energy 200
+    samples = np.array(
+        [1000, -1000, 1000, -1000, 1000, -1000, 1000, -1000] + [5] * 8,
+        dtype="<i2",
+    )
+    payload = encode_wav(samples)
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    out = {r["win_no"]: r for r in audio_window_features(df, win=8).collect()}
+    assert out[0]["n_zero_cross"] == 7 and out[0]["energy"] == 8 * 1000**2
+    assert out[1]["n_zero_cross"] == 0 and out[1]["energy"] == 8 * 25
+    assert out[0]["peak"] == 1000 and out[1]["peak"] == 5
