@@ -256,6 +256,7 @@ _ROUND6_WINDOW = [
     "q_similarity_filtered_ann",
     "q_search_hybrid_rrf",
     "q_multimodal_audio_windows",
+    "q_orc_file_roundtrip",
     "q_text_heavy_hitters",
     "q_graph_triangles",
     "q_vector_random_projection",

@@ -106,3 +106,35 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("r.doc_id", "r.lang", "r.n_chars")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "q_orc_file_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE doc_id < 200
+    ORDER BY doc_id
+    """,
+    doc="ORC file-format round-trip: the slice is written as ORC and "
+    "read back through Spark's native vectorized ORC reader — the "
+    "columnar-format leg next to the parquet scans every other query "
+    "exercises (warehouses routinely carry both). Write → read must "
+    "be value-faithful across the type bridge (BIGINT/STRING), so the "
+    "oracle is the source table itself. The output lands in a fixed "
+    "self-overwriting temp directory; at scale this is the same "
+    "partitioned-columnar landing-zone layout as the parquet sink, "
+    "with predicate pushdown and column pruning intact.",
+    tags=("formats", "orc"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("doc_id") < 200)
+    )
+    path = os.path.join(tempfile.gettempdir(), "spark_graft_orc_roundtrip")
+    docs.write.mode("overwrite").orc(path)
+    return spark.read.orc(path).orderBy("doc_id")
