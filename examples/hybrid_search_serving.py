@@ -113,9 +113,16 @@ def main() -> None:
 
         # serve from the stores
         queries = emb.filter("vec_id = 0")
-        served = hybrid_rrf_from_stores(
+        served_df = hybrid_rrf_from_stores(
             indexer, vindexer, queries, spark, leg_k=20, topk=10, n_probe=3
-        ).collect()
+        )
+        if served_df is None:
+            raise SystemExit(
+                "hybrid serving returned no result: one of the stores has "
+                "not ingested a batch yet (check the two streaming ingests "
+                "above terminated successfully)"
+            )
+        served = served_df.collect()
 
         # batch twin from the same shared expressions
         bdf = spark.createDataFrame(docs, "doc_id BIGINT, text STRING")

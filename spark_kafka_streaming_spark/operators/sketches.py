@@ -344,6 +344,11 @@ def misra_gries_candidates(
     the exact global N from the same scan instead of paying a second
     one; the per-item ``cnt`` values are the order-dependent MG
     residuals (diagnostic lower bounds — do not compare across runs).
+
+    NULL items are excluded throughout: they are never candidates,
+    never counted into the sentinel totals (so N = count of non-null
+    items), and the exact second pass's equi-join drops them too —
+    one convention at every stage.
     """
     schema = f"{item_col} string" + (
         ", cnt bigint" if with_task_totals else ""
@@ -355,7 +360,11 @@ def misra_gries_candidates(
         counters: dict = {}
         n_task = 0
         for pdf in batches:
-            n_task += len(pdf)
+            # count only non-null items: value_counts() silently drops
+            # NaN/None, so including nulls in the sentinel total would
+            # inflate N and with it the ceil(phi*N) cut downstream,
+            # dropping true heavy hitters among the non-null items.
+            n_task += int(pdf[item_col].notna().sum())
             for item, cnt in pdf[item_col].value_counts().items():
                 counters[item] = counters.get(item, 0) + int(cnt)
             if len(counters) > capacity:

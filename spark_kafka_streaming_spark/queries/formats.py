@@ -45,6 +45,21 @@ def q_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIRE_SCHEMA = "doc_id BIGINT, lang STRING, n_chars BIGINT"
 
 
+def _session_temp_path(spark: SparkSession, name: str) -> str:
+    """Session-scoped temp dir for file round-trip queries: the Spark
+    application id makes the path unique per session, so two
+    concurrent runs can't overwrite each other's landing zone mid-read
+    (and a pre-existing fixed-name dir in a shared /tmp can't be
+    planted ahead of time).  Self-overwriting WITHIN a session is
+    still the contract — re-runs land in the same per-session dir."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"{name}-{spark.sparkContext.applicationId}"
+    )
+
+
 @register(
     "q_csv_line_roundtrip",
     oracle="""
@@ -120,21 +135,20 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "columnar-format leg next to the parquet scans every other query "
     "exercises (warehouses routinely carry both). Write → read must "
     "be value-faithful across the type bridge (BIGINT/STRING), so the "
-    "oracle is the source table itself. The output lands in a fixed "
-    "self-overwriting temp directory; at scale this is the same "
-    "partitioned-columnar landing-zone layout as the parquet sink, "
-    "with predicate pushdown and column pruning intact.",
+    "oracle is the source table itself. The output lands in a "
+    "SESSION-SCOPED self-overwriting temp directory (suffixed with the "
+    "Spark application id) so concurrent sessions never clobber each "
+    "other's round-trip; at scale this is the same partitioned-"
+    "columnar landing-zone layout as the parquet sink, with predicate "
+    "pushdown and column pruning intact.",
     tags=("formats", "orc"),
 )
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "lang", "n_chars")
         .filter(F.col("doc_id") < 200)
     )
-    path = os.path.join(tempfile.gettempdir(), "spark_graft_orc_roundtrip")
+    path = _session_temp_path(spark, "spark_graft_orc_roundtrip")
     docs.write.mode("overwrite").orc(path)
     return spark.read.orc(path).orderBy("doc_id")
