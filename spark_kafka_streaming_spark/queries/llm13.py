@@ -25,27 +25,36 @@ from .registry import register
 _LABELED_PRED = "vec_id % 5 <> 0"  # the labeled 80% slice
 
 
-def auto_cells(n_corpus: int, per: int = 400, floor: int = 16) -> int:
-    """Corpus-scaled IVF cell count: n_cells = max(floor, n // per).
+def auto_cells(n_corpus: int, floor: int = 16) -> int:
+    """Corpus-scaled IVF cell count: n_cells = max(floor, ⌊√n⌋) — the
+    FAISS-standard geometry.
 
     The probe fraction is n_probe·n_assign/n_cells, so a FIXED cell
-    count stops cutting the pair space as the corpus grows (at 16
-    cells / 4-probe / 2-assign the candidate set is half of brute
-    force forever); cells ∝ n keeps per-cell occupancy ~constant
-    (≈``per``·n_assign vectors), making query cost
-    |Q|·n_probe·n_assign·per while index assignment stays |C|·n_cells
-    broadcast dots — the :func:`..operators.kmeans.auto_k` move
-    applied to the IVF tier.  The ORACLE derives the same value from
-    the same count formula in SQL (``greatest(16, n // 400)``), so
-    engine and oracle agree at any sf; at every driver-test corpus
-    (≤ 6.4k corpus vectors) the auto value stays at the floor 16."""
-    return max(floor, n_corpus // per)
+    count stops cutting the pair space as the corpus grows; but cells
+    ∝ n (the round-6 n/400 policy) makes the BUILD leg quadratic —
+    cell assignment is |C|·n_cells broadcast dots, and |C|²/400 is
+    2.5e15 dots at 1e9 vectors even amortized per snapshot.
+    n_cells = √n balances the two sides: assignment is |C|·√|C|
+    (~n^1.5, the standard IVF-flat build cost) and query cost is
+    |Q|·(√n assignment + n_probe·n_assign·√n candidate dots) — both
+    sides √n per vector, nothing quadratic anywhere.  For builds
+    beyond n^1.5 see :func:`..operators.similarity.two_level_cells`
+    (IMI-style two-level assignment, |C|·O(√n_cells)).
+
+    The ORACLE derives the same value from the same count formula in
+    SQL (``greatest(16, floor(sqrt(n)))`` — both sides compute the
+    same IEEE-double sqrt, pinned in tests), so engine and oracle
+    agree at any sf; at driver-test corpora (≤ 256² vectors both
+    formulas stay small) the value is ~√n ≥ the floor 16."""
+    import math
+
+    return max(floor, int(math.floor(math.sqrt(float(n_corpus)))))
 
 
 #: SQL twin of :func:`auto_cells` over the labeled slice
 _NCELLS_SQL = (
-    f"SELECT greatest(16, count(*) // 400) FROM embeddings "
-    f"WHERE {_LABELED_PRED}"
+    f"SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) "
+    f"AS BIGINT)) FROM embeddings WHERE {_LABELED_PRED}"
 )
 
 
@@ -90,11 +99,13 @@ def _votes_sql(nn_sql: str) -> str:
     "the labeled slice, 4-probe, 2-way assignment — "
     "operators/similarity.py::ivf_topk) instead of the O(|Q|·|C|) "
     "brute-force neighbor stage. The cell count SCALES with the "
-    "corpus (auto_cells = max(16, n/400), derived from the same "
-    "count formula in engine and oracle), so per-cell occupancy stays "
-    "~constant and query cost is |Q|·n_probe·n_assign·400 dots — a "
+    "corpus (auto_cells = max(16, floor(sqrt(n))), the FAISS-standard "
+    "geometry, derived from the same count formula in engine and "
+    "oracle), so the BUILD leg is |C|·sqrt(|C|) assignment dots "
+    "(~n^1.5, never quadratic) and query cost is |Q|·O(sqrt(n)) — a "
     "fixed cell count would stop cutting the pair space as the "
-    "corpus grows. The vote/argmax stage is byte-identical to the "
+    "corpus grows, and cells ∝ n would make the build quadratic. "
+    "The vote/argmax stage is byte-identical to the "
     "exact form (knn_classify is neighbor-source-oblivious); "
     "q_knn_propagation_agreement pins the label agreement between the "
     "two on a size-invariant sample.",

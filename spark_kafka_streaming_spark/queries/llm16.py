@@ -28,7 +28,8 @@ _EN_PRED = "id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
 #: count must scale with the indexed slice, not the full table
 #: (parameterized-oracle pattern; see queries/llm13.py::auto_cells).
 _EN_NCELLS_SQL = (
-    "SELECT greatest(16, count(*) // 400) FROM embeddings "
+    "SELECT greatest(16, CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) "
+    "AS BIGINT)) FROM embeddings "
     "WHERE vec_id IN (SELECT doc_id FROM documents WHERE lang = 'en')"
 )
 

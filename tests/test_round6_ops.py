@@ -113,14 +113,16 @@ def test_q_mod_formula_matches_sql():
     from spark_kafka_streaming_spark.queries.llm13 import auto_cells
 
     con = duckdb.connect()
-    for n in (1, 100, 499, 500, 501, 2000, 20000, 199999, 200000):
+    for n in (1, 100, 499, 500, 501, 2000, 20000, 199999, 200000,
+              250_000, 250_001, 10**9, 31622 * 31622, 31623 * 31623):
         sql = con.execute(
             f"SELECT 5 * greatest(1, CAST(floor(({n} + 250) / 500.0) "
             "AS BIGINT))"
         ).fetchone()[0]
         assert _q_mod(n) == sql, n
         cells_sql = con.execute(
-            f"SELECT greatest(16, {n} // 400)"
+            f"SELECT greatest(16, CAST(floor(sqrt(CAST({n} AS DOUBLE))) "
+            "AS BIGINT))"
         ).fetchone()[0]
         assert auto_cells(n) == cells_sql, n
 
