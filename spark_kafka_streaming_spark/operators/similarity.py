@@ -1166,6 +1166,374 @@ def _cell_topk_arrow(
     )
 
 
+def _imi_split(cent_m, cent_n):
+    """Two-level coarse-quantizer model (driver-side, bounded —
+    n_cells × n_super dots over the already-collected centroid
+    arrays): the first ⌊√n_cells⌋ centroids (cell-ascending) are the
+    SUPER-centroids, and every centroid is owned by its nearest super
+    (same IEEE cosine, (cos desc, sid) tie-break via stable argsort —
+    the SQL impl's row_number order).  Returns (n_super,
+    cells_by_super) where cells_by_super[s] is the ascending index
+    list of cells owned by super s."""
+    import numpy as np
+
+    n_super = max(1, int(np.floor(np.sqrt(float(len(cent_m))))))
+    sup_m, sup_n = cent_m[:n_super], cent_n[:n_super]
+    scos = (cent_m @ sup_m.T).astype("float64") / (
+        np.sqrt(cent_n.astype("float64"))[:, None]
+        * np.sqrt(sup_n.astype("float64"))[None, :]
+    )
+    sup_of_cell = np.argsort(-scos, axis=1, kind="stable")[:, 0]
+    cells_by_super = [
+        np.flatnonzero(sup_of_cell == s) for s in range(n_super)
+    ]
+    return n_super, cells_by_super
+
+
+def _imi_cells_arrow(
+    side, prefix: str, n: int, n_sprobe: int, cent_ids, cent_m, cent_n
+) -> DataFrame:
+    """(id, v, n, cell) rows via TWO-LEVEL assignment: each vector
+    scores the ⌊√n_cells⌋ super-centroids, descends into its
+    ``n_sprobe`` nearest supers, and ranks only THEIR member cells —
+    |x|·(√n_cells + n_sprobe·√n_cells expected) dots instead of
+    |x|·n_cells, the inverted-multi-index build move (Babenko &
+    Lempitsky 2012) that keeps index builds sub-n^1.5 when n_cells
+    itself is √n.
+
+    Tie-breaks replay the SQL form exactly: supers rank by
+    (cos desc, sid) — stable argsort over the sid-ascending super
+    matrix — and member cells by (cos desc, cell) — candidates
+    concatenated then sorted to cell-ascending before the stable
+    argsort.  Rows whose probed supers own no cells (possible only
+    with duplicate centroid vectors) emit nothing, matching the SQL
+    join.
+    """
+    import numpy as np
+
+    id_c, v_c, n_c = f"{prefix}_id", f"{prefix}_v", f"{prefix}_n"
+    n_super, cells_by_super = _imi_split(cent_m, cent_n)
+    sup_m, sup_n = cent_m[:n_super], cent_n[:n_super]
+    sp_eff = min(n_sprobe, n_super)
+
+    # NOTE: self-contained closure — pickled to executor workers that
+    # may not have this package importable; captured arrays pickle by
+    # value (the _banded posture).
+    def _batches(it):
+        from collections import defaultdict
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            m = np.stack(
+                pdf[v_c].map(lambda a: np.asarray(a, dtype="int64"))
+            )
+            xn = pdf[n_c].to_numpy(dtype="int64")
+            scos = (m @ sup_m.T).astype("float64") / (
+                np.sqrt(xn.astype("float64"))[:, None]
+                * np.sqrt(sup_n.astype("float64"))[None, :]
+            )
+            probes = np.argsort(-scos, axis=1, kind="stable")[:, :sp_eff]
+            ids = pdf[id_c].to_numpy(dtype="int64")
+            vlists = list(pdf[v_c].map(list))
+            groups = defaultdict(list)
+            for i, sig in enumerate(map(tuple, np.sort(probes, axis=1))):
+                groups[sig].append(i)
+            out_id, out_v, out_n, out_cell = [], [], [], []
+            for sig, idxs in groups.items():
+                cand = np.concatenate(
+                    [cells_by_super[s] for s in sig]
+                )
+                if not len(cand):
+                    continue
+                cand.sort()  # ascending index = ascending cell id
+                gm, gn = m[idxs], xn[idxs]
+                cos = (gm @ cent_m[cand].T).astype("float64") / (
+                    np.sqrt(gn.astype("float64"))[:, None]
+                    * np.sqrt(cent_n[cand].astype("float64"))[None, :]
+                )
+                n_eff = min(n, len(cand))
+                order = np.argsort(-cos, axis=1, kind="stable")[:, :n_eff]
+                sel = cent_ids[cand[order]]
+                for g, row_i in enumerate(idxs):
+                    out_id.extend([ids[row_i]] * n_eff)
+                    out_v.extend([vlists[row_i]] * n_eff)
+                    out_n.extend([xn[row_i]] * n_eff)
+                    out_cell.extend(sel[g])
+            yield pd.DataFrame(
+                {
+                    id_c: np.asarray(out_id, dtype="int64"),
+                    v_c: out_v,
+                    n_c: np.asarray(out_n, dtype="int64"),
+                    "cell": np.asarray(out_cell, dtype="int64"),
+                }
+            )
+
+    return side.mapInPandas(
+        _batches,
+        f"{id_c} long, {v_c} array<bigint>, {n_c} bigint, cell bigint",
+    )
+
+
+def _imi_cells_sql(
+    side: DataFrame,
+    supers: DataFrame,
+    c2s: DataFrame,
+    vcol: str,
+    ncol: str,
+    n: int,
+    n_sprobe: int,
+) -> DataFrame:
+    """SQL twin of :func:`_imi_cells_arrow`: broadcast super join →
+    per-vector top-``n_sprobe`` supers → broadcast member-cell join →
+    per-vector top-``n``.  ``side``'s first column is its id."""
+    id_col = side.columns[0]
+    s_cos = F.expr(V.spark_cosine(V.spark_dot(vcol, "s_v"), ncol, "s_n"))
+    ws = W.partitionBy(id_col).orderBy(F.desc("s_cos"), "sid")
+    v2s = (
+        side.join(F.broadcast(supers), F.lit(True))
+        .withColumn("s_cos", s_cos)
+        .withColumn("srk", F.row_number().over(ws))
+        .filter(F.col("srk") <= n_sprobe)
+        .select(*side.columns, "sid")
+    )
+    c_cos = F.expr(V.spark_cosine(V.spark_dot(vcol, "cent_v"), ncol, "cent_n"))
+    wc = W.partitionBy(id_col).orderBy(F.desc("cell_cos"), "cell")
+    return (
+        v2s.join(F.broadcast(c2s), "sid")
+        .withColumn("cell_cos", c_cos)
+        .withColumn("cell_rank", F.row_number().over(wc))
+        .filter(F.col("cell_rank") <= n)
+    )
+
+
+def ivf_topk_imi(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_assign: int = 2,
+    n_sprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    impl: str = "arrow",
+) -> DataFrame:
+    """IVF ANN top-k with a TWO-LEVEL coarse quantizer (IMI-style,
+    Babenko & Lempitsky 2012): the build-side answer to the one cost
+    in :func:`ivf_topk` that still grew super-linearly per vector.
+
+    With the √n cell policy (:func:`..queries.llm13.auto_cells`),
+    single-level assignment is |C|·√|C| dots (~n^1.5).  Here the
+    ⌊√n_cells⌋ smallest-id centroids double as SUPER-centroids; every
+    centroid is owned by its nearest super, and a vector scores only
+    the supers (√n_cells dots) plus the member cells of its
+    ``n_sprobe`` nearest supers (≈ n_sprobe·√n_cells expected) —
+    |C|·O(√n_cells) = |C|·O(n^(1/4)) total build dots, near-linear.
+    The trade is standard IMI recall loss: a vector's true nearest
+    cell may live in an unprobed super (recall vs brute force pinned
+    in tests; agreement with single-level assignment is high because
+    cell geometry is unchanged — only the ASSIGNMENT search is
+    approximated).
+
+    Everything downstream of assignment — per-cell cogrouped int64
+    block matmul, dedup, global (cos desc, neighbor_id) window — is
+    shared with :func:`ivf_topk`, and both impls ('arrow' kernel /
+    'sql' composition) are bit-identical (pinned in tests).  Oracle:
+    :func:`duck_ivf2_topk_sql` replays seed centroids, the super
+    split, both assignment levels, probe sets, cosines, and
+    tie-breaks in generated CTEs.
+    """
+    if impl not in ("arrow", "sql"):
+        raise ValueError(f"unknown impl: {impl!r} (want 'arrow' or 'sql')")
+
+    def _prep(side: DataFrame, prefix: str) -> DataFrame:
+        v = V.spark_scaled(vec_col)
+        return side.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.expr(v).alias(f"{prefix}_v"),
+            F.expr(V.spark_dot(v, v)).alias(f"{prefix}_n"),
+        )
+
+    scaled = _prep(corpus, "c")
+    q_scaled = _prep(queries, "q")
+    cents = (
+        scaled.orderBy("c_id")
+        .limit(n_cells)
+        .select(
+            F.col("c_id").alias("cell"),
+            F.col("c_v").alias("cent_v"),
+            F.col("c_n").alias("cent_n"),
+        )
+    )
+    if impl == "arrow":
+        import numpy as np
+
+        rows = cents.orderBy("cell").collect()  # bounded: k×(d+1) ints
+        cent_ids = np.array([r["cell"] for r in rows], dtype="int64")
+        cent_m = np.array([r["cent_v"] for r in rows], dtype="int64")
+        cent_n = np.array([r["cent_n"] for r in rows], dtype="int64")
+        corpus_cells = _imi_cells_arrow(
+            scaled, "c", n_assign, n_sprobe, cent_ids, cent_m, cent_n
+        )
+        query_cells = _imi_cells_arrow(
+            q_scaled, "q", n_probe, n_sprobe, cent_ids, cent_m, cent_n
+        )
+        pair_cos = _cell_topk_arrow(query_cells, corpus_cells, k)
+    else:
+        import math
+
+        cents = track_persist(cents)
+        n_super = max(1, int(math.floor(math.sqrt(float(cents.count())))))
+        wsr = W.orderBy("cell")
+        supers = (
+            cents.withColumn("sr", F.row_number().over(wsr))
+            .filter(F.col("sr") <= n_super)
+            .select(
+                F.col("cell").alias("sid"),
+                F.col("cent_v").alias("s_v"),
+                F.col("cent_n").alias("s_n"),
+            )
+        )
+        cs_cos = F.expr(
+            V.spark_cosine(V.spark_dot("cent_v", "s_v"), "cent_n", "s_n")
+        )
+        wcs = W.partitionBy("cell").orderBy(F.desc("cs_cos"), "sid")
+        c2s = (
+            cents.join(F.broadcast(supers), F.lit(True))
+            .withColumn("cs_cos", cs_cos)
+            .withColumn("rk", F.row_number().over(wcs))
+            .filter(F.col("rk") == 1)
+            .select("cell", "cent_v", "cent_n", "sid")
+        )
+        corpus_cells = _imi_cells_sql(
+            scaled, supers, c2s, "c_v", "c_n", n_assign, n_sprobe
+        ).select("c_id", "c_v", "c_n", "cell")
+        query_cells = _imi_cells_sql(
+            q_scaled, supers, c2s, "q_v", "q_n", n_probe, n_sprobe
+        ).select("q_id", "q_v", "q_n", "cell")
+        cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
+        pair_cos = (
+            query_cells.join(corpus_cells, "cell")
+            .filter(F.col("q_id") != F.col("c_id"))
+            .select(
+                F.col("q_id").alias("query_id"),
+                F.col("c_id").alias("neighbor_id"),
+                cos.alias("cos_sim"),
+            )
+        )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        pair_cos.dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def duck_ivf2_topk_sql(
+    k: int,
+    query_pred: str,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    n_assign: int = 2,
+    n_sprobe: int = 2,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_pred: str = "TRUE",
+    n_cells_sql: str | None = None,
+) -> str:
+    """DuckDB oracle twin of :func:`ivf_topk_imi`: same seed
+    centroids, same ⌊√n_cells⌋ super split (derived in SQL from the
+    centroid COUNT, the parameterized-oracle pattern), same
+    centroid-ownership and two-level assignment with identical
+    (cos desc, id) tie-breaks, same candidate join and final rank."""
+    cc = V.duck_cosine
+    dd = V.duck_dot
+    v_expr = V.duck_scaled(vec_col)
+    n_expr = dd(V.duck_scaled(vec_col), V.duck_scaled(vec_col))
+    pair_cos = cc(dd("s1.v", "s2.v"), "s1.n", "s2.n")
+
+    def _two_level(src: str, name: str, n: int) -> str:
+        sup_cos = cc(dd(f"{src}.v", "s.s_v"), f"{src}.n", "s.s_n")
+        cell_cos = cc(dd(f"{src}.v", "c.cent_v"), f"{src}.n", "c.cent_n")
+        return f"""{name}_sup AS (
+      SELECT id, sid FROM (
+        SELECT {src}.id, s.sid,
+               row_number() OVER (PARTITION BY {src}.id
+                   ORDER BY {sup_cos} DESC, s.sid) AS rk
+        FROM {src} CROSS JOIN supers s
+      ) WHERE rk <= {n_sprobe}
+    ),
+    {name} AS (
+      SELECT id, cell FROM (
+        SELECT {src}.id, c.cell,
+               row_number() OVER (PARTITION BY {src}.id
+                   ORDER BY {cell_cos} DESC, c.cell) AS rk
+        FROM {src}
+        JOIN {name}_sup u ON u.id = {src}.id
+        JOIN c2s c ON c.sid = u.sid
+      ) WHERE rk <= {n}
+    )"""
+
+    return f"""
+    WITH allscaled AS (
+      SELECT {id_col} AS id, {v_expr} AS v, {n_expr} AS n FROM {table}
+    ),
+    scaled AS (SELECT * FROM allscaled WHERE {corpus_pred}),
+    qscaled AS (SELECT * FROM allscaled WHERE {query_pred}),
+    cents AS (
+      SELECT cell, cent_v, cent_n FROM (
+        SELECT id AS cell, v AS cent_v, n AS cent_n,
+               row_number() OVER (ORDER BY id) AS cr0
+        FROM scaled
+      ) WHERE cr0 <= ({n_cells_sql if n_cells_sql is not None else n_cells})
+    ),
+    nsup AS (
+      SELECT greatest(1, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+        AS BIGINT)) AS ns FROM cents
+    ),
+    supers AS (
+      SELECT cell AS sid, cent_v AS s_v, cent_n AS s_n FROM (
+        SELECT cell, cent_v, cent_n,
+               row_number() OVER (ORDER BY cell) AS sr
+        FROM cents
+      ) t, nsup WHERE t.sr <= nsup.ns
+    ),
+    c2s AS (
+      SELECT cell, cent_v, cent_n, sid FROM (
+        SELECT c.cell, c.cent_v, c.cent_n, s.sid,
+               row_number() OVER (PARTITION BY c.cell
+                   ORDER BY {cc(dd('c.cent_v', 's.s_v'), 'c.cent_n', 's.s_n')} DESC, s.sid) AS rk
+        FROM cents c CROSS JOIN supers s
+      ) WHERE rk = 1
+    ),
+    {_two_level('scaled', 'corpus_cells', n_assign)},
+    {_two_level('qscaled', 'query_cells', n_probe)},
+    cand AS (
+      SELECT DISTINCT q.id AS query_id, cc2.id AS neighbor_id
+      FROM query_cells q JOIN corpus_cells cc2 ON q.cell = cc2.cell
+      WHERE q.id <> cc2.id
+    ),
+    ranked AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             {pair_cos} AS cos_sim,
+             CAST(row_number() OVER (PARTITION BY cand.query_id
+                 ORDER BY {pair_cos} DESC, cand.neighbor_id) AS INTEGER) AS rn
+      FROM cand
+      JOIN qscaled s1 ON s1.id = cand.query_id
+      JOIN scaled s2 ON s2.id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rn
+    FROM ranked WHERE rn <= {k}
+    ORDER BY query_id, rn
+    """
+
+
 def mips_topk(
     queries: DataFrame,
     corpus: DataFrame,
