@@ -64,3 +64,63 @@ def q_similarity_ann_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         n_cells=auto_cells(emb.count()),
     ).orderBy("query_id", "rn")
+
+
+# ------------------------------------------------ batched BPE
+
+
+def _bpe_train_batched_oracle() -> str:
+    from ..operators.bpe import duck_bpe_train_batched_sql
+
+    return duck_bpe_train_batched_sql()
+
+
+@register(
+    "q_text_bpe_train_batched",
+    oracle=_bpe_train_batched_oracle(),
+    doc="Batched BPE training at real merge counts: 20 rounds × a "
+    "16-pair candidate window learn ~80 merges (≥64 on the driver "
+    "corpus) with ONE bounded driver pull per ROUND instead of per "
+    "merge, and each round's symbol-disjoint survivors (a pair "
+    "survives iff it shares no symbol with any higher-ranked window "
+    "candidate — order-independent, a plain self-anti-join in SQL) "
+    "apply as ONE aggregate-fold over the vocab, so plan depth is "
+    "O(rounds) not O(merges). Corpus cost is unchanged from "
+    "q_text_bpe_train: everything after the first (word,freq) shuffle "
+    "is vocab-sized. The oracle replays the full batched schedule — "
+    "window CTE, NOT-EXISTS survivor filter, ordered list_reduce fold "
+    "— per round in generated CTEs.",
+    tags=("llm", "text", "bpe"),
+)
+def q_text_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_train_batched(docs).orderBy("rank")
+
+
+def _bpe_encode_batched_oracle() -> str:
+    from ..operators.bpe import duck_bpe_encode_batched_sql
+
+    return duck_bpe_encode_batched_sql()
+
+
+@register(
+    "q_text_bpe_encode_batched",
+    oracle=_bpe_encode_batched_oracle(),
+    doc="Batched BPE encoding: the full learned merge list (~80 "
+    "merges here; 30k in a production tokenizer) applies to the "
+    "vocab as ONE aggregate fold over a literal merge array — "
+    "constant Catalyst expression depth however many merges, closing "
+    "the expression-depth ceiling of the chained-replace sequential "
+    "form — then the encoded vocab broadcast-joins back to the "
+    "exploded corpus tokens (per-document token/char/BPE-symbol "
+    "counts and compression ratio). Corpus cost: one explode + one "
+    "broadcast hash join, identical to q_text_bpe_encode.",
+    tags=("llm", "text", "bpe"),
+)
+def q_text_bpe_encode_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_encode_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_encode_batched(docs).orderBy("doc_id")

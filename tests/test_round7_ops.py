@@ -123,6 +123,84 @@ def test_imi_recall_vs_brute_force(spark, emb):
     assert len(got) == len(truth)
 
 
+# ------------------------------------------- batched BPE
+
+
+def test_select_batch_all_candidates_rule():
+    from spark_kafka_streaming_spark.operators.bpe import _select_batch
+
+    window = [
+        ("t", "h", 100),  # selected (rank 1 always survives)
+        ("h", "e", 90),   # blocked: shares 'h' with rank 1
+        ("e", "r", 80),   # blocked: shares 'e' with rank 2 (even though
+                          # rank 2 was itself blocked — all-candidates rule)
+        ("i", "n", 70),   # selected: disjoint from everything above
+    ]
+    assert _select_batch(window) == [("t", "h", 100), ("i", "n", 70)]
+
+
+def test_fold_merges_equals_chained_replaces(spark):
+    """The aggregate fold applies each merge as one full leftmost
+    non-overlapping replace pass, in order — bit-identical to the
+    sequential chained-replace form (including the shared-space
+    'a a a a a' quirk both engines document)."""
+    from spark_kafka_streaming_spark.operators.bpe import _fold_merges
+
+    rows = [("a b a b",), ("a a a a a",), ("x y z",), ("q",)]
+    df = spark.createDataFrame(rows, "s string")
+    merges = [("a", "b"), ("a", "a"), ("ab", "ab"), ("x", "y")]
+    folded = df.select(
+        "s",
+        _fold_merges(
+            F.concat(F.lit(" "), F.col("s"), F.lit(" ")),
+            [f"{a} {b}" for a, b in merges],
+        ).alias("f"),
+    )
+    chained = F.col("s")
+    for a, b in merges:
+        chained = F.trim(
+            F.replace(
+                F.concat(F.lit(" "), chained, F.lit(" ")),
+                F.lit(f" {a} {b} "),
+                F.lit(f" {a}{b} "),
+            )
+        )
+    both = folded.withColumn("c", chained).collect()
+    for r in both:
+        assert r["f"] == r["c"], r
+
+
+def test_bpe_train_batched_one_pull_per_round(spark, sf_dir):
+    from spark_kafka_streaming_spark.operators.bpe import bpe_train_batched
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_train_batched(docs, n_rounds=4, window_k=8).collect()
+    assert len(out) >= 4  # at least one merge per non-empty round
+    ranks = [r["rank"] for r in out]
+    assert ranks == list(range(len(out)))  # dense global rank
+    rounds = [r["round"] for r in out]
+    assert rounds == sorted(rounds)
+    # within a round, survivors are pairwise symbol-disjoint
+    from collections import defaultdict
+
+    by_round = defaultdict(list)
+    for r in out:
+        by_round[r["round"]].append((r["left_sym"], r["right_sym"]))
+    for rnd, pairs in by_round.items():
+        syms = [s for p in pairs for s in p]
+        assert len(syms) == len(set(syms)), (rnd, pairs)
+
+
+def test_bpe_encode_batched_compression_sane(spark, sf_dir):
+    from spark_kafka_streaming_spark.operators.bpe import bpe_encode_batched
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = bpe_encode_batched(docs, n_rounds=6, window_k=8).toPandas()
+    assert (out["n_bpe_tokens"] <= out["n_chars"]).all()
+    assert (out["n_bpe_tokens"] >= out["n_words"]).all()
+    assert (out.loc[out["n_words"] > 0, "compression"] >= 1.0).all()
+
+
 def test_imi_matches_single_level_when_one_super(spark, emb):
     """With n_cells small enough that n_super=⌊√n_cells⌋ covers all
     member cells in one probe... degenerate check: n_cells ≤ 3 →
