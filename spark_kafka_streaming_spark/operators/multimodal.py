@@ -137,6 +137,23 @@ def decode_image(payload: bytes) -> "object":
         bgr = rows[:, : w * nb].reshape(h, w, nb)[:, :, :3]
         rgb = bgr[:, :, ::-1]
         return (rgb if top_down else rgb[::-1]).copy()
+    if magic == b"\xff\xd8" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # compressed-format dispatch: ACTIVE the moment pillow is
+        # importable (tests/test_codec_dispatch.py auto-activates with
+        # it, the Kafka-jar gate pattern); absent pillow the payload
+        # fails loudly into the DLQ path like any unsupported magic.
+        try:
+            from PIL import Image  # noqa: WPS433 (optional dependency)
+        except ImportError as e:
+            raise ValueError(
+                "JPEG/PNG payload needs pillow (not installed in this "
+                "environment); dependency-free formats are netpbm P6/P5/"
+                "P3/P2 and uncompressed BMP"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8).copy()
     raise ValueError(f"unsupported image format (magic {magic!r}); plug PIL/cv2 here")
 
 
