@@ -316,7 +316,74 @@ _ROUND6_WINDOW = [
     "q_setops_intersect_active_both_years",
     "q_sort_limit_top_lineitems",
 ]
-_reorder(_ROUND6_WINDOW[:50])
+# Round-7 sample window.  Coverage is total (187/187 through round 6),
+# so freshness rules: (a) the three round-7 registrations (two-level
+# IMI ANN, batched BPE train/encode), (b) every query whose code path
+# round 7 touched — the √n auto_cells policy (all three auto-scaled
+# IVF consumers + the shared duck_ivf_topk_sql users), the
+# heavy-hitter null fix, the session-scoped ORC round-trip path, the
+# bpe.py module restructure, and the decode_image dispatch branch —
+# then (c) backfill with the entries whose latest green row is OLDEST
+# (computed from CORRECTNESS_r01-r06: the 16 oracle-bearing r1-era
+# rows, then the oldest r2-era wave; q_agg_approx and
+# q_vector_pca_project stay out as the rows-only-by-design entries).
+_ROUND7_WINDOW = [
+    # (a) new registrations this round
+    "q_similarity_ann_imi",
+    "q_text_bpe_train_batched",
+    "q_text_bpe_encode_batched",
+    # (b) touched this round
+    "q_knn_label_propagation_ann",
+    "q_knn_propagation_agreement",
+    "q_similarity_filtered_ann",
+    "q_similarity_mips_ivf",
+    "q_text_heavy_hitters",
+    "q_orc_file_roundtrip",
+    "q_text_bpe_train",
+    "q_text_bpe_encode",
+    "q_multimodal_image_decode",
+    # (c) freshness backfill: last sampled in round 1
+    "q_map_json_explode",
+    "q_null_handling",
+    "q_scalar_case_when_buckets",
+    "q_scalar_date_functions",
+    "q_scalar_math_functions",
+    "q_scalar_string_builders",
+    "q_scalar_string_functions",
+    "q_setops_customer_segments",
+    "q_setops_intersect_active_both_years",
+    "q_sort_limit_top_lineitems",
+    "q_subquery_correlated_above_avg",
+    "q_unpivot_part_metrics",
+    "q_window_market_share",
+    "q_window_rank_dense_rank",
+    "q_window_running_total",
+    "q_window_topk_orders_per_customer",
+    # (c) freshness backfill: last sampled in round 2
+    "q_avro_container_roundtrip",
+    "q_corpus_snapshot_diff",
+    "q_dedup_chunk_exact",
+    "q_dedup_simhash",
+    "q_events_asof_last_click_before_purchase",
+    "q_events_distinct_users_by_type",
+    "q_events_funnel",
+    "q_events_interval_join_click_purchase",
+    "q_events_json_extract",
+    "q_events_lag_lead_per_user",
+    "q_events_retention",
+    "q_events_sessionize_batch",
+    "q_filter_median_tokens",
+    "q_mix_weighted_lang",
+    "q_ngram_bigram_counts",
+    "q_pack_sequences",
+    "q_pipeline_quality_filter",
+    "q_sample_balanced_label",
+    "q_sample_stratified_hash",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_lm_familiarity",
+]
+_reorder(_ROUND7_WINDOW[:50])
 
 
 def queries():

@@ -121,15 +121,18 @@ def main() -> None:
     }
     for t, keymap in shifts.items():
         cols = [c[0] for c in con.execute(f"DESCRIBE SELECT * FROM {src(t)}").fetchall()]
-        selects = []
-        for i in range(factor):
-            proj = ", ".join(
-                f"({c} + {i * off}) AS {c}" if (off := keymap.get(c)) else c
-                for c in cols
-            )
-            selects.append(f"SELECT {proj} FROM {src(t)}")
+        # one replica per generate_series row (NOT a factor-way UNION
+        # ALL: a 1000-branch union exceeds the parser's expression
+        # depth — found generating the fourth decade), same key-shifted
+        # multiset at any factor
+        proj = ", ".join(
+            f"({c} + r.i * {off}) AS {c}" if (off := keymap.get(c)) else c
+            for c in cols
+        )
         con.execute(
-            f"COPY ({' UNION ALL '.join(selects)}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
+            f"COPY (SELECT {proj} FROM {src(t)} CROSS JOIN (SELECT "
+            f"unnest(generate_series(0, {factor - 1})) AS i) r) "
+            f"TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )
 
     # documents: sample from the sf0.1 token distribution
