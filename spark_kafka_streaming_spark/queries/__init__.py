@@ -36,6 +36,7 @@ from . import llm14  # noqa: F401,E402
 from . import llm15  # noqa: F401,E402
 from . import llm16  # noqa: F401,E402
 from . import llm17  # noqa: F401,E402
+from . import llm18  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -332,6 +333,8 @@ _ROUND7_WINDOW = [
     "q_similarity_ann_imi",
     "q_text_bpe_train_batched",
     "q_text_bpe_encode_batched",
+    "q_quantile_sketch_prices",
+    "q_quantile_sketch_doclen_by_lang",
     # (b) touched this round
     "q_knn_label_propagation_ann",
     "q_knn_propagation_agreement",

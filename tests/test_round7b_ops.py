@@ -1,0 +1,203 @@
+"""Round-7 second-wave pins: the mergeable bottom-k quantile sketch
+(operators/quantiles.py) and its streaming store
+(streaming/incremental_quantiles.py).
+
+What these pin beyond the differential oracle gate (which already
+hash-checks both catalog queries against DuckDB):
+
+* the MERGE property the whole design stands on — bottom-k of a union
+  equals the bottom-k of unioned per-part bottom-k cuts — on real
+  splits of real data, global and grouped;
+* the per-task mapInPandas reduction is a true superset (never drops a
+  global-bottom-k row) regardless of partitioning;
+* estimation QUALITY: every audit row's ``ok`` is True at test scale
+  (the O(1/√k) bound holds, not just deterministically replays);
+* stream ≡ batch for the quantile store, including after compaction;
+* the global sample compiles to TakeOrderedAndProject (no full-shuffle
+  sort of the data).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from spark_kafka_streaming_spark.operators.quantiles import (
+    bottomk_sample,
+    bottomk_sample_grouped,
+    quantile_estimates,
+    quantiles_with_audit,
+)
+
+
+def _li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+KEY = "l_orderkey * 8 + l_linenumber"
+
+
+def test_bottomk_merge_property_global(spark, sf_dir):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B))."""
+    li = _li(spark, sf_dir)
+    a = li.filter("l_orderkey % 2 = 0")
+    b = li.filter("l_orderkey % 2 = 1")
+    k = 64
+    direct = bottomk_sample(li, "l_extendedprice", KEY, k)
+    merged = bottomk_sample(
+        bottomk_sample(a, "l_extendedprice", KEY, k).unionAll(
+            bottomk_sample(b, "l_extendedprice", KEY, k)
+        ),
+        "v",
+        "ky",
+        k,
+    )
+    want = sorted(tuple(r) for r in direct.collect())
+    got = sorted(tuple(r) for r in merged.collect())
+    assert want == got and len(want) == k
+
+
+def test_bottomk_grouped_matches_bruteforce(spark, sf_dir):
+    """The mapInPandas per-task reduction + window cut equals the
+    brute-force per-group smallest-(h, ky), on an adversarial
+    partitioning (every group present in every partition)."""
+    docs = _docs(spark, sf_dir).repartition(8)  # scatter groups
+    k = 16
+    got = {
+        (r["g"], r["ky"]): r["v"]
+        for r in bottomk_sample_grouped(docs, "lang", "n_chars", "doc_id", k).collect()
+    }
+    brute = docs.selectExpr(
+        "lang AS g",
+        "CAST(n_chars AS DOUBLE) AS v",
+        "doc_id AS ky",
+        "(CAST(CONV(SUBSTRING(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)) AS h",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g").orderBy("h", "ky")
+    want = {
+        (r["g"], r["ky"]): r["v"]
+        for r in brute.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_quantile_audit_ok_everywhere(spark, sf_dir):
+    """The in-band O(1/√k) rank bound actually holds on the test
+    corpus — quality, not just determinism."""
+    rows = quantiles_with_audit(_li(spark, sf_dir), "l_extendedprice", KEY).collect()
+    assert len(rows) == 7
+    assert all(r["ok"] for r in rows)
+    # estimates are monotone in q (sample ranks are)
+    ests = [r["est"] for r in sorted(rows, key=lambda r: r["q"])]
+    assert ests == sorted(ests)
+
+    grows = quantiles_with_audit(
+        _docs(spark, sf_dir), "n_chars", "doc_id", k=256, group_col="lang"
+    ).collect()
+    assert all(r["ok"] for r in grows)
+    langs = {r["g"] for r in grows}
+    assert all(
+        sum(1 for r in grows if r["g"] == g) == 7 for g in langs
+    )
+
+
+def test_global_sample_plan_is_take_ordered(spark, sf_dir):
+    """No full-shuffle sort: orderBy().limit() must compile to
+    TakeOrderedAndProject (each task emits ≤ k rows)."""
+    plan = (
+        bottomk_sample(_li(spark, sf_dir), "l_extendedprice", KEY, 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_incremental_quantile_store_equals_batch(spark, sf_dir, tmp_path):
+    """Stream ≡ batch for the 6th maintenance loop: the per-batch
+    bottom-k leaves, re-cut and run through the SAME
+    quantile_estimates derivation, reproduce the one-shot batch
+    answer — including after compaction."""
+    from spark_kafka_streaming_spark.streaming.incremental_quantiles import (
+        IncrementalQuantileStore,
+    )
+
+    docs = [
+        {"doc_id": r["doc_id"], "lang": r["lang"], "n_chars": r["n_chars"]}
+        for r in _docs(spark, sf_dir)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    third = max(1, len(docs) // 3)
+    for i in range(3):
+        chunk = docs[i * third :] if i == 2 else docs[i * third : (i + 1) * third]
+        (src / f"b{i}.json").write_text("\n".join(json.dumps(r) for r in chunk))
+
+    store = IncrementalQuantileStore(
+        str(tmp_path / "q_store"), "lang", "n_chars", "doc_id", k=32
+    )
+    stream = (
+        spark.readStream.schema("doc_id BIGINT, lang STRING, n_chars BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        stream.writeStream.foreachBatch(store)
+        .option("checkpointLocation", str(tmp_path / "ck_q"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(
+        docs, "doc_id BIGINT, lang STRING, n_chars BIGINT"
+    )
+    want = sorted(
+        tuple(r)
+        for r in quantile_estimates(
+            bottomk_sample_grouped(batch_df, "lang", "n_chars", "doc_id", 32),
+            grouped=True,
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in store.quantiles(spark).collect())
+    assert got == want and len(want) > 0
+
+    store.compact(spark)
+    after = sorted(tuple(r) for r in store.quantiles(spark).collect())
+    assert after == want
+
+
+def test_quantile_store_empty(spark, tmp_path):
+    from spark_kafka_streaming_spark.streaming.incremental_quantiles import (
+        IncrementalQuantileStore,
+    )
+
+    store = IncrementalQuantileStore(
+        str(tmp_path / "nope"), "lang", "n_chars", "doc_id"
+    )
+    assert store.quantiles(spark) is None
+    assert store.sample(spark) is None
+
+
+def test_bottomk_smaller_than_population_handled(spark, sf_dir):
+    """k ≥ population: the sample is the whole group and estimates are
+    exact order statistics (m = group size)."""
+    docs = _docs(spark, sf_dir).limit(3)
+    out = quantiles_with_audit(
+        docs, "n_chars", "doc_id", k=1000, group_col="lang"
+    ).collect()
+    assert all(r["ok"] for r in out)
+    assert all(r["rank_err"] <= 1.0 / max(1, r["m"]) + 1e-12 for r in out)
