@@ -375,6 +375,50 @@ def bench_sketch_drain(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_quantile_store_drain(spark, sf_dir: str) -> float:
+    """Bounded-state quantile maintenance path: drain events through
+    foreachBatch into the incremental bottom-k priority-sample store
+    (streaming/incremental_quantiles.py), then serve one per-group
+    quantile snapshot — state stays O(groups·k) rows however long the
+    stream runs (stream≡batch pinned in tests/test_round7b_ops.py)."""
+    import shutil
+    import tempfile
+
+    from spark_kafka_streaming_spark.sources.batch import load_table
+    from spark_kafka_streaming_spark.streaming.incremental_quantiles import (
+        IncrementalQuantileStore,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_quantile_")
+    try:
+        src = f"{tmp}/src"
+        (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .repartition(4)
+            .write.json(src)
+        )
+        store = IncrementalQuantileStore(
+            f"{tmp}/store", "event_type", "value", "event_id", k=64
+        )
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream
+            .schema("event_id BIGINT, event_type STRING, value DOUBLE")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(store)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_stop(q)
+        store.quantiles(spark).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -436,6 +480,10 @@ def main() -> None:
         bench_sketch_drain(spark, SF_DIR)  # warm
         timings["stream_sketch_drain"] = round(
             bench_sketch_drain(spark, SF_DIR), 4
+        )
+        bench_quantile_store_drain(spark, SF_DIR)  # warm
+        timings["stream_quantile_store_drain"] = round(
+            bench_quantile_store_drain(spark, SF_DIR), 4
         )
     finally:
         shutil.rmtree(sig_cache, ignore_errors=True)

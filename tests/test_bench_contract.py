@@ -29,6 +29,7 @@ def _all_entry_names() -> list[str]:
         "stream_events_windowed_drain",
         "stream_stateful_dedup_drain",
         "stream_sketch_drain",
+        "stream_quantile_store_drain",
     ]
 
 
