@@ -335,6 +335,7 @@ _ROUND7_WINDOW = [
     "q_text_bpe_encode_batched",
     "q_quantile_sketch_prices",
     "q_quantile_sketch_doclen_by_lang",
+    "q_events_session_duration_quantiles",
     # (b) touched this round
     "q_knn_label_propagation_ann",
     "q_knn_propagation_agreement",

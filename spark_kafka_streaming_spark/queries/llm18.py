@@ -11,7 +11,8 @@ per SURVEY.md.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
 
 from ..operators.quantiles import (
     K_GROUP,
@@ -70,3 +71,69 @@ def q_quantile_sketch_doclen_by_lang(
     return quantiles_with_audit(
         docs, "n_chars", "doc_id", k=K_GROUP, group_col="lang"
     )
+
+
+#: Sessionized events as a derived table (the q_events_sessionize_batch
+#: gaps-and-islands expressions) reduced to one row per session:
+#: a unique session key and the session duration in microseconds.
+#: Exact integer-microsecond gaps, same convention as events.py.
+_SESSIONS_SQL = """(
+  WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     >= INTERVAL 30 MINUTE
+                OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                THEN 1 ELSE 0 END AS is_new
+    FROM events
+  ), numbered AS (
+    SELECT *, CAST(SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS session_no
+    FROM flagged
+  )
+  SELECT user_id * 100000 + session_no AS skey,
+         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+  FROM numbered GROUP BY user_id, session_no
+) sessions"""
+
+
+@register(
+    "q_events_session_duration_quantiles",
+    oracle=duck_quantiles_sql(_SESSIONS_SQL, "dur_us", "skey", k=512),
+    doc="Session-duration distribution — operator composition: "
+    "gaps-and-islands sessionization (the q_events_sessionize_batch "
+    "expressions, exact integer-microsecond 30-min gaps) reduced to "
+    "one duration per session, then the bottom-k quantile sketch "
+    "(operators/quantiles.py, k=512) with the in-band exact rank "
+    "audit. The product-analytics P50/P95/P99 session-length panel as "
+    "one query: sessionization shuffles keyed by user (the minimum "
+    "any session definition needs), the sketch adds no full sort, and "
+    "the audit re-scans only the one-row-per-session table.",
+    tags=("events", "session", "sketch", "quantile"),
+)
+def q_events_session_duration_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        gap.isNull() | (gap >= 30 * 60 * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wrun = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    sessions = (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_no", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_no")
+        .agg(
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("dur_us")
+        )
+        .select(
+            (F.col("user_id") * 100000 + F.col("session_no")).alias("skey"),
+            "dur_us",
+        )
+    )
+    return quantiles_with_audit(sessions, "dur_us", "skey", k=512)

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import json
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from spark_kafka_streaming_spark.operators.quantiles import (
@@ -190,6 +192,44 @@ def test_quantile_store_empty(spark, tmp_path):
     )
     assert store.quantiles(spark) is None
     assert store.sample(spark) is None
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    k=st.integers(min_value=1, max_value=20),
+)
+def test_bottomk_matches_pure_python_model(spark, vals, k):
+    """The sketch equals an INDEPENDENT pure-Python replay (hashlib
+    md5 60-bit prefix, sort by (h, key), take k) on arbitrary values —
+    pins both the hash portability and the cut semantics against a
+    second implementation that shares no code with the engine."""
+    import hashlib
+
+    rows = [(float(v), i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "val double, rid bigint")
+    got = sorted(
+        (r["v"], r["ky"]) for r in bottomk_sample(df, "val", "rid", k).collect()
+    )
+
+    def prio(key: int) -> int:
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:15], 16)
+
+    want = sorted(
+        (v, key)
+        for v, key in sorted(rows, key=lambda r: (prio(r[1]), r[1]))[:k]
+    )
+    assert got == want
 
 
 def test_bottomk_smaller_than_population_handled(spark, sf_dir):
