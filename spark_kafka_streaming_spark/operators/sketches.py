@@ -433,3 +433,124 @@ def heavy_hitters_exact(
             F.round(F.col("cnt") / F.col("n_total"), 6).alias("frac"),
         )
     )
+
+
+def misra_gries_candidates_grouped(
+    items: DataFrame,
+    group_col: str,
+    item_col: str = "token",
+    capacity: int = 1000,
+    with_task_totals: bool = False,
+) -> DataFrame:
+    """Per-group bounded-memory frequent-item candidates: an
+    independent Misra-Gries summary per (task, group), ``capacity``
+    counters each — the grouped twin of
+    :func:`misra_gries_candidates`, with the same weighted batch merge
+    and the same per-group guarantee: any item with group-task count
+    > N_g_task/(capacity+1) survives its task's summary, so any item
+    with GLOBAL group count > N_g/(capacity+1) survives in at least
+    one task.  Output is O(tasks · groups · capacity) candidate rows —
+    the full (group, item) stream never shuffles.
+
+    With ``with_task_totals`` each (task, group) also emits one
+    sentinel row (item NULL, cnt = that task's non-null item count for
+    the group), so the exact per-group N reduces from the same scan.
+    NULL items are excluded throughout, same convention as the global
+    form.
+    """
+    schema = f"{group_col} string, {item_col} string" + (
+        ", cnt bigint" if with_task_totals else ""
+    )
+
+    def run(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        totals: dict = {}
+        for pdf in batches:
+            for g, sub in pdf.groupby(group_col, sort=False):
+                c = counters.setdefault(g, {})
+                totals[g] = totals.get(g, 0) + int(sub[item_col].notna().sum())
+                for item, cnt in sub[item_col].value_counts().items():
+                    c[item] = c.get(item, 0) + int(cnt)
+                if len(c) > capacity:
+                    offset = sorted(c.values(), reverse=True)[capacity]
+                    counters[g] = {
+                        k: v - offset for k, v in c.items() if v > offset
+                    }
+        gs, its, cnts = [], [], []
+        for g, c in counters.items():
+            for k, v in c.items():
+                gs.append(g)
+                its.append(k)
+                cnts.append(v)
+            if with_task_totals:
+                gs.append(g)
+                its.append(None)
+                cnts.append(totals.get(g, 0))
+        if with_task_totals:
+            data = {group_col: gs, item_col: its, "cnt": cnts}
+        else:
+            data = {group_col: gs, item_col: its}
+        yield pd.DataFrame(data)
+
+    return items.select(
+        F.col(group_col).cast("string").alias(group_col), item_col
+    ).mapInPandas(run, schema=schema)
+
+
+def heavy_hitters_exact_grouped(
+    items: DataFrame,
+    group_col: str,
+    item_col: str = "token",
+    phi: float = 0.02,
+    capacity: int | None = None,
+) -> DataFrame:
+    """Exact per-group phi-heavy hitters in two bounded passes — the
+    grouped form of :func:`heavy_hitters_exact` (per-domain vocabulary
+    drift, per-language stopword panels, per-tenant hot keys).
+
+    Pass 1: :func:`misra_gries_candidates_grouped` (map-only, no-
+    false-negative superset per group + per-group sentinel totals from
+    the same scan).  Pass 2: exact counts for candidate (group, item)
+    pairs only via broadcast semi-join, filtered to
+    ``count >= ceil(phi * N_group)``.  Deterministic and identical to
+    the full groupBy answer, which is what the DuckDB oracle computes;
+    the shuffle carries O(tasks · groups · capacity) candidates plus
+    counts for candidate pairs only, never the full distinct
+    (group, item) space.
+    """
+    capacity = capacity or max(16, int(2.0 / phi))
+    from ..functions.caching import track_persist
+
+    summary = track_persist(
+        misra_gries_candidates_grouped(
+            items, group_col, item_col, capacity, with_task_totals=True
+        )
+    )
+    cands = (
+        summary.filter(F.col(item_col).isNotNull())
+        .select(group_col, item_col)
+        .distinct()
+    )
+    totals = (
+        summary.filter(F.col(item_col).isNull())
+        .groupBy(group_col)
+        .agg(F.sum("cnt").alias("n_group"))
+    )
+    return (
+        items.select(
+            F.col(group_col).cast("string").alias(group_col), item_col
+        )
+        .join(F.broadcast(cands), [group_col, item_col])
+        .groupBy(group_col, item_col)
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(totals), group_col)
+        .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_group")))
+        .select(
+            group_col,
+            item_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_group"), 6).alias("frac"),
+        )
+    )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions import texthash as TH
 from ..operators.quantiles import (
     K_GROUP,
     duck_quantiles_sql,
@@ -137,3 +138,48 @@ def q_events_session_duration_quantiles(
         )
     )
     return quantiles_with_audit(sessions, "dur_us", "skey", k=512)
+
+
+_HH_GROUP_PHI = 0.02
+
+
+@register(
+    "q_text_heavy_hitters_by_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT lang, unnest({TH.duck_tokens('text')}) AS token FROM documents
+    ),
+    f AS (SELECT lang, token, count(*) AS cnt FROM toks GROUP BY lang, token),
+    t AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_group FROM f GROUP BY lang)
+    SELECT f.lang AS lang, token, cnt,
+           round(CAST(cnt AS DOUBLE) / CAST(n_group AS DOUBLE), 6) AS frac
+    FROM f JOIN t USING (lang)
+    WHERE cnt >= ceil({_HH_GROUP_PHI} * n_group)
+    ORDER BY lang, token
+    """,
+    doc="Exact per-language phi-heavy hitters (phi=0.02) — the grouped "
+    "form of q_text_heavy_hitters (operators/sketches.py::"
+    "heavy_hitters_exact_grouped): an independent bounded-memory "
+    "Misra-Gries summary per (task, language) gives a provable "
+    "no-false-negative candidate superset PER GROUP, per-group exact "
+    "totals reduce from the same scan's sentinel rows, and the exact "
+    "second pass counts candidate (lang, token) pairs only. The "
+    "per-domain vocabulary-drift / per-language stopword panel at "
+    "100 TB: the shuffle is O(tasks·langs·capacity) candidates, never "
+    "the full distinct (lang, token) space — and the result is "
+    "identical to the full groupBy the oracle runs.",
+    tags=("llm", "sketch", "text", "grouped"),
+)
+def q_text_heavy_hitters_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.sketches import heavy_hitters_exact_grouped
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.expr(TH.spark_tokens("text"))).alias("token")
+    )
+    return heavy_hitters_exact_grouped(
+        toks, "lang", "token", phi=_HH_GROUP_PHI
+    ).orderBy("lang", "token")
+

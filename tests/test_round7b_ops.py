@@ -241,3 +241,71 @@ def test_bottomk_smaller_than_population_handled(spark, sf_dir):
     ).collect()
     assert all(r["ok"] for r in out)
     assert all(r["rank_err"] <= 1.0 / max(1, r["m"]) + 1e-12 for r in out)
+
+
+def test_grouped_mg_superset_guarantee(spark, sf_dir):
+    """Per-group no-false-negative guarantee under adversarial
+    partitioning and a tiny capacity: every true per-group phi-heavy
+    hitter appears in the grouped candidate superset."""
+    from spark_kafka_streaming_spark.functions import texthash as TH
+    from spark_kafka_streaming_spark.operators.sketches import (
+        misra_gries_candidates_grouped,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(8)
+    toks = docs.selectExpr(
+        "lang", f"explode({TH.spark_tokens('text')}) AS token"
+    )
+    capacity = 39  # phi = 1/(capacity+1) = 0.025 (fixture max ~0.039)
+    cands = {
+        (r["lang"], r["token"])
+        for r in misra_gries_candidates_grouped(
+            toks, "lang", "token", capacity
+        ).collect()
+    }
+    exact = toks.groupBy("lang", "token").count()
+    totals = toks.groupBy("lang").count().withColumnRenamed("count", "n_g")
+    heavy = {
+        (r["lang"], r["token"])
+        for r in exact.join(totals, "lang")
+        .filter(F.col("count") > F.col("n_g") / (capacity + 1))
+        .collect()
+    }
+    assert heavy, "fixture should contain per-group heavy items"
+    assert heavy <= cands
+
+
+def test_grouped_heavy_hitters_equals_full_groupby(spark, sf_dir):
+    """The two-pass grouped result is identical to the full groupBy
+    answer at a capacity far below the distinct-token count."""
+    from spark_kafka_streaming_spark.functions import texthash as TH
+    from spark_kafka_streaming_spark.operators.sketches import (
+        heavy_hitters_exact_grouped,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(8)
+    toks = docs.selectExpr(
+        "lang", f"explode({TH.spark_tokens('text')}) AS token"
+    )
+    phi = 0.03
+    got = sorted(
+        tuple(r)
+        for r in heavy_hitters_exact_grouped(
+            toks, "lang", "token", phi=phi, capacity=40
+        ).collect()
+    )
+    exact = toks.groupBy("lang", "token").agg(F.count("*").alias("cnt"))
+    totals = exact.groupBy("lang").agg(F.sum("cnt").alias("n_group"))
+    want = sorted(
+        tuple(r)
+        for r in exact.join(totals, "lang")
+        .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_group")))
+        .select(
+            "lang",
+            "token",
+            "cnt",
+            F.round(F.col("cnt") / F.col("n_group"), 6).alias("frac"),
+        )
+        .collect()
+    )
+    assert got == want and len(want) > 0
