@@ -337,6 +337,7 @@ _ROUND7_WINDOW = [
     "q_quantile_sketch_doclen_by_lang",
     "q_events_session_duration_quantiles",
     "q_text_heavy_hitters_by_lang",
+    "q_ann_recall_imi",
     # (b) touched this round
     "q_knn_label_propagation_ann",
     "q_knn_propagation_agreement",

@@ -183,3 +183,85 @@ def q_text_heavy_hitters_by_lang(
         toks, "lang", "token", phi=_HH_GROUP_PHI
     ).orderBy("lang", "token")
 
+
+
+# --------------------------------------------- IMI recall harness
+
+
+def _duck_imi_recall_oracle() -> str:
+    from ..functions import vectors as V
+    from ..operators.similarity import duck_ivf2_topk_sql
+    from .llm17 import _FULL_NCELLS_SQL
+
+    brute = f"""
+    WITH sv AS (
+      SELECT vec_id, {V.duck_scaled('embedding')} AS v FROM embeddings
+    ),
+    sn AS (SELECT vec_id, v, {V.duck_dot('v', 'v')} AS n FROM sv),
+    q AS (SELECT * FROM sn WHERE vec_id < 10),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST({V.duck_dot('q.v', 'c.v')} AS DOUBLE)
+               / (sqrt(CAST(q.n AS DOUBLE)) * sqrt(CAST(c.n AS DOUBLE)))
+               AS cos_sim
+      FROM q JOIN sn c ON c.vec_id <> q.vec_id
+    )
+    SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rn FROM scored
+    ) t WHERE rn <= 5
+    """
+    imi = duck_ivf2_topk_sql(5, "id < 10", n_cells_sql=_FULL_NCELLS_SQL)
+    return f"""
+    WITH brute AS (SELECT query_id, neighbor_id FROM ({brute}) b),
+    approx AS (
+      SELECT query_id, neighbor_id FROM ({imi}) a
+    )
+    SELECT b.query_id,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(a.neighbor_id) AS DOUBLE) / 5 AS recall_at_5
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id
+    ORDER BY b.query_id
+    """
+
+
+@register(
+    "q_ann_recall_imi",
+    oracle=_duck_imi_recall_oracle(),
+    doc="ANN self-evaluation for the near-linear build path: recall@5 "
+    "of the two-level (IMI-style) coarse quantizer against exact "
+    "brute-force top-k, per query — the fourth leg of the ANN quality "
+    "harness (with q_ann_recall_lsh / q_ann_recall_ivfpq / "
+    "q_dedup_minhash_recall). Prices exactly what the |C|·O(√n_cells) "
+    "assignment trades: a truth neighbor whose cell lives in an "
+    "unprobed super. Bounded 10-query truth leg (brute force is the "
+    "cost ceiling, the q_ann_recall_ivfpq pattern); the planted "
+    "40-cluster CI fixture asserts ≥ 0.95 on structured corpora "
+    "(tests/test_planted_clusters.py).",
+    tags=("llm", "similarity", "imi", "evaluation"),
+)
+def q_ann_recall_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import brute_force_topk, ivf_topk_imi
+    from .llm13 import auto_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    brute = brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
+    approx = (
+        ivf_topk_imi(q, emb, k=5, n_cells=auto_cells(emb.count()))
+        .select("query_id", "neighbor_id")
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        brute.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hits"),
+            (F.sum(F.coalesce("_hit", F.lit(0))) / 5.0).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )
