@@ -338,6 +338,7 @@ _ROUND7_WINDOW = [
     "q_events_session_duration_quantiles",
     "q_text_heavy_hitters_by_lang",
     "q_ann_recall_imi",
+    "q_quantile_windowed_hourly",
     # (b) touched this round
     "q_knn_label_propagation_ann",
     "q_knn_propagation_agreement",

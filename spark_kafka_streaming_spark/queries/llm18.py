@@ -265,3 +265,51 @@ def q_ann_recall_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ------------------------------------- event-time windowed quantiles
+
+
+@register(
+    "q_quantile_windowed_hourly",
+    oracle=duck_quantiles_sql(
+        """(
+      SELECT CAST(CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS VARCHAR)
+               || '|' || event_type AS wg,
+             value AS v, event_id AS ek
+      FROM events
+    ) we""",
+        "v",
+        "ek",
+        k=64,
+        group_col="wg",
+    ),
+    doc="Event-time windowed rank analytics: per (hour, event_type) "
+    "value quantiles via the grouped bottom-k sketch (k=64 per "
+    "window-group) with the in-band exact rank audit — the hourly "
+    "P50/P95/P99 latency/value panel every monitoring deployment "
+    "runs, computed without sorting any window. The window key is the "
+    "integer event-time hour (epoch_us/3.6e9 — engine-portable exact "
+    "integer arithmetic, no timezone/format drift) composed with the "
+    "type; groups are naturally bounded (hours × types) and the "
+    "per-task cut keeps the shuffle at O(tasks·windows·k) however "
+    "many events land in a window. The same bottom-k state serves the "
+    "streaming form (streaming/incremental_quantiles.py with the "
+    "window key as group_col) — batch and stream share the exact "
+    "merge property.",
+    tags=("events", "window", "sketch", "quantile"),
+)
+def q_quantile_windowed_hourly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.concat(
+            (F.floor(F.unix_micros("ts") / 3_600_000_000)).cast("long").cast("string"),
+            F.lit("|"),
+            F.col("event_type"),
+        ).alias("wg"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("ek"),
+    )
+    return quantiles_with_audit(keyed, "v", "ek", k=64, group_col="wg")
