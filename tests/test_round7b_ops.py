@@ -309,3 +309,63 @@ def test_grouped_heavy_hitters_equals_full_groupby(spark, sf_dir):
         .collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_windowed_quantile_store_equals_batch_query(spark, sf_dir, tmp_path):
+    """The q_quantile_windowed_hourly doc claims the same bottom-k
+    state serves the streaming form with the window key as group_col —
+    prove it: an IncrementalQuantileStore keyed on the (epoch-hour |
+    type) composite, fed the events in three micro-batches, serves
+    estimates identical to the batch windowed query's estimate leg."""
+    import json as _json
+
+    from spark_kafka_streaming_spark.streaming.incremental_quantiles import (
+        IncrementalQuantileStore,
+    )
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "event_id",
+            "concat(CAST(CAST(floor(unix_micros(CAST(ts AS TIMESTAMP)) / "
+            "3600000000) AS BIGINT) AS STRING), '|', event_type) AS wg",
+            "value",
+        )
+        .orderBy("event_id")
+    )
+    rows = [r.asDict() for r in ev.collect()]
+    src = tmp_path / "ev"
+    src.mkdir()
+    third = max(1, len(rows) // 3)
+    for i in range(3):
+        chunk = rows[i * third :] if i == 2 else rows[i * third : (i + 1) * third]
+        (src / f"b{i}.json").write_text(
+            "\n".join(_json.dumps(r) for r in chunk)
+        )
+
+    store = IncrementalQuantileStore(
+        str(tmp_path / "wq_store"), "wg", "value", "event_id", k=64
+    )
+    q = (
+        spark.readStream.schema("event_id BIGINT, wg STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .writeStream.foreachBatch(store)
+        .option("checkpointLocation", str(tmp_path / "ck_wq"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    batch_df = spark.createDataFrame(
+        rows, "event_id BIGINT, wg STRING, value DOUBLE"
+    )
+    want = sorted(
+        tuple(r)
+        for r in quantile_estimates(
+            bottomk_sample_grouped(batch_df, "wg", "value", "event_id", 64),
+            grouped=True,
+        ).collect()
+    )
+    got = sorted(tuple(r) for r in store.quantiles(spark).collect())
+    assert got == want and len(want) > 0
