@@ -104,13 +104,37 @@ def with_minhash_signature(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).withColumn("sig", F.expr(TH.spark_minhash_sig("hs")))
 
 
+#: Above this corpus size the verify-side signature broadcast no longer
+#: fits the driver: at 5M zipf docs the collected (id, hs) table blew
+#: ``spark.driver.maxResultSize`` (>1 GiB at 21/32 tasks — found live
+#: at the fourth scale decade, SCALE.md round 7).  Below it the
+#: broadcast form wins by ~10× (measured sf1: a shuffle-join verify
+#: moves the candidate rows CARRYING the joined shingle arrays — 47.5 s
+#: vs 5.0 s).  At 1M docs the broadcast is ~300 MB: comfortably inside
+#: both the driver cap and executor memory.
+BROADCAST_VERIFY_MAX_DOCS = 1_000_000
+
+
+def _resolve_broadcast_verify(flag: bool | None, sigs: DataFrame) -> bool:
+    """``None`` = adaptive: broadcast the verify legs only while the
+    signature table is small enough to collect (one cheap column-pruned
+    count against a table the plan consumes anyway); above the cap the
+    verify joins run as ordinary shuffle joins — slower per candidate
+    but unbounded in corpus size.  Explicit True/False pins the choice
+    (the cluster form stores signatures bucketed by id so both legs
+    co-locate without re-shuffling candidates)."""
+    if flag is not None:
+        return flag
+    return sigs.count() <= BROADCAST_VERIFY_MAX_DOCS
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     jaccard_threshold: float = 0.5,
     sigs: DataFrame | None = None,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
     max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH banding + exact verify.
@@ -191,7 +215,7 @@ def minhash_lsh_pairs(
     ).distinct()
     s1 = sigs.select(F.col(id_col).alias("id1"), F.col("hs").alias("hs1"))
     s2 = sigs.select(F.col(id_col).alias("id2"), F.col("hs").alias("hs2"))
-    if broadcast_verify:
+    if _resolve_broadcast_verify(broadcast_verify, sigs):
         s1, s2 = F.broadcast(s1), F.broadcast(s2)
     inter = F.size(F.array_intersect("hs1", "hs2"))
     union = F.size("hs1") + F.size("hs2") - inter
@@ -315,7 +339,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     threshold_frac: tuple[int, int] | None = None,
     sigs: DataFrame | None = None,
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """EXACT Jaccard-threshold pairs via prefix-filtered set-similarity
     join (the SSJoin/PPJoin family).
@@ -419,7 +443,7 @@ def ngram_jaccard_pairs(
     )
     s1 = hs.select(F.col(id_col).alias("id1"), F.col("hs").alias("hs1"))
     s2 = hs.select(F.col(id_col).alias("id2"), F.col("hs").alias("hs2"))
-    if broadcast_verify:
+    if _resolve_broadcast_verify(broadcast_verify, hs):
         # The candidate list outnumbers the signature table by orders
         # of magnitude (measured sf1: 10.7M candidates vs 50k docs), so
         # a shuffle-join verification moves candidate rows CARRYING the
@@ -447,7 +471,7 @@ def overlap_pairs(
     max_df: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
-    broadcast_verify: bool = True,
+    broadcast_verify: bool | None = None,
     threshold_frac: tuple[int, int] | None = None,
     sigs: DataFrame | None = None,
 ) -> DataFrame:
@@ -560,11 +584,13 @@ def overlap_pairs(
     )
     s1 = base.select(F.col(id_col).alias("id1"), F.col("hs").alias("hs1"))
     s2 = base.select(F.col(id_col).alias("id2"), F.col("hs").alias("hs2"))
-    if broadcast_verify:
+    if _resolve_broadcast_verify(broadcast_verify, base):
         # the hash-array table is |docs|-sized (tiny next to the pair
         # stream); broadcasting it keeps the candidate pairs from ever
-        # shuffling with array payloads attached.  Set False (bucketed
-        # shuffle join) when the corpus itself is beyond broadcast.
+        # shuffling with array payloads attached.  Above
+        # BROADCAST_VERIFY_MAX_DOCS the adaptive default falls back to
+        # the shuffle-join form (bucketed-by-id storage co-locates the
+        # legs on a cluster).
         s1, s2 = F.broadcast(s1), F.broadcast(s2)
     return (
         cand.join(s1, "id1")
