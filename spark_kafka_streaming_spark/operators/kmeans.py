@@ -189,6 +189,62 @@ def assign_clusters_join(
     )
 
 
+#: Smallest k assigned via the Arrow-batched numpy kernel.  Between
+#: LITERAL_ASSIGN_MAX_K and here the broadcast-join form wins (no
+#: Python worker round-trip); at corpus-scaled k (auto_k = n/400 →
+#: thousands of centroids on millions of vectors) the join form's k·N
+#: interpreted higher-order-function dots become the wall — found live
+#: at the fourth scale decade: SemDeDup at 2M vectors × 5000 centroids
+#: is 10¹⁰ interpreted dots per assignment pass and did not finish,
+#: while one int64 matmul per Arrow batch is the same arithmetic at
+#: numpy speed (the round-6 ANN-propagation fix, applied to Lloyd
+#: assignment).
+ARROW_ASSIGN_MIN_K = 64
+
+
+def assign_clusters_arrow(
+    sv: DataFrame,
+    cents: list[tuple[int, list[int], int]],
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment as one int64 numpy matmul per Arrow
+    batch — the corpus-scaled-k twin of :func:`assign_clusters_join`.
+
+    Bit-identical to the literal and join forms: the distance is the
+    same exact int64 ``n + cn − 2·x·c`` (components are |x| ≤ 0.53·1e7
+    so every product and sum stays far inside int64), and the argmin
+    tie-break matches because the centroid matrix columns are sorted by
+    cid ascending and ``np.argmin`` returns the FIRST minimum — i.e.
+    the lowest cid, the same (dist, cid)-lexicographic rule.  Parity
+    with the join form is pinned in tests/test_round7b_ops.py.
+    """
+    import numpy as np
+
+    cents = sorted(cents)
+    cmat = np.array([cv for _, cv, _ in cents], dtype="int64")
+    cn = np.array([n for _, _, n in cents], dtype="int64")
+    cids = np.array([cid for cid, _, _ in cents], dtype="int64")
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["v"].tolist(), dtype="int64")
+            n = pdf["n"].to_numpy(dtype="int64")
+            dist = n[:, None] + cn[None, :] - 2 * (vm @ cmat.T)
+            idx = np.argmin(dist, axis=1)
+            out = pdf.copy()
+            out["cluster"] = cids[idx].astype("int32")
+            out["dist2"] = dist[np.arange(len(idx)), idx]
+            yield out
+
+    schema = (
+        f"{id_col} bigint, v array<bigint>, n bigint, "
+        "cluster int, dist2 bigint"
+    )
+    return sv.select(id_col, "v", "n").mapInPandas(run, schema=schema)
+
+
 def auto_k(n_vectors: int, per: int = 400, floor: int = 8) -> int:
     """Corpus-scaled cluster count: k = max(floor, n // per).
 
@@ -217,14 +273,17 @@ def kmeans_assignments(
     the *latest* centroids, and ``iters`` counts update steps.
 
     Assignment uses the codegen-friendly literal form up to
-    ``LITERAL_ASSIGN_MAX_K`` centroids and the broadcast-join form
-    beyond it (same exact arithmetic, same (dist, cid) tie-break).
+    ``LITERAL_ASSIGN_MAX_K`` centroids, the broadcast-join form beyond
+    it, and the Arrow int64-matmul kernel from ``ARROW_ASSIGN_MIN_K``
+    (corpus-scaled k) — all three produce bit-identical assignments
+    (same exact arithmetic, same (dist, cid) tie-break).
     """
-    assign = (
-        assign_clusters
-        if k <= LITERAL_ASSIGN_MAX_K
-        else lambda s, c: assign_clusters_join(s, c, id_col)
-    )
+    if k <= LITERAL_ASSIGN_MAX_K:
+        assign = assign_clusters
+    elif k < ARROW_ASSIGN_MIN_K:
+        assign = lambda s, c: assign_clusters_join(s, c, id_col)  # noqa: E731
+    else:
+        assign = lambda s, c: assign_clusters_arrow(s, c, id_col)  # noqa: E731
     sv = track_persist(scaled_vectors(df, id_col, vec_col))
     cents = initial_centroids(sv, k, id_col)
     for _ in range(iters):
