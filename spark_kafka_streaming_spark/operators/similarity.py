@@ -31,6 +31,14 @@ from .skew import bounded_self_pairs
 #: (cos ≥ 0.9) see recall ≈ 1 at far lower cost.
 LSH_PLANES = 6
 LSH_BANDS = 8
+
+#: Above this vector count the cosine-verify broadcast (id, v: d int64,
+#: n) no longer builds on the driver — found live at 2M vectors / d=64
+#: (the fourth-decade sibling of operators/dedup.py's
+#: BROADCAST_VERIFY_MAX_DOCS).  64-dim int64 rows are ~4× heavier than
+#: shingle-hash rows, hence the lower cap (~200 MB broadcast at the
+#: cap).
+BROADCAST_VERIFY_MAX_VECS = 400_000
 DIM = 64
 
 
@@ -746,22 +754,24 @@ def cosine_dup_pairs(
     ).distinct()
     # Re-attach vectors from the already-persisted banded index (band 0
     # holds every vector exactly once) and verify with ONE exact cosine
-    # per unique pair.  Broadcast both verify legs: the candidate list
-    # outnumbers the vector table by orders of magnitude (same measured
-    # trade as the Jaccard verify, operators/dedup.py) — at corpus
-    # sizes beyond broadcast, store the vector table bucketed by id so
-    # the verify co-locates without re-shuffling candidates (SCALE.md).
+    # per unique pair.  Broadcast both verify legs while the vector
+    # table fits: the candidate list outnumbers it by orders of
+    # magnitude (same measured trade as the Jaccard verify,
+    # operators/dedup.py).  ADAPTIVE above BROADCAST_VERIFY_MAX_VECS —
+    # at 2M vectors the forced broadcast failed to build on the driver
+    # (found live at the fourth scale decade, the dedup verify-cap
+    # sibling); beyond the cap the verify runs as ordinary shuffle
+    # joins (a cluster stores the vector table bucketed by id so the
+    # legs co-locate without re-shuffling candidates).
     vecs = banded.filter(F.col("band") == 0).select("id", "v", "n")
-    s1 = F.broadcast(
-        vecs.select(
-            F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1")
-        )
+    s1 = vecs.select(
+        F.col("id").alias("id1"), F.col("v").alias("v1"), F.col("n").alias("n1")
     )
-    s2 = F.broadcast(
-        vecs.select(
-            F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2")
-        )
+    s2 = vecs.select(
+        F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2")
     )
+    if vecs.count() <= BROADCAST_VERIFY_MAX_VECS:
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
     cos = F.expr(V.spark_cosine(V.spark_dot("v1", "v2"), "n1", "n2"))
     return track_persist(
         cand.join(s1, "id1")
