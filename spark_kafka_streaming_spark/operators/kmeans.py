@@ -225,17 +225,29 @@ def assign_clusters_arrow(
     cn = np.array([n for _, _, n in cents], dtype="int64")
     cids = np.array([cid for cid, _, _ in cents], dtype="int64")
 
+    cmat_f = cmat.T.astype("float64")
+
     def run(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
             vm = np.array(pdf["v"].tolist(), dtype="int64")
             n = pdf["n"].to_numpy(dtype="int64")
-            dist = n[:, None] + cn[None, :] - 2 * (vm @ cmat.T)
+            # float64 matmul takes the BLAS path (int64 has none, ~50×
+            # slower) and is EXACT here: |component| ≤ 0.53·1e7, so any
+            # dot ≤ 64·(0.53e7)² ≈ 1.8e15 and any partial sum stays
+            # < 2^53 — every float64 intermediate is exactly the
+            # integer, and dist ≤ ~7.1e15 < 2^53 likewise.
+            dot = vm.astype("float64") @ cmat_f
+            dist = (
+                n[:, None].astype("float64")
+                + cn[None, :].astype("float64")
+                - 2.0 * dot
+            )
             idx = np.argmin(dist, axis=1)
             out = pdf.copy()
             out["cluster"] = cids[idx].astype("int32")
-            out["dist2"] = dist[np.arange(len(idx)), idx]
+            out["dist2"] = dist[np.arange(len(idx)), idx].astype("int64")
             yield out
 
     schema = (
@@ -325,11 +337,13 @@ def _semantic_drops_arrow(a: DataFrame, tau: float) -> DataFrame:
         dropped = np.zeros(m, dtype=bool)
         block = 2048
         col = np.arange(m)
+        vmf = vm.astype("float64")
         for s in range(0, m, block):
             e = min(s + block, m)
-            cos = (vm[s:e] @ vm.T).astype("float64") / (
-                den[s:e, None] * den[None, :]
-            )
+            # float64 BLAS matmul, exact for the same 2^53 bound as
+            # assign_clusters_arrow — the quotient is then computed
+            # from the identical integer-valued dot.
+            cos = (vmf[s:e] @ vmf.T) / (den[s:e, None] * den[None, :])
             ge = (cos >= tau) & (col[None, :] > np.arange(s, e)[:, None])
             dropped |= ge.any(axis=0)
         return pd.DataFrame({"id": pdf["id"].to_numpy()[dropped]})
