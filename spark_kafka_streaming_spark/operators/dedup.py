@@ -122,7 +122,14 @@ def _resolve_broadcast_verify(flag: bool | None, sigs: DataFrame) -> bool:
     verify joins run as ordinary shuffle joins — slower per candidate
     but unbounded in corpus size.  Explicit True/False pins the choice
     (the cluster form stores signatures bucketed by id so both legs
-    co-locate without re-shuffling candidates)."""
+    co-locate without re-shuffling candidates).
+
+    NOTE the adaptive path is an EAGER action at plan-construction
+    time: ``sigs.count()`` runs (and with inline signatures,
+    materializes the signature computation) even if the returned plan
+    is never executed.  Library callers who need lazy construction
+    should pass an explicit ``broadcast_verify`` — the model-sizing
+    count is then skipped entirely."""
     if flag is not None:
         return flag
     return sigs.count() <= BROADCAST_VERIFY_MAX_DOCS

@@ -343,7 +343,14 @@ def _semantic_drops_arrow(a: DataFrame, tau: float) -> DataFrame:
             # float64 BLAS matmul, exact for the same 2^53 bound as
             # assign_clusters_arrow — the quotient is then computed
             # from the identical integer-valued dot.
-            cos = (vmf[s:e] @ vmf.T) / (den[s:e, None] * den[None, :])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = (vmf[s:e] @ vmf.T) / (den[s:e, None] * den[None, :])
+            # zero-norm convention (shared with the SQL route's CASE):
+            # cosine with a zero vector is 0.0 — den = 0 gives 0/0 =
+            # NaN here, which numpy's `>= tau` would silently keep
+            # while Spark's ANSI division would error; pinning 0.0 in
+            # both routes keeps them bit-identical.
+            cos = np.nan_to_num(cos, nan=0.0, posinf=0.0, neginf=0.0)
             ge = (cos >= tau) & (col[None, :] > np.arange(s, e)[:, None])
             dropped |= ge.any(axis=0)
         return pd.DataFrame({"id": pdf["id"].to_numpy()[dropped]})
@@ -401,7 +408,17 @@ def semantic_dedup(
         # drop set — see _semantic_drops_arrow)
         drops = _semantic_drops_arrow(a, tau).distinct()
     else:
-        sim = F.expr(V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n"))
+        # zero-norm convention: cosine with a zero vector is undefined
+        # (0/0 — an ANSI divide-by-zero error in Spark, NULL in
+        # DuckDB); define it as 0.0 (below any positive tau → the row
+        # neither drops nor is dropped) — the CASE short-circuits so
+        # the division never executes, and the arrow route
+        # (_semantic_drops_arrow) replays the same rule.
+        sim = F.expr(
+            "CASE WHEN l.n = 0 OR r.n = 0 THEN 0.0D ELSE "
+            + V.spark_cosine(V.spark_dot("l.v", "r.v"), "l.n", "r.n")
+            + " END"
+        )
         drops = (
             bounded_self_pairs(
                 a,

@@ -91,7 +91,11 @@ def bottomk_sample_grouped(
     the O(tasks·groups·k) survivors.  The full stream never shuffles.
     Deterministic: the final cut depends only on (h, ky)."""
     base = df.select(
-        F.col(group_col).alias("g"),
+        # cast: the mapInPandas schema declares g string, so a
+        # non-string group column must be cast on the way in (Arrow
+        # rejects a type mismatch) — same convention as
+        # sketches.misra_gries_candidates_grouped.
+        F.col(group_col).cast("string").alias("g"),
         F.col(value_col).cast("double").alias("v"),
         F.expr(key_sql).cast("long").alias("ky"),
         F.expr(TH.spark_str_hash_raw(f"CAST({key_sql} AS STRING)")).alias("h"),
@@ -102,10 +106,15 @@ def bottomk_sample_grouped(
 
         acc: dict = {}
         for pdf in batches:
-            for g, sub in pdf.groupby("g", sort=False):
-                prev = acc.get(g)
+            # dropna=False: a NULL group key is a group like any other
+            # (SQL GROUP BY / PARTITION BY semantics — the oracles keep
+            # it); normalize the pandas NaN key to None so accumulation
+            # across batches hits one dict slot (NaN != NaN).
+            for g, sub in pdf.groupby("g", sort=False, dropna=False):
+                gk = None if pd.isna(g) else g
+                prev = acc.get(gk)
                 both = sub if prev is None else pd.concat((prev, sub))
-                acc[g] = both.nsmallest(k, ["h", "ky"])
+                acc[gk] = both.nsmallest(k, ["h", "ky"])
         if acc:
             yield pd.concat(list(acc.values()))
 

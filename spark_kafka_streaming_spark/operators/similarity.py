@@ -709,6 +709,7 @@ def cosine_dup_pairs(
     max_bucket: int | None = None,
     n_planes: int = LSH_PLANES,
     n_bands: int = LSH_BANDS,
+    broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Exact cosine-threshold pairs, LSH-bucketed candidate generation.
 
@@ -716,6 +717,12 @@ def cosine_dup_pairs(
     candidates (equi-join on the sign pattern); exact cosine then
     filters. Recall < 1 by construction (documented); raise LSH_BANDS
     for higher recall.
+
+    ``broadcast_verify=None`` (adaptive) runs an EAGER ``count()`` at
+    plan-construction time to size the verify join (materializing the
+    banded index before the caller executes anything); pass an explicit
+    True/False to keep construction lazy — the dedup-tier
+    ``_resolve_broadcast_verify`` contract.
 
     Caching contract: the banded index and the (small) pair result are
     ``persist()``-ed — the self-join reads the index twice, and any
@@ -770,7 +777,12 @@ def cosine_dup_pairs(
     s2 = vecs.select(
         F.col("id").alias("id2"), F.col("v").alias("v2"), F.col("n").alias("n2")
     )
-    if vecs.count() <= BROADCAST_VERIFY_MAX_VECS:
+    do_bcast = (
+        broadcast_verify
+        if broadcast_verify is not None
+        else vecs.count() <= BROADCAST_VERIFY_MAX_VECS
+    )
+    if do_bcast:
         s1, s2 = F.broadcast(s1), F.broadcast(s2)
     cos = F.expr(V.spark_cosine(V.spark_dot("v1", "v2"), "n1", "n2"))
     return track_persist(

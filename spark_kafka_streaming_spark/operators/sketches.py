@@ -468,7 +468,12 @@ def misra_gries_candidates_grouped(
         counters: dict = {}
         totals: dict = {}
         for pdf in batches:
-            for g, sub in pdf.groupby(group_col, sort=False):
+            # dropna=False: NULL group keys form a group of their own
+            # (SQL GROUP BY semantics — the oracle keeps them); the
+            # pandas NaN key normalizes to None so accumulation across
+            # batches hits one dict slot (NaN != NaN).
+            for g, sub in pdf.groupby(group_col, sort=False, dropna=False):
+                g = None if pd.isna(g) else g
                 c = counters.setdefault(g, {})
                 totals[g] = totals.get(g, 0) + int(sub[item_col].notna().sum())
                 for item, cnt in sub[item_col].value_counts().items():
@@ -538,18 +543,31 @@ def heavy_hitters_exact_grouped(
         .groupBy(group_col)
         .agg(F.sum("cnt").alias("n_group"))
     )
+    # null-safe group joins: a NULL group key is a group of its own
+    # under SQL GROUP BY (what the oracle computes), so the candidate
+    # semi-join and the totals join must match it with <=> — a plain
+    # equi-join would silently drop the NULL group's heavy hitters.
+    it = items.select(
+        F.col(group_col).cast("string").alias("_g"),
+        F.col(item_col).alias("_it"),
+    )
+    cand2 = cands.select(
+        F.col(group_col).alias("_cg"), F.col(item_col).alias("_cit")
+    )
+    tot2 = totals.select(F.col(group_col).alias("_tg"), "n_group")
     return (
-        items.select(
-            F.col(group_col).cast("string").alias(group_col), item_col
+        it.join(
+            F.broadcast(cand2),
+            F.col("_g").eqNullSafe(F.col("_cg"))
+            & (F.col("_it") == F.col("_cit")),
         )
-        .join(F.broadcast(cands), [group_col, item_col])
-        .groupBy(group_col, item_col)
+        .groupBy("_g", "_it")
         .agg(F.count("*").alias("cnt"))
-        .join(F.broadcast(totals), group_col)
+        .join(F.broadcast(tot2), F.col("_g").eqNullSafe(F.col("_tg")))
         .filter(F.col("cnt") >= F.ceil(F.lit(phi) * F.col("n_group")))
         .select(
-            group_col,
-            item_col,
+            F.col("_g").alias(group_col),
+            F.col("_it").alias(item_col),
             "cnt",
             F.round(F.col("cnt") / F.col("n_group"), 6).alias("frac"),
         )

@@ -148,11 +148,14 @@ _SEM_CTE, _SEM_FINAL = _duck_kmeans_cte(KMEANS_K, 1, k_auto=True)
       FROM {_SEM_FINAL} a JOIN sn s USING (vec_id)
     ),
     drops AS (
+      -- zero-norm convention (kmeans.py): cosine with a zero vector
+      -- is pinned to 0.0 in engine and oracle alike
       SELECT DISTINCT r.vec_id
       FROM m l JOIN m r ON l.cid = r.cid AND l.vec_id < r.vec_id
-      WHERE CAST({V.duck_dot('l.v', 'r.v')} AS DOUBLE)
-            / (sqrt(CAST(l.n AS DOUBLE)) * sqrt(CAST(r.n AS DOUBLE)))
-            >= {SEMDEDUP_TAU}
+      WHERE (CASE WHEN l.n = 0 OR r.n = 0 THEN 0.0
+             ELSE CAST({V.duck_dot('l.v', 'r.v')} AS DOUBLE)
+                  / (sqrt(CAST(l.n AS DOUBLE)) * sqrt(CAST(r.n AS DOUBLE)))
+             END) >= {SEMDEDUP_TAU}
     )
     SELECT m.vec_id, m.cid AS cluster,
            m.vec_id NOT IN (SELECT vec_id FROM drops) AS kept

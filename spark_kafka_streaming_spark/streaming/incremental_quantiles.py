@@ -12,13 +12,32 @@ index, MERGE, spans, vectors):
   under a ``batch=B`` leaf with dynamic partition overwrite, so a
   replayed trigger overwrites exactly its own output (exactly-once);
 * :meth:`IncrementalQuantileStore.sample` re-cuts bottom-k across all
-  leaves — a window over O(batches·groups·k) rows, never the stream;
+  leaves — a window over O(batches·groups·k) rows, never the stream.
+  The re-cut first drops duplicate ``(g, ky)`` rows: ``ky`` is the
+  caller-supplied UNIQUE row key (the store's contract), so a row that
+  survives both the compacted base and a replayed batch leaf (trigger
+  crashed after :meth:`compact` folded its leaf but before the
+  checkpoint committed) counts once — exactly-once holds across the
+  compaction boundary, not just across leaf overwrites;
 * :meth:`IncrementalQuantileStore.quantiles` runs the SAME
   :func:`..operators.quantiles.quantile_estimates` derivation as the
   batch query, so a snapshot over everything ingested is bit-identical
   to a batch rebuild (pinned in tests/test_round7b_ops.py);
 * :meth:`IncrementalQuantileStore.compact` folds the leaves into one
-  ``batch=-1`` base, bounding file counts.
+  ``batch=-1`` base, bounding file counts.  The swap is crash-safe:
+  the old store is renamed ASIDE before the new base takes its path
+  (``store → store.old``, ``tmp → store``, delete ``store.old``), and
+  :meth:`sample` falls back to the tmp/old directory if a crash left
+  the store path missing — no window where the only copy of history
+  is deleted;
+* **retention**: with ``event_time_sql`` (an SQL expression over the
+  group column ``g`` yielding a TIMESTAMP) and ``retention`` (an
+  INTERVAL literal body, e.g. ``'3 hours'``), :meth:`compact` drops
+  groups whose event time is older than ``max(event_time) −
+  retention`` — the watermark-style horizon.  For event-time-windowed
+  group keys this bounds state at O(live_windows · k) instead of
+  O(all_windows · k), the "runs forever" requirement; without the
+  policy nothing is evicted (the r7 behavior).
 
 Because the state is an actual row sample (not a digest), the store
 also answers *new* quantiles, arbitrary sub-range ranks, and serves as
@@ -40,7 +59,12 @@ from ..operators.quantiles import K_GROUP, quantile_estimates
 class IncrementalQuantileStore:
     """foreachBatch processor maintaining per-group bottom-k priority
     samples at ``store_path``; :meth:`quantiles` serves rank estimates
-    over everything ingested."""
+    over everything ingested (minus evicted groups, see retention).
+
+    ``key_sql`` must be UNIQUE per input row — the exactly-once re-cut
+    dedups on ``(g, ky)``, so colliding keys would collapse distinct
+    rows into one sample slot.
+    """
 
     def __init__(
         self,
@@ -50,6 +74,8 @@ class IncrementalQuantileStore:
         key_sql: str,
         k: int = K_GROUP,
         compact_every: int = 0,
+        event_time_sql: str | None = None,
+        retention: str | None = None,
     ):
         self.store_path = store_path
         self.group_col = group_col
@@ -57,19 +83,45 @@ class IncrementalQuantileStore:
         self.key_sql = key_sql
         self.k = k
         self.compact_every = compact_every
+        self.event_time_sql = event_time_sql
+        self.retention = retention
 
     def _cut(self, rows: DataFrame) -> DataFrame:
+        # (g, ky) is unique by the store contract, so this dedup is
+        # exact — it heals the one double-count a replayed trigger can
+        # create when compact() already folded the replayed batch's
+        # rows into the batch=-1 base.
         w = Window.partitionBy("g").orderBy("h", "ky")
         return (
-            rows.withColumn("prk", F.row_number().over(w))
+            rows.dropDuplicates(["g", "ky"])
+            .withColumn("prk", F.row_number().over(w))
             .filter(F.col("prk") <= self.k)
             .drop("prk")
         )
+
+    def _recover(self) -> None:
+        """Complete an interrupted :meth:`compact` swap: if a crash
+        left the store path missing, the complete copy sits at the tmp
+        (new base fully written, swap unfinished) or .old (swap not
+        yet started on tmp) location — RESTORE it to the store path so
+        subsequent batch writes append to full history rather than a
+        fresh directory."""
+        if os.path.exists(self.store_path):
+            return
+        tmp = self.store_path + ".compact.tmp"
+        old = self.store_path + ".old"
+        if os.path.exists(tmp):
+            os.rename(tmp, self.store_path)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        elif os.path.exists(old):
+            os.rename(old, self.store_path)
 
     def sample(self, spark: SparkSession) -> DataFrame | None:
         """The current per-group bottom-k over ALL ingested rows:
         re-cutting the union of per-batch cuts is exact because any
         row in the global bottom-k survives its own batch's cut."""
+        self._recover()
         if not os.path.exists(self.store_path):
             return None
         return self._cut(
@@ -84,27 +136,59 @@ class IncrementalQuantileStore:
             return None
         return quantile_estimates(samp, grouped=True).orderBy("g", "q")
 
+    def _retained(self, samp: DataFrame) -> DataFrame:
+        """Apply the retention policy: keep groups whose event time is
+        within ``retention`` of the max event time across live state —
+        the watermark horizon, computed from state (bounded rows), not
+        the stream."""
+        if self.event_time_sql is None or self.retention is None:
+            return samp
+        et = F.expr(self.event_time_sql)
+        horizon = samp.agg(
+            F.expr(
+                f"max({self.event_time_sql}) - INTERVAL {self.retention}"
+            ).alias("hz")
+        )
+        return (
+            samp.crossJoin(F.broadcast(horizon))
+            .filter(et >= F.col("hz"))
+            .drop("hz")
+        )
+
     def compact(self, spark: SparkSession) -> None:
-        """Fold per-batch leaves into one ``batch=-1`` base (temp dir +
-        rename; a transactional table format makes the same move
-        atomic)."""
+        """Fold per-batch leaves into one ``batch=-1`` base, evicting
+        expired groups under the retention policy.  Crash-safe swap:
+        the new base is fully written to a tmp dir, the old store is
+        renamed aside (never deleted while it is the only copy), the
+        tmp takes the store path, then the aside copy is removed — a
+        crash at any point leaves a complete copy at a location
+        :meth:`_read_path` checks (a transactional table format makes
+        the same move atomic)."""
         samp = self.sample(spark)
         if samp is None:
             return
         tmp = self.store_path + ".compact.tmp"
+        old = self.store_path + ".old"
         (
-            samp.withColumn("batch", F.lit(-1))
+            self._retained(samp)
+            .withColumn("batch", F.lit(-1))
             .repartition("g")
             .write.mode("overwrite")
             .partitionBy("batch")
             .parquet(tmp)
         )
-        shutil.rmtree(self.store_path)
+        if os.path.exists(old):  # leftover from a prior crash
+            shutil.rmtree(old)
+        if os.path.exists(self.store_path):
+            os.rename(self.store_path, old)
         os.rename(tmp, self.store_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         from ..operators.quantiles import bottomk_sample_grouped
 
+        self._recover()
         cut = bottomk_sample_grouped(
             batch, self.group_col, self.value_col, self.key_sql, self.k
         )
