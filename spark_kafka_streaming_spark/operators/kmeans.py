@@ -12,7 +12,17 @@ is the standard distributed Lloyd split:
 * **update** is one posexplode + groupBy(cluster, pos) integer-sum —
   map-side combinable, the shuffle carries one row per
   (cluster × dim × task), never per vector (same shape as
-  :func:`.vector_agg.group_centroids`).
+  :func:`.vector_agg.group_centroids`); from ``ARROW_ASSIGN_MIN_K``
+  the same sums reduce through per-task numpy partials
+  (:func:`centroid_partial_sums`) so the n·d exploded rows never
+  materialize — bit-identical totals (integer addition commutes).
+* at corpus-scaled k (``IMI_ASSIGN_MIN_K``) assignment switches to the
+  TWO-LEVEL search (:func:`assign_clusters_imi`): ⌊√k⌋ supers own
+  their nearest centroids, a vector scores the supers and argmins only
+  its probed supers' members — n·O(√k) dots instead of the n·k =
+  n²/400 full search that made SemDeDup's Lloyd pass the round-7
+  scale-killer (427 s at 2M×5000; the ``ivf_topk_imi`` build move
+  applied to Lloyd).
 * the k×d centroid table syncs through the driver between iterations —
   the same mini-driver reduction every distributed k-means performs
   (Spark MLlib's KMeans does exactly this per step).
@@ -96,20 +106,11 @@ def assign_clusters(sv: DataFrame, cents: list[tuple[int, list[int], int]]) -> D
     ).withColumn("dist2", F.col("_b.d")).drop("_b")
 
 
-def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[int], int]]:
-    """One Lloyd update: exact per-(cluster, pos) integer sums, then the
-    engines' shared ``round(sum / count)`` quantization, driver-side.
-
-    The collect is k×d rows (512 for k=8, d=64) — the centroid table,
-    not data.  round() here must match Spark/DuckDB double round
-    (half away from zero on an exact < 2^53 quotient).
-    """
-    rows = (
-        assigned.select("cluster", F.posexplode("v").alias("pos", "c"))
-        .groupBy("cluster", "pos")
-        .agg(F.sum("c").alias("s"), F.count("*").alias("cnt"))
-        .collect()
-    )
+def _quantize_centroids(rows) -> list[tuple[int, list[int], int]]:
+    """Shared tail of both update forms: (cluster, pos, s, cnt) rows →
+    the engines' common ``round(sum / count)`` quantization.  round()
+    here must match Spark/DuckDB double round (half away from zero on
+    an exact < 2^53 quotient)."""
     import math
 
     acc: dict[int, dict[int, int]] = {}
@@ -130,6 +131,98 @@ def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[int], int]]:
         vec = [acc[cid][p] for p in range(len(acc[cid]))]
         cents.append((cid, vec, sum(c * c for c in vec)))
     return cents
+
+
+def _update_centroids(assigned: DataFrame) -> list[tuple[int, list[int], int]]:
+    """One Lloyd update: exact per-(cluster, pos) integer sums, then the
+    engines' shared ``round(sum / count)`` quantization, driver-side.
+
+    The collect is k×d rows (512 for k=8, d=64) — the centroid table,
+    not data.  This posexplode form is the oracle-replayed shape (the
+    DuckDB CTE runs the same unnest + GROUP BY); at corpus-scaled k the
+    n·d exploded rows pumped through the hash aggregate become the
+    cost, and :func:`_update_centroids_partials` computes the SAME
+    integer sums from per-task numpy partials instead (bit-identical —
+    integer addition is order-free)."""
+    rows = (
+        assigned.select("cluster", F.posexplode("v").alias("pos", "c"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("c").alias("s"), F.count("*").alias("cnt"))
+        .collect()
+    )
+    return _quantize_centroids(rows)
+
+
+def centroid_partial_sums(
+    assigned: DataFrame,
+    cluster_col: str = "cluster",
+    vec_col: str = "v",
+    cluster_type: str = "int",
+) -> DataFrame:
+    """Per-task partial centroid sums as one numpy pass per Arrow
+    batch: (cluster, pos, s, cnt) with ≤ k·d rows PER TASK — the
+    shuffle carries O(tasks·k·d) rows instead of materializing n·d
+    posexplode rows through the hash aggregate (128M at sf100; the
+    fourth-decade Lloyd-update wall).  Integer sums are exact and
+    order-free, so downstream totals are bit-identical to the
+    posexplode form (pinned in tests/test_round8_kmeans.py)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        sums: dict = {}
+        cnts: dict = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf[vec_col].tolist(), dtype="int64")
+            cl = pdf[cluster_col].to_numpy()
+            for c in np.unique(cl):
+                m = cl == c
+                part = vm[m].sum(axis=0)
+                c = int(c)
+                if c in sums:
+                    sums[c] += part
+                    cnts[c] += int(m.sum())
+                else:
+                    sums[c] = part
+                    cnts[c] = int(m.sum())
+        if not sums:
+            return
+        cs: list[int] = []
+        ps: list[int] = []
+        ss: list[int] = []
+        ns: list[int] = []
+        for c, vec in sums.items():
+            d = len(vec)
+            cs.extend([c] * d)
+            ps.extend(range(d))
+            ss.extend(int(x) for x in vec)
+            ns.extend([cnts[c]] * d)
+        yield pd.DataFrame(
+            {cluster_col: cs, "pos": ps, "s": ss, "cnt": ns}
+        )
+
+    return assigned.select(cluster_col, vec_col).mapInPandas(
+        run, f"{cluster_col} {cluster_type}, pos int, s bigint, cnt bigint"
+    )
+
+
+def _update_centroids_partials(
+    assigned: DataFrame,
+) -> list[tuple[int, list[int], int]]:
+    """Corpus-scaled-k twin of :func:`_update_centroids`: per-task
+    numpy partial sums → one O(tasks·k·d)-row shuffle → the same
+    quantization.  Bit-identical by construction (exact integer sums
+    commute)."""
+    rows = (
+        centroid_partial_sums(assigned)
+        .groupBy("cluster", "pos")
+        .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    return _quantize_centroids(rows)
 
 
 def initial_centroids(sv: DataFrame, k: int, id_col: str = "vec_id") -> list[tuple[int, list[int], int]]:
@@ -257,6 +350,259 @@ def assign_clusters_arrow(
     return sv.select(id_col, "v", "n").mapInPandas(run, schema=schema)
 
 
+#: Smallest k assigned via the TWO-LEVEL (IMI-style) search.  Below it
+#: the full arrow matmul is already cheap; above it full assignment is
+#: the SemDeDup scale-killer — with auto_k = n/400 the n·k dots are
+#: n²/400 per Lloyd pass (427 s single pass measured at 2M×5000,
+#: SCALE.md round 7).  Two-level assignment (⌊√k⌋ supers own their
+#: nearest centroids; a vector scores the supers, descends into its
+#: IMI_SPROBE nearest, and argmins only THEIR members) costs
+#: n·O(√k) dots — the ivf_topk_imi build move applied to Lloyd.  The
+#: trade is standard IMI approximation: a vector's true nearest
+#: centroid may live in an unprobed super, so the trajectory above
+#: this threshold is NOT the exact-Lloyd one the DuckDB oracle
+#: replays — the catalog oracles only exercise k < this bound
+#: (auto_k leaves it at n ≥ 102,400 vectors, far above the sf0.01
+#: gate); above it quality is pinned by the planted-cluster CI
+#: (tests/test_planted_clusters.py) and exactness by the
+#: probe-everything parity test (n_sprobe ≥ n_super ≡ full search).
+IMI_ASSIGN_MIN_K = 256
+
+#: supers probed per vector during two-level assignment
+IMI_SPROBE = 2
+
+#: int64 payload cap for shipping the member-centroid table inside the
+#: mapInPandas closure.  k·d·8 bytes ≤ this → members ride the closure
+#: (2.6 MB at k=5000, d=64); above it (k ≈ 2.5M at 10⁹ vectors would
+#: be 1.3 GB — a broadcast ceiling of its own) only the ⌊√k⌋ supers
+#: ride the closure and the member argmin runs as a cogrouped
+#: applyInPandas keyed on the probed super (vectors shuffle n_sprobe×,
+#: centroids once) — bit-identical assignments either way (pinned).
+IMI_CLOSURE_MAX_BYTES = 64 << 20
+
+
+def _lloyd_split(cents: list[tuple[int, list[int], int]]):
+    """Two-level quantizer model over the (collected, bounded) centroid
+    table: the first ⌊√k⌋ centroids (cid-ascending) are the SUPERS;
+    every centroid is owned by its nearest super under the SAME exact
+    int64 squared-L2 metric as assignment, (dist, sid) tie-break
+    (np.argmin's first-minimum = lowest sid).  Supers owning no
+    centroid (possible only with duplicate centroid vectors — the
+    lowest-sid twin wins every tie and owns the group) are dropped
+    from the probe set, so every probed super is non-empty by
+    construction.  Driver-side cost: k·√k dots over arrays already in
+    memory.  Returns (cids, cmat, cn, sup_pos, members) where
+    ``sup_pos`` lists the ACTIVE super row-positions (ascending) and
+    ``members[j]`` the ascending row-positions owned by
+    ``sup_pos[j]``."""
+    import numpy as np
+
+    cents = sorted(cents)
+    cmat = np.array([cv for _, cv, _ in cents], dtype="int64")
+    cn = np.array([n for _, _, n in cents], dtype="int64")
+    cids = np.array([cid for cid, _, _ in cents], dtype="int64")
+    k = len(cents)
+    n_super = max(1, int(np.floor(np.sqrt(float(k)))))
+    sup_f = cmat[:n_super].T.astype("float64")
+    sup_n = cn[:n_super].astype("float64")
+    # exact under the 2^53 bound documented on assign_clusters_arrow
+    dist = (
+        cn[:, None].astype("float64")
+        + sup_n[None, :]
+        - 2.0 * (cmat.astype("float64") @ sup_f)
+    )
+    owner = np.argmin(dist, axis=1)
+    sup_pos = [s for s in range(n_super) if np.any(owner == s)]
+    members = [np.flatnonzero(owner == s) for s in sup_pos]
+    return cids, cmat, cn, np.array(sup_pos, dtype="int64"), members
+
+
+def _imi_probes(vm, xn, cmat, cn, sup_pos, sp_eff):
+    """Each vector's ``sp_eff`` nearest ACTIVE supers by exact squared
+    L2, (dist, sid) tie-break via stable argsort — returns an
+    (n, sp_eff) matrix of indices INTO sup_pos."""
+    import numpy as np
+
+    sup_f = cmat[sup_pos].T.astype("float64")
+    sup_n = cn[sup_pos].astype("float64")
+    sdist = (
+        xn[:, None].astype("float64")
+        + sup_n[None, :]
+        - 2.0 * (vm.astype("float64") @ sup_f)
+    )
+    return np.argsort(sdist, axis=1, kind="stable")[:, :sp_eff]
+
+
+def assign_clusters_imi(
+    sv: DataFrame,
+    cents: list[tuple[int, list[int], int]],
+    id_col: str = "vec_id",
+    n_sprobe: int = IMI_SPROBE,
+    closure_max_bytes: int = IMI_CLOSURE_MAX_BYTES,
+) -> DataFrame:
+    """Two-level nearest-centroid assignment — the corpus-scaled-k form
+    that keeps Lloyd sub-quadratic (see ``IMI_ASSIGN_MIN_K``).
+
+    A vector scores the ⌊√k⌋ supers, descends into its ``n_sprobe``
+    nearest, and argmins over THEIR member centroids only — n·O(√k)
+    dots total.  With ``n_sprobe ≥ the active super count`` the
+    candidate set is every centroid and the result is bit-identical to
+    :func:`assign_clusters_arrow` (the exactness pin); below that it
+    is the standard IMI approximation of the argmin.  Tie-breaks
+    everywhere are (dist, id)-lexicographic, matching the exact forms.
+    Routes by closure size — see ``IMI_CLOSURE_MAX_BYTES``.
+    """
+    cids, cmat, cn, sup_pos, members = _lloyd_split(cents)
+    sp_eff = min(n_sprobe, len(sup_pos))
+    if cmat.size * 8 <= closure_max_bytes:
+        return _assign_imi_closure(
+            sv, id_col, sp_eff, cids, cmat, cn, sup_pos, members
+        )
+    return _assign_imi_cogroup(
+        sv, id_col, sp_eff, cids, cmat, cn, sup_pos, members
+    )
+
+
+def _assign_imi_closure(
+    sv, id_col, sp_eff, cids, cmat, cn, sup_pos, members
+) -> DataFrame:
+    """Members ride the closure: one mapInPandas pass, rows grouped by
+    probe signature so each signature's candidate argmin is one
+    float64 BLAS matmul (exact under the 2^53 bound)."""
+
+    def run(batches):
+        from collections import defaultdict
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["v"].tolist(), dtype="int64")
+            xn = pdf["n"].to_numpy(dtype="int64")
+            probes = _imi_probes(vm, xn, cmat, cn, sup_pos, sp_eff)
+            groups = defaultdict(list)
+            for i, sig in enumerate(map(tuple, np.sort(probes, axis=1))):
+                groups[sig].append(i)
+            cl = np.empty(len(pdf), dtype="int64")
+            d2 = np.empty(len(pdf), dtype="float64")
+            for sig, idxs in groups.items():
+                cand = np.concatenate([members[s] for s in sig])
+                cand.sort()  # ascending position = ascending cid
+                gm = vm[idxs].astype("float64")
+                cd = (
+                    xn[idxs][:, None].astype("float64")
+                    + cn[cand][None, :].astype("float64")
+                    - 2.0 * (gm @ cmat[cand].T.astype("float64"))
+                )
+                j = np.argmin(cd, axis=1)  # first min → lowest cid
+                cl[idxs] = cids[cand[j]]
+                d2[idxs] = cd[np.arange(len(idxs)), j]
+            out = pdf.copy()
+            out["cluster"] = cl.astype("int32")
+            out["dist2"] = d2.astype("int64")
+            yield out
+
+    schema = (
+        f"{id_col} bigint, v array<bigint>, n bigint, "
+        "cluster int, dist2 bigint"
+    )
+    return sv.select(id_col, "v", "n").mapInPandas(run, schema=schema)
+
+
+def _assign_imi_cogroup(
+    sv, id_col, sp_eff, cids, cmat, cn, sup_pos, members
+) -> DataFrame:
+    """Only the supers ride the closure; the member argmin is a
+    cogrouped applyInPandas keyed on the probed super — each task sees
+    one super's member slice (k·d never ships whole), vectors shuffle
+    ``sp_eff``×.  The per-super argmin then reduces through a global
+    (dist2, cluster) struct-min, which equals the union argmin —
+    bit-identical to the closure route (pinned)."""
+    import numpy as np
+
+    spark = sv.sparkSession
+
+    def probes_fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["v"].tolist(), dtype="int64")
+            xn = pdf["n"].to_numpy(dtype="int64")
+            probes = _imi_probes(vm, xn, cmat, cn, sup_pos, sp_eff)
+            n = len(pdf)
+            rep = pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), sp_eff),
+                    "v": [v for v in pdf["v"] for _ in range(sp_eff)],
+                    "n": np.repeat(xn, sp_eff),
+                    "sid": probes.reshape(n * sp_eff).astype("int32"),
+                }
+            )
+            yield rep
+
+    probed = sv.select(id_col, "v", "n").mapInPandas(
+        probes_fn, f"{id_col} bigint, v array<bigint>, n bigint, sid int"
+    )
+    cent_rows = [
+        (int(j), int(cids[i]), [int(x) for x in cmat[i]], int(cn[i]))
+        for j in range(len(sup_pos))
+        for i in members[j]
+    ]
+    cdf = spark.createDataFrame(
+        cent_rows, "sid int, cid bigint, cv array<bigint>, cn bigint"
+    )
+
+    def per_super(vec_pdf, cent_pdf):
+        import numpy as np
+        import pandas as pd
+
+        if not len(vec_pdf) or not len(cent_pdf):
+            return pd.DataFrame(
+                {
+                    id_col: np.array([], dtype="int64"),
+                    "cluster": np.array([], dtype="int32"),
+                    "dist2": np.array([], dtype="int64"),
+                }
+            )
+        cent_pdf = cent_pdf.sort_values("cid")
+        cm = np.array(cent_pdf["cv"].tolist(), dtype="int64")
+        cnn = cent_pdf["cn"].to_numpy(dtype="int64").astype("float64")
+        ccids = cent_pdf["cid"].to_numpy(dtype="int64")
+        vm = np.array(vec_pdf["v"].tolist(), dtype="int64").astype("float64")
+        xn = vec_pdf["n"].to_numpy(dtype="int64").astype("float64")
+        cd = xn[:, None] + cnn[None, :] - 2.0 * (vm @ cm.T.astype("float64"))
+        j = np.argmin(cd, axis=1)
+        return pd.DataFrame(
+            {
+                id_col: vec_pdf[id_col].to_numpy(),
+                "cluster": ccids[j].astype("int32"),
+                "dist2": cd[np.arange(len(j)), j].astype("int64"),
+            }
+        )
+
+    best = (
+        probed.groupBy("sid")
+        .cogroup(cdf.groupBy("sid"))
+        .applyInPandas(
+            per_super, f"{id_col} bigint, cluster int, dist2 bigint"
+        )
+        .groupBy(id_col)
+        .agg(F.min(F.struct("dist2", "cluster")).alias("_b"))
+    )
+    return (
+        sv.select(id_col, "v", "n")
+        .join(best, id_col)
+        .withColumn("cluster", F.col("_b.cluster"))
+        .withColumn("dist2", F.col("_b.dist2"))
+        .drop("_b")
+    )
+
+
 def auto_k(n_vectors: int, per: int = 400, floor: int = 8) -> int:
     """Corpus-scaled cluster count: k = max(floor, n // per).
 
@@ -276,6 +622,7 @@ def kmeans_assignments(
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    two_level: bool | None = None,
 ) -> DataFrame:
     """Run ``iters`` Lloyd rounds; return (id, cluster, dist2) plus the
     scaled vector columns (v, n) for downstream consumers (SemDeDup).
@@ -287,19 +634,36 @@ def kmeans_assignments(
     Assignment uses the codegen-friendly literal form up to
     ``LITERAL_ASSIGN_MAX_K`` centroids, the broadcast-join form beyond
     it, and the Arrow int64-matmul kernel from ``ARROW_ASSIGN_MIN_K``
-    (corpus-scaled k) — all three produce bit-identical assignments
-    (same exact arithmetic, same (dist, cid) tie-break).
+    (corpus-scaled k) — these three produce bit-identical assignments
+    (same exact arithmetic, same (dist, cid) tie-break).  From
+    ``IMI_ASSIGN_MIN_K`` the two-level search takes over (n·O(√k) dots
+    instead of n·k — the approximation documented there); ``two_level``
+    pins the choice (False = exact full search at any k, the
+    oracle-replay form).
+
+    The update step reduces through per-task numpy partial sums from
+    ``ARROW_ASSIGN_MIN_K`` (O(tasks·k·d) shuffled rows, bit-identical
+    to the posexplode form — integer sums commute); below it the
+    posexplode+groupBy shape is already cheap and stays.
     """
-    if k <= LITERAL_ASSIGN_MAX_K:
+    use_imi = two_level if two_level is not None else k >= IMI_ASSIGN_MIN_K
+    if use_imi:
+        assign = lambda s, c: assign_clusters_imi(s, c, id_col)  # noqa: E731
+    elif k <= LITERAL_ASSIGN_MAX_K:
         assign = assign_clusters
     elif k < ARROW_ASSIGN_MIN_K:
         assign = lambda s, c: assign_clusters_join(s, c, id_col)  # noqa: E731
     else:
         assign = lambda s, c: assign_clusters_arrow(s, c, id_col)  # noqa: E731
+    update = (
+        _update_centroids_partials
+        if k >= ARROW_ASSIGN_MIN_K
+        else _update_centroids
+    )
     sv = track_persist(scaled_vectors(df, id_col, vec_col))
     cents = initial_centroids(sv, k, id_col)
     for _ in range(iters):
-        cents = _update_centroids(assign(sv, cents))
+        cents = update(assign(sv, cents))
     return assign(sv, cents)
 
 

@@ -875,13 +875,19 @@ def kmeans_refine(
     """Lloyd iterations over integer-scaled vectors, all DataFrame ops.
 
     Assignment: nearest centroid by cosine (broadcast join + window
-    min). Update: element-wise mean via posexplode → exact BIGINT sums
-    per (cell, position) → one deterministic division, rounded back to
-    the scaled-integer space — so refined centroids are bit-identical
-    across runs/partitionings (FP mean of doubles would not be) and
-    keep the exact-int dot-product path. One shuffle per iteration;
-    centroids stay driver-free (never collected).
+    min). Update: element-wise mean via per-task numpy partial sums
+    (:func:`..operators.kmeans.centroid_partial_sums` — the shuffle
+    carries O(tasks·cells·d) rows, never the n·d posexplode the
+    original shape materialized) → exact BIGINT sums per (cell,
+    position) → one deterministic division, rounded back to the
+    scaled-integer space — so refined centroids are bit-identical
+    across runs/partitionings (FP mean of doubles would not be;
+    integer partial sums commute) and keep the exact-int dot-product
+    path. One shuffle per iteration; centroids stay driver-free
+    (never collected).
     """
+    from .kmeans import centroid_partial_sums
+
     for _ in range(iters):
         cos = F.expr(V.spark_cosine(V.spark_dot("c_v", "cent_v"), "c_n", "cent_n"))
         w = W.partitionBy("c_id").orderBy(F.desc("cell_cos"), "cell")
@@ -893,9 +899,12 @@ def kmeans_refine(
             .select("c_id", "c_v", "cell")
         )
         cents = (
-            assigned.select("cell", F.posexplode("c_v").alias("pos", "x"))
+            centroid_partial_sums(
+                assigned, cluster_col="cell", vec_col="c_v",
+                cluster_type="bigint",
+            )
             .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"), F.count("*").alias("m"))
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("m"))
             .withColumn(
                 "mean",
                 F.expr("CAST(round(CAST(s AS DOUBLE) / m) AS BIGINT)"),
