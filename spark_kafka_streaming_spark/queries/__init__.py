@@ -37,6 +37,7 @@ from . import llm15  # noqa: F401,E402
 from . import llm16  # noqa: F401,E402
 from . import llm17  # noqa: F401,E402
 from . import llm18  # noqa: F401,E402
+from . import llm19  # noqa: F401,E402
 from . import relational3  # noqa: F401,E402
 from . import relational2  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
@@ -390,7 +391,76 @@ _ROUND7_WINDOW = [
     "q_text_langid",
     "q_text_lm_familiarity",
 ]
-_reorder(_ROUND7_WINDOW[:50])
+# Round-8 sample window.  Coverage is total (196/196 through round 7),
+# so freshness rules: (a) the round-8 registration (two-level
+# propagation serving), (b) every query whose code path round 8
+# touched — the kmeans family (two-level assignment + partial-sum
+# updates + the zero-norm cosine convention + kmeans_refine's
+# partial-sum update), the cosine_dup_pairs/banded-verify consumers
+# (broadcast_verify pin), the grouped quantile cut and store
+# (NULL-group + string-cast + exactly-once re-cut), the heavy-hitter
+# family (null-safe group joins), the IMI/propagation family (#4), and
+# the batched-BPE pair (#5's depth proof shares their code) — then
+# (c) backfill with the stalest rows (latest green row r2, then r3 —
+# computed from CORRECTNESS_r01-r07; q_agg_approx and
+# q_vector_pca_project stay out as the rows-only-by-design entries).
+_ROUND8_WINDOW = [
+    # (a) new registration this round
+    "q_knn_label_propagation_imi",
+    # (b) touched this round
+    "q_dedup_semantic",
+    "q_cluster_kmeans",
+    "q_similarity_ann_ivf_refined",
+    "q_dedup_embedding_lsh",
+    "q_dedup_embedding_lsh_deep",
+    "q_dedup_embedding_cosine",
+    "q_dedup_clusters_embedding",
+    "q_quantile_sketch_prices",
+    "q_quantile_sketch_doclen_by_lang",
+    "q_quantile_windowed_hourly",
+    "q_events_session_duration_quantiles",
+    "q_text_heavy_hitters",
+    "q_text_heavy_hitters_by_lang",
+    "q_text_bpe_train_batched",
+    "q_text_bpe_encode_batched",
+    "q_knn_label_propagation_ann",
+    "q_knn_propagation_agreement",
+    "q_similarity_ann_imi",
+    "q_ann_recall_imi",
+    # (c) freshness backfill: last sampled in round 2
+    "q_pipeline_quality_filter",
+    "q_sample_balanced_label",
+    "q_sample_stratified_hash",
+    "q_text_fingerprint",
+    "q_text_langid",
+    "q_text_lm_familiarity",
+    "q_text_pii_redact",
+    "q_text_repetition_gopher",
+    "q_text_stats",
+    "q_text_token_counts",
+    "q_text_top_distinctive_terms",
+    "q_text_vocab_topk",
+    "q_vector_centroids",
+    "q_vector_quantize_int8",
+    "q_window_session_30m",
+    "q_window_sliding_10m_5m",
+    "q_window_trailing_1h",
+    "q_window_tumbling_hourly",
+    # (c) freshness backfill: last sampled in round 3
+    "q_agg_salted_skew",
+    "q_array_hof_stats",
+    "q_csv_line_roundtrip",
+    "q_decontaminate_bloom",
+    "q_decontaminate_ngram",
+    "q_dedup_cross_source_chunks",
+    "q_join_band_broadcast",
+    "q_json_line_roundtrip",
+    "q_ngram_novelty",
+    "q_pack_length_buckets",
+    "q_shard_token_budget",
+    "q_sketch_hll",
+]
+_reorder(_ROUND8_WINDOW[:50])
 
 
 def queries():
