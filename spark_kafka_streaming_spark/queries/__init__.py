@@ -405,8 +405,9 @@ _ROUND7_WINDOW = [
 # computed from CORRECTNESS_r01-r07; q_agg_approx and
 # q_vector_pca_project stay out as the rows-only-by-design entries).
 _ROUND8_WINDOW = [
-    # (a) new registration this round
+    # (a) new registrations this round
     "q_knn_label_propagation_imi",
+    "q_dedup_embedding_lsh_scaled",
     # (b) touched this round
     "q_dedup_semantic",
     "q_cluster_kmeans",
@@ -458,7 +459,6 @@ _ROUND8_WINDOW = [
     "q_ngram_novelty",
     "q_pack_length_buckets",
     "q_shard_token_budget",
-    "q_sketch_hll",
 ]
 _reorder(_ROUND8_WINDOW[:50])
 

@@ -22,6 +22,40 @@ from .llm13 import _LABELED_PRED, _NCELLS_SQL, _votes_sql, auto_cells
 from .registry import register
 
 
+def _duck_emb_lsh_scaled_oracle() -> str:
+    from ..operators.similarity import duck_cosine_dup_pairs_sql
+
+    return duck_cosine_dup_pairs_sql(0.9, planes_per_band=24, bands=8)
+
+
+@register(
+    "q_dedup_embedding_lsh_scaled",
+    oracle=_duck_emb_lsh_scaled_oracle(),
+    doc="The embedding-LSH pair query at the CORPUS-SCALED geometry "
+    "(24 planes x 8 bands, threshold 0.9): hyperplane-LSH's random "
+    "per-band collision rate is 2^-planes, so at n vectors the "
+    "expected random candidate count is C(n,2)*bands*2^-planes — "
+    "planes must grow like log2(n) (+ ~3 for headroom) to keep it "
+    "O(n). The catalog default (6x8, tuned for the <=20k driver "
+    "corpora) random-collides ~10^11 candidate pairs at 2M vectors "
+    "(found live at the fourth decade as a disk-spill wall); this "
+    "geometry is the 2M-vector operating point: ~10^6 random "
+    "candidates, 92% recall at cosine 0.99 (planted-pair recovery "
+    "pinned in tests/test_embedding_planted_pairs.py, oracle replays "
+    "hyperplanes/keys/candidates/cosines bit-for-bit). Empty at the "
+    "driver corpora (no >=0.9 pairs exist there) — the non-empty "
+    "oracle cross-check runs on the planted-pair fixture.",
+    tags=("llm", "dedup", "embedding", "lsh", "scale"),
+)
+def q_dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_dup_pairs(
+        emb, threshold=0.9, n_planes=24, n_bands=8
+    ).orderBy("id1", "id2")
+
+
 @register(
     "q_knn_label_propagation_imi",
     oracle=_votes_sql(

@@ -78,3 +78,51 @@ def test_planted_pairs_linear_and_recovered(spark, gen_dir):
     )
     assert hits / n_planted >= 0.8
     pairs.unpersist()
+
+
+def test_scaled_geometry_matches_oracle_on_planted(spark, gen_dir):
+    """The corpus-scaled LSH geometry (24 planes × 8 bands, threshold
+    0.9 — q_dedup_embedding_lsh_scaled's shape) on the planted corpus:
+    NON-empty result, ≥ 70% planted recovery (recall ≈ 92% at cosine
+    0.99 by the band arithmetic), and bit-identical to the DuckDB
+    oracle replay — the non-empty twin of the catalog entry, whose
+    driver corpora have no ≥ 0.9 pairs."""
+    import duckdb
+
+    from spark_kafka_streaming_spark.operators.similarity import (
+        cosine_dup_pairs,
+        duck_cosine_dup_pairs_sql,
+    )
+
+    emb = spark.read.parquet(f"{gen_dir}/embeddings.parquet")
+    got = sorted(
+        tuple(r)
+        for r in cosine_dup_pairs(
+            emb, threshold=0.9, n_planes=24, n_bands=8
+        ).collect()
+    )
+    assert len(got) > 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{gen_dir}/embeddings.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            duck_cosine_dup_pairs_sql(0.9, planes_per_band=24, bands=8)
+        ).fetchall()
+    )
+    assert got == want
+
+    planted = spark.read.parquet(f"{gen_dir}/embedding_dup_pairs.parquet")
+    keys = {(r[0], r[1]) for r in got}
+    rows = planted.collect()
+    hits = sum(
+        1
+        for r in rows
+        if (min(r["src_vid"], r["dup_vid"]), max(r["src_vid"], r["dup_vid"]))
+        in keys
+    )
+    assert hits / len(rows) >= 0.7
