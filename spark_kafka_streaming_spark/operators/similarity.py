@@ -20,7 +20,6 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..functions.caching import track_persist
-from ..functions.texthash import P
 from .skew import bounded_self_pairs
 
 #: number of hyperplanes per band / number of bands for sign-LSH.
@@ -170,11 +169,36 @@ def _bounded_q_topk_arrow(
     )
 
 
+def _plane_coef(p_idx: int, j: int) -> int:
+    """Hyperplane coefficient (p_idx, j) — the ONE formula every
+    engine replays (Spark literals, DuckDB generated SQL, the numpy
+    twin).  Quadratic mixing over the flattened index: the original
+    linear family ``(p·131 + j·29) % 2001`` made plane p+1 a shifted
+    copy of plane p, so band keys carried FAR less entropy than their
+    bit width — measured at 200k vectors / 24-plane bands: 60M
+    candidate pairs and 851-wide buckets where uniform keys predict
+    ~10k pairs and ~2-wide buckets; the quadratic mix measures 55k
+    pairs / max bucket 7 (SCALE.md round 8).  All intermediates stay
+    < 2^53 (idx ≤ ~25k → idx²·3571 ≈ 2.2e12), so the arithmetic is
+    exact in int64, BIGINT, and double alike."""
+    idx = p_idx * DIM + j + 1
+    return ((idx * idx * 3571 + idx * 7919) % 104729) % 2001 - 1000
+
+
+#: SQL body of :func:`_plane_coef` over columns ``p_idx``/``j`` —
+#: spliced into the generated DuckDB oracles so engine and oracle
+#: share one formula by construction.
+_PLANE_COEF_SQL = (
+    f"(((p_idx * {DIM} + j + 1) * (p_idx * {DIM} + j + 1) * 3571 "
+    f"+ (p_idx * {DIM} + j + 1) * 7919) % 104729) % 2001 - 1000"
+)
+
+
 def _sign_key(band: int, n_planes: int = LSH_PLANES) -> F.Column:
     """Sign pattern of the band's ``n_planes`` hyperplanes, packed into a
-    bigint. Plane p component j = ((p*131 + j*29) mod P mod 2001) - 1000
-    — a fixed pseudo-random integer vector, identical in every
-    engine/run. Operates on the scaled-vector column ``v``."""
+    bigint. Plane coefficients come from :func:`_plane_coef` — a fixed
+    quadratically-mixed integer vector, identical in every engine/run.
+    Operates on the scaled-vector column ``v``."""
     bits = []
     for pl in range(n_planes):
         p_idx = band * n_planes + pl
@@ -187,7 +211,7 @@ def _sign_key(band: int, n_planes: int = LSH_PLANES) -> F.Column:
         # The literal array + one zip_with/aggregate pair is the
         # balance point.
         coeffs = ", ".join(
-            f"{((p_idx * 131 + j * 29) % P) % 2001 - 1000}L" for j in range(DIM)
+            f"{_plane_coef(p_idx, j)}L" for j in range(DIM)
         )
         dot = V.spark_dot("v", f"array({coeffs})")
         bits.append(f"(CASE WHEN {dot} > 0 THEN 1L ELSE 0L END)")
@@ -204,7 +228,7 @@ def _plane_matrix(n_total: int = LSH_PLANES * LSH_BANDS):
 
     return np.array(
         [
-            [((p_idx * 131 + j * 29) % P) % 2001 - 1000 for p_idx in range(n_total)]
+            [_plane_coef(p_idx, j) for p_idx in range(n_total)]
             for j in range(DIM)
         ],
         dtype="int64",
@@ -233,7 +257,7 @@ def duck_cosine_dup_pairs_sql(
     WITH planes AS (
       SELECT p_idx,
              list_transform(generate_series(0, {DIM - 1}),
-                 j -> CAST(((p_idx * 131 + j * 29) % {P}) % 2001 - 1000
+                 j -> CAST({_PLANE_COEF_SQL}
                       AS DOUBLE)) AS coef
       FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p_idx)
     ),
@@ -288,7 +312,7 @@ def duck_lsh_topk_sql(
     WITH planes AS (
       SELECT p_idx,
              list_transform(generate_series(0, {DIM - 1}),
-                 j -> CAST(((p_idx * 131 + j * 29) % {P}) % 2001 - 1000
+                 j -> CAST({_PLANE_COEF_SQL}
                       AS DOUBLE)) AS coef
       FROM (SELECT unnest(generate_series(0, {n_planes - 1})) AS p_idx)
     ),
