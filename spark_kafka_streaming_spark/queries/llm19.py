@@ -71,14 +71,19 @@ def q_dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "probes single-level cells): each query scores the floor(sqrt("
     "n_cells)) super-centroids and ranks only its 2 probed supers' "
     "member cells — |Q|*O(n^(1/4)) assignment dots instead of "
-    "|Q|*sqrt(n), so BOTH legs of the serving path are now "
-    "sub-sqrt(n) per vector (operators/similarity.py::ivf_topk_imi). "
-    "The vote/argmax stage is byte-identical to the exact form "
-    "(knn_classify is neighbor-source-oblivious). The oracle replays "
-    "seed centroids, the super split, both assignment levels, probe "
-    "sets, cosines and tie-breaks in generated CTEs "
-    "(duck_ivf2_topk_sql), with the cell count derived from the same "
-    "corpus-count formula as auto_cells.",
+    "|Q|*sqrt(n) (operators/similarity.py::ivf_topk_imi). MEASURED "
+    "TRADE at sqrt(n) cells (SCALE.md round 8): the restricted "
+    "candidate set skews cell occupancy ~4x (max cell 3655 vs 942 "
+    "single-level at 160k vectors), so the per-cell cogroup matmuls "
+    "run hotter and the WALL is ~2x the single-level form at sf10 and "
+    "sf100 — assignment dots are not the serving bottleneck at this "
+    "scale. Single-level probing stays the propagation default; this "
+    "entry pins the two-level serving form (oracle: duck_ivf2_topk_sql "
+    "generated CTEs, cell count derived from the same corpus-count "
+    "formula as auto_cells) for the n_cells >= ~10^4 regime where "
+    "scoring all cells dominates. The vote/argmax stage is "
+    "byte-identical to the exact form (knn_classify is "
+    "neighbor-source-oblivious).",
     tags=("llm", "similarity", "classify"),
 )
 def q_knn_label_propagation_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
