@@ -45,7 +45,7 @@ TABLES = (
 ).split()
 
 
-def build_skew_dir(src: str, out: str) -> None:
+def build_skew_dir(src: str, out: str, user_mod: int = 100) -> None:
     import duckdb
 
     os.makedirs(out, exist_ok=True)
@@ -68,7 +68,8 @@ def build_skew_dir(src: str, out: str) -> None:
                 ).fetchall()
             ]
             proj = ", ".join(
-                "CASE WHEN user_id % 100 = 0 THEN 42 ELSE user_id END AS user_id"
+                f"CASE WHEN user_id % {user_mod} = 0 THEN 42 ELSE user_id END"
+                " AS user_id"
                 if c == "user_id"
                 else c
                 for c in cols
@@ -105,11 +106,16 @@ def main() -> None:
     ap.add_argument("--src", default="/tmp/spark_graft_sf100")
     ap.add_argument("--out", default=None)
     ap.add_argument("--queries", default=None)
+    ap.add_argument(
+        "--user-mod", type=int, default=100,
+        help="1-in-N users remap to the hot user (100 → ~1%% of "
+        "events on one key; 10 → ~10%%)",
+    )
     args = ap.parse_args()
     out = args.out or args.src.rstrip("/") + "_skew"
     names = args.queries.split(",") if args.queries else DEFAULT_QUERIES
 
-    build_skew_dir(args.src, out)
+    build_skew_dir(args.src, out, args.user_mod)
 
     from spark_kafka_streaming_spark import get_spark
     from spark_kafka_streaming_spark.functions.caching import (
