@@ -49,6 +49,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .swap import commit_swap, recover_swap
 from ..functions import texthash as TH
 
 #: Directory-level hash buckets on the LSH key. At cluster scale this
@@ -128,6 +129,7 @@ class IncrementalDeduper:
 
     # -- helpers -------------------------------------------------------
     def _store(self, spark: SparkSession) -> DataFrame | None:
+        recover_swap(self.store_path)
         if not os.path.exists(self.store_path):
             return None
         return spark.read.parquet(self.store_path)
@@ -189,11 +191,11 @@ class IncrementalDeduper:
             .partitionBy("kb", "batch")
             .parquet(tmp)
         )
-        shutil.rmtree(self.store_path)
-        os.rename(tmp, self.store_path)
+        commit_swap(self.store_path)
 
     # -- the foreachBatch hook -----------------------------------------
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        recover_swap(self.store_path)
         spark = batch.sparkSession
         id_c = self.id_col
         keys = band_keys(

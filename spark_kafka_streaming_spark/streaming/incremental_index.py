@@ -36,6 +36,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .swap import commit_swap, recover_swap
 from ..operators import index as IX
 
 #: Directory-level hash buckets on term. Sized at cluster scale so one
@@ -65,6 +66,7 @@ class IncrementalIndexer:
         self.compact_every = compact_every
 
     def _store(self, spark: SparkSession) -> DataFrame | None:
+        recover_swap(self.store_path)
         if not os.path.exists(self.store_path):
             return None
         return spark.read.parquet(self.store_path)
@@ -170,10 +172,10 @@ class IncrementalIndexer:
             .partitionBy("tb", "batch")
             .parquet(tmp)
         )
-        shutil.rmtree(self.store_path)
-        os.rename(tmp, self.store_path)
+        commit_swap(self.store_path)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        recover_swap(self.store_path)
         tf = IX.term_doc_tf(batch, self.id_col, self.text_col)
         (
             tf.withColumn(

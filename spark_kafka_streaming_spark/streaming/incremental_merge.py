@@ -78,12 +78,29 @@ class IncrementalMerger:
             F.lit(self.n_key_buckets),
         ).cast("int")
 
+    def _recover_buckets(self) -> None:
+        """Finish an interrupted per-bucket swap: any bucket renamed
+        aside whose store slot is empty is restored (a crash between
+        the aside rename and the new leaf's rename-in would otherwise
+        drop the bucket's untouched keys — the replayed trigger only
+        reconstructs keys present in its own change set)."""
+        aside_root = f"{self.store_path}.aside"
+        if not os.path.isdir(aside_root):
+            return
+        for name in os.listdir(aside_root):
+            dst = os.path.join(self.store_path, name)
+            if not os.path.exists(dst):
+                os.rename(os.path.join(aside_root, name), dst)
+        shutil.rmtree(aside_root, ignore_errors=True)
+
     def snapshot(self, spark: SparkSession) -> DataFrame | None:
+        self._recover_buckets()
         if not os.path.exists(self.store_path):
             return None
         return spark.read.parquet(self.store_path).drop("kb")
 
     def __call__(self, changes: DataFrame, batch_id: int) -> None:
+        self._recover_buckets()
         spark = changes.sparkSession
         k = self.key_col
         # Last change per key wins within the batch: by the feed's
@@ -139,12 +156,23 @@ class IncrementalMerger:
             .parquet(tmp)
         )
         os.makedirs(self.store_path, exist_ok=True)
+        # per-bucket crash-safe swap: the old bucket renames ASIDE
+        # (outside the store path, so partition discovery never sees
+        # it) before the new leaf renames in — at every instant the
+        # bucket's content exists at exactly one known location, and
+        # _recover_buckets() restores an interrupted swap on the next
+        # read/write.  A bucket whose rows were all deleted has no tmp
+        # leaf — the aside rename IS the removal (and a crash-window
+        # resurrection is re-deleted by the replayed trigger).
+        aside_root = f"{self.store_path}.aside"
+        shutil.rmtree(aside_root, ignore_errors=True)
+        os.makedirs(aside_root, exist_ok=True)
         for b in touched:
             src = os.path.join(tmp, f"kb={b}")
             dst = os.path.join(self.store_path, f"kb={b}")
-            shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(dst):
+                os.rename(dst, os.path.join(aside_root, f"kb={b}"))
             if os.path.exists(src):
                 os.rename(src, dst)
-            # a bucket whose rows were all deleted has no tmp leaf —
-            # removing the old dir above is exactly right
+        shutil.rmtree(aside_root, ignore_errors=True)
         shutil.rmtree(tmp, ignore_errors=True)

@@ -24,12 +24,11 @@ index, MERGE, spans, vectors):
   batch query, so a snapshot over everything ingested is bit-identical
   to a batch rebuild (pinned in tests/test_round7b_ops.py);
 * :meth:`IncrementalQuantileStore.compact` folds the leaves into one
-  ``batch=-1`` base, bounding file counts.  The swap is crash-safe:
-  the old store is renamed ASIDE before the new base takes its path
-  (``store → store.old``, ``tmp → store``, delete ``store.old``), and
-  :meth:`sample` falls back to the tmp/old directory if a crash left
-  the store path missing — no window where the only copy of history
-  is deleted;
+  ``batch=-1`` base, bounding file counts.  The swap is crash-safe
+  (:mod:`.swap` — shared by all compacting stores): the old store is
+  renamed ASIDE before the new base takes its path, and every
+  read/write path first RESTORES an interrupted swap — no window
+  where the only copy of history is deleted;
 * **retention**: with ``event_time_sql`` (an SQL expression over the
   group column ``g`` yielding a TIMESTAMP) and ``retention`` (an
   INTERVAL literal body, e.g. ``'3 hours'``), :meth:`compact` drops
@@ -48,12 +47,12 @@ a deterministic uniform sample of the stream for any downstream audit
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.quantiles import K_GROUP, quantile_estimates
+from .swap import commit_swap, recover_swap
 
 
 class IncrementalQuantileStore:
@@ -99,29 +98,11 @@ class IncrementalQuantileStore:
             .drop("prk")
         )
 
-    def _recover(self) -> None:
-        """Complete an interrupted :meth:`compact` swap: if a crash
-        left the store path missing, the complete copy sits at the tmp
-        (new base fully written, swap unfinished) or .old (swap not
-        yet started on tmp) location — RESTORE it to the store path so
-        subsequent batch writes append to full history rather than a
-        fresh directory."""
-        if os.path.exists(self.store_path):
-            return
-        tmp = self.store_path + ".compact.tmp"
-        old = self.store_path + ".old"
-        if os.path.exists(tmp):
-            os.rename(tmp, self.store_path)
-            if os.path.exists(old):
-                shutil.rmtree(old)
-        elif os.path.exists(old):
-            os.rename(old, self.store_path)
-
     def sample(self, spark: SparkSession) -> DataFrame | None:
         """The current per-group bottom-k over ALL ingested rows:
         re-cutting the union of per-batch cuts is exact because any
         row in the global bottom-k survives its own batch's cut."""
-        self._recover()
+        recover_swap(self.store_path)
         if not os.path.exists(self.store_path):
             return None
         return self._cut(
@@ -168,7 +149,6 @@ class IncrementalQuantileStore:
         if samp is None:
             return
         tmp = self.store_path + ".compact.tmp"
-        old = self.store_path + ".old"
         (
             self._retained(samp)
             .withColumn("batch", F.lit(-1))
@@ -177,18 +157,12 @@ class IncrementalQuantileStore:
             .partitionBy("batch")
             .parquet(tmp)
         )
-        if os.path.exists(old):  # leftover from a prior crash
-            shutil.rmtree(old)
-        if os.path.exists(self.store_path):
-            os.rename(self.store_path, old)
-        os.rename(tmp, self.store_path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        commit_swap(self.store_path)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         from ..operators.quantiles import bottomk_sample_grouped
 
-        self._recover()
+        recover_swap(self.store_path)
         cut = bottomk_sample_grouped(
             batch, self.group_col, self.value_col, self.key_sql, self.k
         )

@@ -36,6 +36,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .swap import commit_swap, recover_swap
 from ..operators.dedup import span_occurrences, span_stats_from
 
 #: Directory-level hash buckets on the window hash. Sized at cluster
@@ -65,6 +66,7 @@ class IncrementalSpanDeduper:
         self.compact_every = compact_every
 
     def _store(self, spark: SparkSession) -> DataFrame | None:
+        recover_swap(self.store_path)
         if not os.path.exists(self.store_path):
             return None
         return spark.read.parquet(self.store_path)
@@ -118,10 +120,10 @@ class IncrementalSpanDeduper:
             .partitionBy("hb", "batch")
             .parquet(tmp)
         )
-        shutil.rmtree(self.store_path)
-        os.rename(tmp, self.store_path)
+        commit_swap(self.store_path)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        recover_swap(self.store_path)
         _, occ = span_occurrences(batch, self.w, self.id_col, self.text_col)
         partial = occ.groupBy("h").agg(
             F.count("*").alias("cnt"), F.min("okey").alias("canon")

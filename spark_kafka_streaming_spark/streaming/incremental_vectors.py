@@ -51,6 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .swap import commit_swap, recover_swap
 from ..functions import vectors as V
 from ..operators.similarity import _scaled, nearest_cells_sql
 
@@ -103,6 +104,7 @@ class IncrementalVectorIndexer:
     # -- ingest --------------------------------------------------------
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
+        recover_swap(self.cells_path)
         scaled = _scaled(batch, self.id_col, self.vec_col, "c")
         if not os.path.exists(self.centroids_path):
             self._train_centroids(scaled)
@@ -138,6 +140,7 @@ class IncrementalVectorIndexer:
         ingested vectors with the same snapshot."""
         spark = queries.sparkSession
         cents = self.centroids(spark)
+        recover_swap(self.cells_path)
         if cents is None or not os.path.exists(self.cells_path):
             return None
         q_scaled = _scaled(queries, self.id_col, self.vec_col, "q")
@@ -187,5 +190,4 @@ class IncrementalVectorIndexer:
             .partitionBy("cell", "batch")
             .parquet(tmp)
         )
-        shutil.rmtree(self.cells_path)
-        os.rename(tmp, self.cells_path)
+        commit_swap(self.cells_path)

@@ -238,3 +238,56 @@ def test_heavy_hitters_grouped_null_groups_match_exact(spark):
         key=key,
     )
     assert got == want and any(r[0] is None for r in got)
+
+
+def test_merge_store_bucket_swap_crash_recovery(spark, tmp_path):
+    """Interrupted per-bucket swap in IncrementalMerger: a bucket
+    renamed aside with no replacement renamed in (the crash window
+    that used to DELETE the bucket's untouched keys) is restored by
+    _recover_buckets on the next read — the snapshot equals the
+    pre-crash state."""
+    from spark_kafka_streaming_spark.streaming.incremental_merge import (
+        IncrementalMerger,
+    )
+
+    store = str(tmp_path / "merge_store")
+    seed = spark.createDataFrame(
+        [(i, f"n{i}", float(i)) for i in range(40)],
+        "k bigint, name string, amount double",
+    )
+    merger = IncrementalMerger(store, key_col="k", n_key_buckets=4)
+    merger(seed.selectExpr("k", "'U' AS op", "name", "amount"), 0)
+    want = sorted(map(tuple, merger.snapshot(spark).collect()))
+
+    # simulate the crash window: one bucket aside, nothing renamed in
+    buckets = [d for d in os.listdir(store) if d.startswith("kb=")]
+    aside_root = store + ".aside"
+    os.makedirs(aside_root, exist_ok=True)
+    os.rename(
+        os.path.join(store, buckets[0]), os.path.join(aside_root, buckets[0])
+    )
+    got = sorted(map(tuple, merger.snapshot(spark).collect()))
+    assert got == want
+    assert not os.path.exists(aside_root)
+
+
+def test_index_store_swap_crash_recovery(spark, tmp_path):
+    """Interrupted compact swap in IncrementalIndexer (shared
+    swap.recover_swap): store missing, complete base at tmp → restored
+    on read, snapshot unchanged."""
+    from spark_kafka_streaming_spark.streaming.incremental_index import (
+        IncrementalIndexer,
+    )
+
+    store = str(tmp_path / "ix_store")
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i} gamma") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    ix = IncrementalIndexer(store)
+    ix(docs, 0)
+    ix.compact(spark)
+    want = sorted(map(tuple, ix.snapshot(spark).collect()))
+    os.rename(store, store + ".compact.tmp")
+    got = sorted(map(tuple, ix.snapshot(spark).collect()))
+    assert got == want and os.path.exists(store)
