@@ -647,6 +647,20 @@ def kmeans_assignments(
     posexplode+groupBy shape is already cheap and stays.
     """
     use_imi = two_level if two_level is not None else k >= IMI_ASSIGN_MIN_K
+    if two_level is None and use_imi:
+        # The default silently flipping to the approximate two-level
+        # search is fine for production but would make an exact-Lloyd
+        # oracle diff fail with a confusing mismatch — say so loudly.
+        # Oracle-replay runs must pin two_level=False.
+        import warnings
+
+        warnings.warn(
+            f"kmeans_assignments: k={k} >= IMI_ASSIGN_MIN_K"
+            f"={IMI_ASSIGN_MIN_K}, defaulting to APPROXIMATE two-level"
+            " (IMI) assignment; pin two_level=False for exact-Lloyd"
+            " oracle comparison",
+            stacklevel=2,
+        )
     if use_imi:
         assign = lambda s, c: assign_clusters_imi(s, c, id_col)  # noqa: E731
     elif k <= LITERAL_ASSIGN_MAX_K:

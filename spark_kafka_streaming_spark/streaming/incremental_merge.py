@@ -97,6 +97,14 @@ class IncrementalMerger:
         self._recover_buckets()
         if not os.path.exists(self.store_path):
             return None
+        # All-empty leaves (every key deleted) carry no files to infer
+        # a schema from — that is a legitimately empty snapshot.
+        if not any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(self.store_path)
+            for f in fs
+        ):
+            return None
         return spark.read.parquet(self.store_path).drop("kb")
 
     def __call__(self, changes: DataFrame, batch_id: int) -> None:
@@ -156,14 +164,22 @@ class IncrementalMerger:
             .parquet(tmp)
         )
         os.makedirs(self.store_path, exist_ok=True)
+        # A bucket whose rows were all deleted gets an EMPTY
+        # replacement leaf (a tombstone — an empty partition dir is
+        # invisible to partition discovery), so the swap below is
+        # uniform: every touched bucket has a tmp leaf renaming in.
+        # Without it the aside rename doubled as the removal, and a
+        # crash before the aside cleanup would resurrect the deleted
+        # bucket on recovery — converging again only if the trigger is
+        # actually replayed, which an abandoned stream never does.
+        for b in touched:
+            os.makedirs(os.path.join(tmp, f"kb={b}"), exist_ok=True)
         # per-bucket crash-safe swap: the old bucket renames ASIDE
         # (outside the store path, so partition discovery never sees
         # it) before the new leaf renames in — at every instant the
         # bucket's content exists at exactly one known location, and
         # _recover_buckets() restores an interrupted swap on the next
-        # read/write.  A bucket whose rows were all deleted has no tmp
-        # leaf — the aside rename IS the removal (and a crash-window
-        # resurrection is re-deleted by the replayed trigger).
+        # read/write.
         aside_root = f"{self.store_path}.aside"
         shutil.rmtree(aside_root, ignore_errors=True)
         os.makedirs(aside_root, exist_ok=True)

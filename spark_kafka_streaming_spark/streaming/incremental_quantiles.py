@@ -130,9 +130,13 @@ class IncrementalQuantileStore:
                 f"max({self.event_time_sql}) - INTERVAL {self.retention}"
             ).alias("hz")
         )
+        # NULL event times (an unparseable group string under a
+        # misconfigured policy) are KEPT, not evicted — eviction must
+        # never silently delete state the policy can't date.  A NULL
+        # horizon (every live event time NULL) likewise keeps all rows.
         return (
             samp.crossJoin(F.broadcast(horizon))
-            .filter(et >= F.col("hz"))
+            .filter(et.isNull() | F.col("hz").isNull() | (et >= F.col("hz")))
             .drop("hz")
         )
 

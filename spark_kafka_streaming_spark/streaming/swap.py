@@ -42,10 +42,18 @@ def recover_swap(store_path: str) -> None:
     is missing, the complete copy sits at the tmp (new base fully
     written, swap unfinished) or .old (swap not yet started on tmp)
     location — restore it."""
-    if os.path.exists(store_path):
-        return
     tmp = store_path + ".compact.tmp"
     old = store_path + ".old"
+    if os.path.exists(store_path):
+        # The store is whole, so any leftover aside/tmp copy is
+        # provably stale (a crash landed between the final rename and
+        # its cleanup, or before commit_swap started) — reclaim the
+        # disk now instead of waiting for the next compact.
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        return
     if os.path.exists(tmp):
         os.rename(tmp, store_path)
         if os.path.exists(old):
