@@ -56,6 +56,76 @@ def q_dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id1", "id2")
 
 
+#: Planted-pair construction shared by the Spark query and its DuckDB
+#: oracle: an id-sampled slice (1-in-PLANT_MOD) is re-emitted with a
+#: +2^-5 perturbation on coordinate 1 and ids offset by PLANT_OFFSET.
+#: 2^-5 is exactly representable, and float32→double is exact, so the
+#: perturbed doubles — and therefore the scaled int64 vectors, band
+#: keys, candidate set, and cosines — are bit-identical in both
+#: engines at ANY sf.  cosine(original, planted) ≈ 0.9995 ≥ 0.9 and
+#: the 24-plane per-band miss rate at that angle is ~0.21 (8 bands →
+#: ~4e-6 joint miss), so the row set is non-empty wherever the table
+#: is.
+PLANT_MOD = 20
+PLANT_OFFSET = 10_000_000
+
+
+def _duck_emb_lsh_planted_oracle() -> str:
+    from ..operators.similarity import duck_cosine_dup_pairs_sql
+
+    planted_table = f"""(
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+             list_prepend(e[1] + 0.03125, e[2:]) AS embedding
+      FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings WHERE vec_id % {PLANT_MOD} = 0)
+    )"""
+    return duck_cosine_dup_pairs_sql(
+        0.9, table=planted_table, planes_per_band=24, bands=8
+    )
+
+
+@register(
+    "q_dedup_embedding_lsh_scaled_planted",
+    oracle=_duck_emb_lsh_planted_oracle(),
+    doc="The corpus-scaled LSH geometry (24x8) exercised on a NON-EMPTY "
+    "pair set at every sf: the corpus is unioned with a deterministic "
+    "exactly-representable perturbation (+2^-5 on coordinate 1, ids "
+    "offset 10^7) of a 1-in-20 id sample, so ~n/20 true near-dup pairs "
+    "(cos ~0.9995) exist wherever the table does.  Closes the round-8 "
+    "gap where q_dedup_embedding_lsh_scaled was trivially green at "
+    "sf0.01 (0 rows == 0 rows): here the driver hash pins the scaled "
+    "geometry's banding, candidate join, and verify stage on real "
+    "pairs, with the oracle replaying the identical plant (the "
+    "perturbation is exact in double, so scaled vectors, band keys, "
+    "candidates, and cosines agree bit-for-bit).  The planted-recovery "
+    "quality bar stays in tests/test_embedding_planted_pairs.py.",
+    tags=("llm", "dedup", "embedding", "lsh", "scale"),
+)
+def q_dedup_embedding_lsh_scaled_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import DIM, cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+    )
+    planted = base.filter(F.col("vec_id") % PLANT_MOD == 0).selectExpr(
+        f"vec_id + {PLANT_OFFSET} AS vec_id",
+        "concat(array(element_at(embedding, 1) + 0.03125D), "
+        f"slice(embedding, 2, {DIM - 1})) AS embedding",
+    )
+    return cosine_dup_pairs(
+        base.unionByName(planted), threshold=0.9, n_planes=24, n_bands=8
+    ).orderBy("id1", "id2")
+
+
 @register(
     "q_knn_label_propagation_imi",
     oracle=_votes_sql(
