@@ -748,9 +748,17 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_bucket: int | None = 256,
+    two_level: bool | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embeddings, then drop within-cluster semantic near-duplicates.
+
+    ``two_level`` forwards to :func:`kmeans_assignments` — pass False
+    to pin the exact full-search Lloyd assignment at any k (the
+    oracle-replay form; the default flips to the approximate two-level
+    search at ``IMI_ASSIGN_MIN_K`` and warns).  Drop-set agreement
+    between the two routes at production k is measured by
+    ``tools/semdedup_agreement.py`` (SCALE.md round 9).
 
     The clustering IS the scale move: candidate pairs form only inside
     a cluster, so the quadratic all-pairs cosine never happens —
@@ -778,7 +786,10 @@ def semantic_dedup(
     """
     if k is None:
         k = auto_k(df.count())
-    a = kmeans_assignments(df, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    a = kmeans_assignments(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        two_level=two_level,
+    )
     a = track_persist(a.select(F.col(id_col).alias("id"), "cluster", "v", "n"))
     if k >= ARROW_ASSIGN_MIN_K:
         # corpus-scaled k: clusters are ~n/k rows, one int64 matmul per

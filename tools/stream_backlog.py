@@ -1,0 +1,397 @@
+#!/usr/bin/env python
+"""Decade-scale backlog replay through the streaming maintenance
+stores — the evidence the sf100 BATCH rows don't give: that the
+incremental stores ingest a fourth-decade backlog as a real
+Structured-Streaming file-stream in bounded triggers, with compactions
+(and, for quantiles, watermark retention eviction) active, and come
+out the other side with
+
+* per-trigger wall FLAT across the run (non-compacting triggers),
+* on-disk state BOUNDED (bytes + file counts recorded per trigger),
+* the served snapshot still EQUAL to a batch rebuild over everything
+  ingested (minus evicted groups, for the retention-policy store).
+
+The replay is an actual ``readStream.parquet`` with
+``maxFilesPerTrigger=1`` + ``Trigger.AvailableNow`` over a staged
+range-partitioned copy of the backlog (events ordered by ts so event
+time advances monotonically and eviction is realistic; documents by
+doc_id so arrival order is the id order the dedup greedy contract
+assumes), driven through the stores' ``foreachBatch`` processors.
+
+Snapshot-vs-batch checks per store:
+
+* quantiles — ``IncrementalQuantileStore.quantiles()`` (after a final
+  compact, eviction active) vs the batch
+  ``bottomk_sample_grouped``/``quantile_estimates`` derivation over
+  the rows inside the retention horizon: exact sorted-tuple equality.
+* index — ``IncrementalIndexer.snapshot()`` vs a batch
+  ``inverted_index(term_doc_tf(all_docs))``: row-count + order-free
+  xxhash64 checksum equality.
+* dedup — the accepted set vs an independent greedy replay of the
+  batch :func:`minhash_lsh_pairs` pair list in arrival order (doc i
+  rejected iff a verified pair (j < i) exists with j in the same
+  trigger, or j accepted in an earlier trigger — the exact
+  IncrementalDeduper contract).
+
+Usage:
+  python tools/stream_backlog.py --store quantiles --sf-dir /tmp/spark_graft_sf10 \
+      --triggers 50 --compact-every 10
+Prints one JSONL line per trigger to stderr and ONE summary JSON line
+to stdout (per-trigger wall stats split compacting/non-compacting,
+state size trajectory, snapshot equality verdict).
+"""
+
+from __future__ import annotations
+
+import argparse
+import bisect
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from spark_kafka_streaming_spark import get_spark  # noqa: E402
+
+HOUR_US = 3_600_000_000
+
+
+def du(path: str) -> tuple[int, int]:
+    total = files = 0
+    for root, _, fs in os.walk(path):
+        for f in fs:
+            fp = os.path.join(root, f)
+            try:
+                total += os.path.getsize(fp)
+            except OSError:
+                continue
+            files += 1
+    return total, files
+
+
+def stage(spark, sf_dir: str, store: str, triggers: int, work: str) -> str:
+    """Range-partition the backlog into ``triggers`` parquet files and
+    serialize their mtimes so the file stream replays them in order."""
+    stage_dir = os.path.join(work, "staged")
+    done = os.path.join(work, ".staged_ok")
+    if os.path.exists(done):
+        return stage_dir
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    if store == "quantiles":
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            # the generator writes TIMESTAMP_NTZ; session TZ is UTC so
+            # the cast is value-preserving and unix_micros applies
+            .select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "event_id",
+                "event_type",
+                "value",
+            )
+            .repartitionByRange(triggers, "ts", "event_id")
+        )
+    else:
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+            .select("doc_id", "text")
+            .repartitionByRange(triggers, "doc_id")
+        )
+    df.write.mode("overwrite").parquet(stage_dir)
+    parts = sorted(
+        f for f in os.listdir(stage_dir) if f.startswith("part-")
+    )
+    t0 = time.time() - 10 * len(parts)
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(stage_dir, f), (t0 + 10 * i, t0 + 10 * i))
+    open(done, "w").close()
+    return stage_dir
+
+
+def make_processor(args, work: str):
+    """(processor, store_obj, paths) for the chosen store."""
+    if args.store == "quantiles":
+        from spark_kafka_streaming_spark.streaming.incremental_quantiles import (
+            IncrementalQuantileStore,
+        )
+
+        sp = os.path.join(work, "qstore")
+        store = IncrementalQuantileStore(
+            sp,
+            "wg",
+            "v",
+            "ek",
+            k=args.k,
+            compact_every=args.compact_every,
+            event_time_sql=(
+                "CAST(CAST(split(g, '\\\\|')[0] AS BIGINT) * 3600 "
+                "AS TIMESTAMP)"
+            ),
+            retention=args.retention,
+        )
+
+        def proc(batch, bid):
+            keyed = batch.select(
+                F.concat(
+                    (F.floor(F.unix_micros("ts") / HOUR_US))
+                    .cast("long")
+                    .cast("string"),
+                    F.lit("|"),
+                    F.col("event_type"),
+                ).alias("wg"),
+                F.col("value").alias("v"),
+                F.col("event_id").alias("ek"),
+            )
+            store(keyed, bid)
+
+        return proc, store, {"store": sp}
+    if args.store == "index":
+        from spark_kafka_streaming_spark.streaming.incremental_index import (
+            IncrementalIndexer,
+        )
+
+        sp = os.path.join(work, "ixstore")
+        store = IncrementalIndexer(sp, compact_every=args.compact_every)
+        return store, store, {"store": sp}
+    if args.store == "dedup":
+        from spark_kafka_streaming_spark.streaming.incremental_dedup import (
+            IncrementalDeduper,
+        )
+
+        sp = os.path.join(work, "sigstore")
+        ap = os.path.join(work, "accepted")
+        store = IncrementalDeduper(
+            sp, ap, jaccard_threshold=0.5, compact_every=args.compact_every
+        )
+        return store, store, {"store": sp, "accepted": ap}
+    raise SystemExit(f"unknown store {args.store!r}")
+
+
+def check_quantiles(spark, store, stage_dir: str) -> dict:
+    """Final compact (eviction active) then exact-tuple equality vs the
+    batch derivation over the rows inside the retention horizon."""
+    from spark_kafka_streaming_spark.operators.quantiles import (
+        bottomk_sample_grouped,
+        quantile_estimates,
+    )
+
+    store.compact(spark)
+    got = sorted(tuple(r) for r in store.quantiles(spark).collect())
+    keyed = spark.read.parquet(stage_dir).select(
+        F.concat(
+            (F.floor(F.unix_micros("ts") / HOUR_US)).cast("long").cast("string"),
+            F.lit("|"),
+            F.col("event_type"),
+        ).alias("wg"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("ek"),
+        (F.floor(F.unix_micros("ts") / HOUR_US)).cast("long").alias("hr"),
+    )
+    ret_hours = int(store.retention.split()[0])
+    max_hr = keyed.agg(F.max("hr")).collect()[0][0]
+    live = keyed.filter(F.col("hr") >= max_hr - ret_hours)
+    want = sorted(
+        tuple(r)
+        for r in quantile_estimates(
+            bottomk_sample_grouped(live, "wg", "v", "ek", store.k),
+            grouped=True,
+        ).collect()
+    )
+    return {
+        "snapshot_rows": len(got),
+        "match": got == want,
+        "live_horizon_hr": int(max_hr - ret_hours),
+    }
+
+
+def _checksum(df) -> tuple[int, int]:
+    cols = sorted(df.columns)
+    row = (
+        df.select(
+            F.xxhash64(F.to_json(F.struct(*[F.col(c) for c in cols])))
+            .cast("decimal(38,0)")
+            .alias("h")
+        )
+        .agg(F.count("*").alias("n"), F.sum("h").alias("s"))
+        .collect()[0]
+    )
+    return int(row["n"]), int(row["s"] or 0)
+
+
+def check_index(spark, store, stage_dir: str) -> dict:
+    from spark_kafka_streaming_spark.operators import index as IX
+
+    snap = store.snapshot(spark)
+    docs = spark.read.parquet(stage_dir)
+    want = IX.inverted_index(IX.term_doc_tf(docs))
+    n1, s1 = _checksum(snap)
+    n2, s2 = _checksum(want)
+    return {"snapshot_rows": n1, "batch_rows": n2, "match": (n1, s1) == (n2, s2)}
+
+
+def check_dedup(spark, store, stage_dir: str, accepted_path: str) -> dict:
+    """Independent greedy replay of the batch pair list in arrival
+    order — the exact IncrementalDeduper accept/reject contract."""
+    from spark_kafka_streaming_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(stage_dir)
+    pairs = (
+        minhash_lsh_pairs(docs, jaccard_threshold=store.threshold)
+        .select("id1", "id2")
+        .collect()
+    )
+    # trigger boundaries: per staged file's (min, max) doc_id —
+    # disjoint ranges by construction (repartitionByRange)
+    bounds = sorted(
+        (r["mn"], r["mx"])
+        for r in docs.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(F.min("doc_id").alias("mn"), F.max("doc_id").alias("mx"))
+        .collect()
+    )
+    starts = [b[0] for b in bounds]
+
+    def trig(doc: int) -> int:
+        return bisect.bisect_right(starts, doc) - 1
+
+    partners: dict[int, list[int]] = {}
+    for p in pairs:
+        partners.setdefault(int(p["id2"]), []).append(int(p["id1"]))
+    all_ids = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    accepted: set[int] = set()
+    for i in all_ids:
+        ti = trig(i)
+        dup = any(
+            trig(j) == ti or j in accepted for j in partners.get(i, ())
+        )
+        if not dup:
+            accepted.add(i)
+    got = {
+        r["doc_id"]
+        for r in spark.read.parquet(accepted_path).select("doc_id").collect()
+    }
+    return {
+        "accepted_stream": len(got),
+        "accepted_greedy": len(accepted),
+        "n_pairs": len(pairs),
+        "match": got == accepted,
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--store", required=True,
+                    choices=("quantiles", "index", "dedup"))
+    ap.add_argument("--sf-dir", default="/tmp/spark_graft_sf10")
+    ap.add_argument("--triggers", type=int, default=50)
+    ap.add_argument("--compact-every", type=int, default=10)
+    ap.add_argument("--retention", default="120 HOURS")
+    ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--work", default=None)
+    ap.add_argument("--skip-check", action="store_true",
+                    help="skip the snapshot-vs-batch equality stage")
+    args = ap.parse_args()
+    work = args.work or (
+        f"/tmp/spark_graft_stream_{args.store}_"
+        f"{os.path.basename(args.sf_dir.rstrip('/'))}"
+    )
+    for sub in ("qstore", "ixstore", "sigstore", "accepted", "ck"):
+        shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
+    os.makedirs(work, exist_ok=True)
+
+    spark = get_spark(app_name=f"stream_backlog_{args.store}")
+    stage_dir = stage(spark, args.sf_dir, args.store, args.triggers, work)
+    proc, store, paths = make_processor(args, work)
+
+    records: list[dict] = []
+
+    def timed(batch, bid):
+        t0 = time.perf_counter()
+        proc(batch, bid)
+        wall = time.perf_counter() - t0
+        size, files = du(paths["store"])
+        rec = {
+            "trigger": int(bid),
+            "wall_s": round(wall, 3),
+            "compacted": bool(
+                args.compact_every
+                and bid > 0
+                and bid % args.compact_every == 0
+            ),
+            "store_bytes": size,
+            "store_files": files,
+        }
+        records.append(rec)
+        print(json.dumps(rec), file=sys.stderr, flush=True)
+
+    schema = spark.read.parquet(stage_dir).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage_dir)
+        .writeStream.foreachBatch(timed)
+        .option("checkpointLocation", os.path.join(work, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    check: dict = {"skipped": True}
+    if not args.skip_check:
+        t0 = time.perf_counter()
+        if args.store == "quantiles":
+            check = check_quantiles(spark, store, stage_dir)
+        elif args.store == "index":
+            check = check_index(spark, store, stage_dir)
+        else:
+            check = check_dedup(spark, store, stage_dir, paths["accepted"])
+        check["check_wall_s"] = round(time.perf_counter() - t0, 1)
+
+    plain = sorted(r["wall_s"] for r in records if not r["compacted"])
+    comp = sorted(r["wall_s"] for r in records if r["compacted"])
+
+    def stats(xs):
+        if not xs:
+            return None
+        return {
+            "n": len(xs),
+            "min": xs[0],
+            "median": xs[len(xs) // 2],
+            "p90": xs[int(len(xs) * 0.9)] if len(xs) > 1 else xs[-1],
+            "max": xs[-1],
+            "first5_mean": round(sum(xs[:5]) / min(5, len(xs)), 3),
+        }
+
+    # flatness: mean of the last 5 plain triggers over the first 5 (in
+    # ARRIVAL order, not sorted)
+    arr = [r["wall_s"] for r in records if not r["compacted"]]
+    flat = (
+        round(sum(arr[-5:]) / 5 / (sum(arr[:5]) / 5), 2)
+        if len(arr) >= 10
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "store": args.store,
+                "sf_dir": args.sf_dir,
+                "triggers": args.triggers,
+                "compact_every": args.compact_every,
+                "retention": args.retention if args.store == "quantiles" else None,
+                "plain_wall": stats(plain),
+                "compact_wall": stats(comp),
+                "last5_over_first5": flat,
+                "store_bytes_final": records[-1]["store_bytes"],
+                "store_files_final": records[-1]["store_files"],
+                "store_bytes_peak": max(r["store_bytes"] for r in records),
+                "check": check,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
