@@ -419,6 +419,91 @@ def bench_quantile_store_drain(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_index_store_drain(spark, sf_dir: str) -> float:
+    """Inverted-index maintenance path: drain documents through
+    foreachBatch into the incremental (term, doc_id, tf) partial store
+    (streaming/incremental_index.py) with one mid-stream compaction,
+    then serve the rank-capped index snapshot — stream-built index ≡
+    batch rebuild pinned in tests/test_streaming_extra.py; decade-scale
+    replay evidence in SCALE.md round 9 (tools/stream_backlog.py)."""
+    import shutil
+    import tempfile
+
+    from spark_kafka_streaming_spark.sources.batch import load_table
+    from spark_kafka_streaming_spark.streaming.incremental_index import (
+        IncrementalIndexer,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_ixstore_")
+    try:
+        src = f"{tmp}/src"
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.json(src)
+        )
+        ix = IncrementalIndexer(f"{tmp}/store", compact_every=2)
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(ix)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_stop(q)
+        ix.snapshot(spark).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def bench_dedup_store_drain(spark, sf_dir: str) -> float:
+    """Signature-store dedup path: drain documents through foreachBatch
+    near-dup admission (streaming/incremental_dedup.py — store-probe
+    broadcast join + intra-batch LSH + exact-Jaccard verify) with one
+    mid-stream compaction — accept/reject contract vs a greedy batch
+    replay pinned at decade scale in SCALE.md round 9
+    (tools/stream_backlog.py)."""
+    import shutil
+    import tempfile
+
+    from spark_kafka_streaming_spark.sources.batch import load_table
+    from spark_kafka_streaming_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_dedupstore_")
+    try:
+        src = f"{tmp}/src"
+        (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(4)
+            .write.json(src)
+        )
+        dd = IncrementalDeduper(
+            f"{tmp}/store", f"{tmp}/accepted", compact_every=2
+        )
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema("doc_id BIGINT, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+            .writeStream.foreachBatch(dd)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_stop(q)
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -484,6 +569,14 @@ def main() -> None:
         bench_quantile_store_drain(spark, SF_DIR)  # warm
         timings["stream_quantile_store_drain"] = round(
             bench_quantile_store_drain(spark, SF_DIR), 4
+        )
+        bench_index_store_drain(spark, SF_DIR)  # warm
+        timings["stream_index_store_drain"] = round(
+            bench_index_store_drain(spark, SF_DIR), 4
+        )
+        bench_dedup_store_drain(spark, SF_DIR)  # warm
+        timings["stream_dedup_store_drain"] = round(
+            bench_dedup_store_drain(spark, SF_DIR), 4
         )
     finally:
         shutil.rmtree(sig_cache, ignore_errors=True)

@@ -506,6 +506,22 @@ def bpe_encode_batched(
         .collect()
     )
     elems = [f"{m['left_sym']} {m['right_sym']}" for m in merges]
+    return bpe_encode_with_merges(docs, elems, text_col, id_col)
+
+
+def bpe_encode_with_merges(
+    docs: DataFrame,
+    elems: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Encode against an ALREADY-LEARNED merge list (each element
+    'left right', in rank order) — the serving form: a production
+    tokenizer trains once and encodes forever, so the encode stage
+    must not re-train.  Split out of :func:`bpe_encode_batched` (which
+    delegates here) so the encode wall is measurable at any depth
+    independent of training (tools/bpe_encode_depth.py, SCALE.md
+    round 9)."""
     if elems:
         s_final = _fold_merges(
             F.concat(F.lit(" "), F.expr(_CHARS_SPARK), F.lit(" ")), elems
