@@ -460,7 +460,76 @@ _ROUND8_WINDOW = [
     "q_pack_length_buckets",
     "q_shard_token_budget",
 ]
-_reorder(_ROUND8_WINDOW[:50])
+# Round-9 sample window.  Freshness rules unchanged: (a) the round-9
+# registration (the planted-pair twin of the corpus-scaled LSH
+# geometry — closes the round-8 "trivially green at sf0.01" gap with a
+# non-empty driver hash); (b) every query whose code path round 9
+# touched — the kmeans/SemDeDup family (two_level pass-through +
+# default-flip warning), the scaled-LSH sibling, the batched-BPE pair
+# (encode split into bpe_encode_with_merges), and the IMI serving
+# entry (re-measured at n_cells=1e4); then (c) backfill with the
+# stalest rows — after r8's rotation the oldest green rows are r3-era
+# (7 queries), then r4-era (30), then the r5-era TPC-H head (computed
+# from CORRECTNESS_r01-r08 latest-green rounds; q_agg_approx and
+# q_vector_pca_project stay out as rows-only-by-design).
+_ROUND9_WINDOW = [
+    # (a) new registration this round
+    "q_dedup_embedding_lsh_scaled_planted",
+    # (b) touched this round
+    "q_dedup_semantic",
+    "q_cluster_kmeans",
+    "q_dedup_embedding_lsh_scaled",
+    "q_text_bpe_encode_batched",
+    "q_text_bpe_train_batched",
+    "q_knn_label_propagation_imi",
+    # (c) freshness backfill: last sampled in round 3
+    "q_sketch_hll",
+    "q_subquery_in_uncorrelated",
+    "q_text_quality",
+    "q_vector_gram_matrix",
+    "q_vector_pca_invariants",
+    "q_window_distribution_ranks",
+    "q_window_first_last_frames",
+    # (c) freshness backfill: last sampled in round 4
+    "q_audit_referential_integrity",
+    "q_basket_brand_pairs",
+    "q_chunk_sliding_rag",
+    "q_corpus_drift_tv",
+    "q_curriculum_select",
+    "q_decontaminate_by_split",
+    "q_events_anomaly_mad",
+    "q_events_anomaly_mad_hist",
+    "q_events_dedup_within_interval",
+    "q_events_rate_limited",
+    "q_events_resample_gapfill",
+    "q_events_rollup_time_grains",
+    "q_events_scd2_user_state",
+    "q_graph_pagerank_brands",
+    "q_layout_zorder",
+    "q_mix_temperature_lang",
+    "q_pipeline_corpus_end_to_end",
+    "q_profile_documents",
+    "q_sample_weighted_pps",
+    "q_similarity_pq_adc",
+    "q_sketch_hll_grouped",
+    "q_sketch_hll_sliding",
+    "q_sketch_kmv_setops",
+    "q_sketch_quantile_hist",
+    "q_skew_report_orders",
+    "q_split_train_val_test",
+    "q_subquery_not_in_null_aware",
+    "q_text_fuzzy_match",
+    "q_text_quality_classifier",
+    "q_vector_pq_encode",
+    # (c) freshness backfill: last sampled in round 5 (TPC-H head)
+    "q01_pricing_summary",
+    "q02_min_cost_supplier",
+    "q03_shipping_priority",
+    "q04_late_shipment_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+]
+_reorder(_ROUND9_WINDOW[:50])
 
 
 def queries():
