@@ -623,6 +623,7 @@ def kmeans_assignments(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     two_level: bool | None = None,
+    n_sprobe: int = IMI_SPROBE,
 ) -> DataFrame:
     """Run ``iters`` Lloyd rounds; return (id, cluster, dist2) plus the
     scaled vector columns (v, n) for downstream consumers (SemDeDup).
@@ -662,7 +663,9 @@ def kmeans_assignments(
             stacklevel=2,
         )
     if use_imi:
-        assign = lambda s, c: assign_clusters_imi(s, c, id_col)  # noqa: E731
+        assign = lambda s, c: assign_clusters_imi(  # noqa: E731
+            s, c, id_col, n_sprobe=n_sprobe
+        )
     elif k <= LITERAL_ASSIGN_MAX_K:
         assign = assign_clusters
     elif k < ARROW_ASSIGN_MIN_K:
@@ -749,6 +752,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     max_bucket: int | None = 256,
     two_level: bool | None = None,
+    n_sprobe: int = IMI_SPROBE,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
     embeddings, then drop within-cluster semantic near-duplicates.
@@ -788,7 +792,7 @@ def semantic_dedup(
         k = auto_k(df.count())
     a = kmeans_assignments(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        two_level=two_level,
+        two_level=two_level, n_sprobe=n_sprobe,
     )
     a = track_persist(a.select(F.col(id_col).alias("id"), "cluster", "v", "n"))
     if k >= ARROW_ASSIGN_MIN_K:

@@ -35,13 +35,14 @@ from spark_kafka_streaming_spark.functions.caching import (  # noqa: E402
 )
 
 
-def run(spark, sf_dir: str, k: int, tau: float, two_level: bool):
+def run(spark, sf_dir: str, k: int, tau: float, two_level: bool,
+        n_sprobe: int = 2):
     from spark_kafka_streaming_spark.operators.kmeans import semantic_dedup
 
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     t0 = time.perf_counter()
     rows = semantic_dedup(
-        emb, k=k, tau=tau, two_level=two_level
+        emb, k=k, tau=tau, two_level=two_level, n_sprobe=n_sprobe
     ).select("vec_id", "kept").collect()
     wall = time.perf_counter() - t0
     release_operator_caches()
@@ -54,6 +55,7 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/tmp/spark_graft_sf10")
     ap.add_argument("--k", type=int, default=0, help="0 = auto_k(n)")
     ap.add_argument("--tau", type=float, default=0.45)
+    ap.add_argument("--n-sprobe", type=int, default=2)
     args = ap.parse_args()
 
     spark = get_spark(app_name="semdedup_agreement")
@@ -66,7 +68,9 @@ def main() -> None:
         args.k = auto_k(n)
 
     exact, w_exact = run(spark, args.sf_dir, args.k, args.tau, False)
-    imi, w_imi = run(spark, args.sf_dir, args.k, args.tau, True)
+    imi, w_imi = run(
+        spark, args.sf_dir, args.k, args.tau, True, args.n_sprobe
+    )
     assert exact.keys() == imi.keys()
     n = len(exact)
     same = sum(1 for i, kt in exact.items() if imi[i] == kt)
@@ -80,6 +84,7 @@ def main() -> None:
                 "n_vectors": n,
                 "k": args.k,
                 "tau": args.tau,
+                "n_sprobe": args.n_sprobe,
                 "wall_exact_s": w_exact,
                 "wall_imi_s": w_imi,
                 "drops_exact": len(de),
