@@ -1110,6 +1110,15 @@ def _cells_arrow(
     int64 matmul is exact (|component| ≤ ~1e8 ⇒ per-pair sums ≪ 2⁶³),
     and the cosine is the same single-divide IEEE expression as
     ``spark_cosine`` — bit-identical across impls (pinned in tests).
+
+    Memory is bounded by processing each Arrow batch in ROW BLOCKS:
+    the score matrix (and its full stable argsort, which materializes
+    a same-shaped index array) is O(rows × n_cells) — at the default
+    10k-row Arrow batch and n_cells = 10⁴ that is ~2.5 GB per worker
+    and 32 workers OOM-killed the whole box (found live at 2M vectors,
+    SCALE.md round 9).  Blocking caps it at ~8M scores (~200 MB peak
+    per worker); each row's computation is unchanged, so the output is
+    bit-identical at any block size.
     """
     id_c, v_c, n_c = f"{prefix}_id", f"{prefix}_v", f"{prefix}_n"
 
@@ -1121,6 +1130,7 @@ def _cells_arrow(
         import pandas as pd
 
         n_eff = min(n, len(cent_ids))  # mirror row_number <= n
+        block = max(256, 8_388_608 // max(1, len(cent_ids)))
         for pdf in it:
             if not len(pdf):
                 continue
@@ -1128,25 +1138,29 @@ def _cells_arrow(
                 pdf[v_c].map(lambda a: np.asarray(a, dtype="int64"))
             )
             xn = pdf[n_c].to_numpy(dtype="int64")
-            dots = m @ cent_m.T
-            cos = dots.astype("float64") / (
-                np.sqrt(xn.astype("float64"))[:, None]
-                * np.sqrt(cent_n.astype("float64"))[None, :]
-            )
-            order = np.argsort(-cos, axis=1, kind="stable")[:, :n_eff]
-            rows = len(pdf)
-            yield pd.DataFrame(
-                {
-                    id_c: np.repeat(pdf[id_c].to_numpy(), n_eff),
-                    v_c: [
-                        row
-                        for row in pdf[v_c].map(list)
-                        for _ in range(n_eff)
-                    ],
-                    n_c: np.repeat(xn, n_eff),
-                    "cell": cent_ids[order].reshape(rows * n_eff),
-                }
-            )
+            den_c = np.sqrt(cent_n.astype("float64"))[None, :]
+            for s in range(0, len(pdf), block):
+                e = min(s + block, len(pdf))
+                dots = m[s:e] @ cent_m.T
+                cos = dots.astype("float64") / (
+                    np.sqrt(xn[s:e].astype("float64"))[:, None] * den_c
+                )
+                order = np.argsort(-cos, axis=1, kind="stable")[:, :n_eff]
+                rows = e - s
+                yield pd.DataFrame(
+                    {
+                        id_c: np.repeat(
+                            pdf[id_c].to_numpy()[s:e], n_eff
+                        ),
+                        v_c: [
+                            row
+                            for row in pdf[v_c].iloc[s:e].map(list)
+                            for _ in range(n_eff)
+                        ],
+                        n_c: np.repeat(xn[s:e], n_eff),
+                        "cell": cent_ids[order].reshape(rows * n_eff),
+                    }
+                )
 
     return side.mapInPandas(
         _batches,
