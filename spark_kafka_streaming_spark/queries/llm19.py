@@ -147,13 +147,18 @@ def q_dedup_embedding_lsh_scaled_planted(
     "single-level at 160k vectors), so the per-cell cogroup matmuls "
     "run hotter and the WALL is ~2x the single-level form at sf10 and "
     "sf100 — assignment dots are not the serving bottleneck at this "
-    "scale. Single-level probing stays the propagation default; this "
-    "entry pins the two-level serving form (oracle: duck_ivf2_topk_sql "
-    "generated CTEs, cell count derived from the same corpus-count "
-    "formula as auto_cells) for the n_cells >= ~10^4 regime where "
-    "scoring all cells dominates. The vote/argmax stage is "
-    "byte-identical to the exact form (knn_classify is "
-    "neighbor-source-oblivious).",
+    "scale. Single-level probing stays the propagation default at "
+    "sqrt(n) cells; this entry pins the two-level serving form "
+    "(oracle: duck_ivf2_topk_sql generated CTEs, cell count derived "
+    "from the same corpus-count formula as auto_cells) for the "
+    "n_cells >= ~10^4 regime where scoring all cells dominates — now "
+    "MEASURED, not deferred (SCALE.md round 9): at 2M vectors and "
+    "n_cells=10^4 the two-level route is 5.9x FASTER (28.1 s vs "
+    "164.6 s, tools/imi_headtohead.py; the single-level leg only "
+    "completes at all after the _cells_arrow row-blocking fix — its "
+    "batch x n_cells score matrix OOM-killed the box at 10^4 cells). "
+    "The vote/argmax stage is byte-identical to the exact form "
+    "(knn_classify is neighbor-source-oblivious).",
     tags=("llm", "similarity", "classify"),
 )
 def q_knn_label_propagation_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
