@@ -473,8 +473,9 @@ _ROUND8_WINDOW = [
 # from CORRECTNESS_r01-r08 latest-green rounds; q_agg_approx and
 # q_vector_pca_project stay out as rows-only-by-design).
 _ROUND9_WINDOW = [
-    # (a) new registration this round
+    # (a) new registrations this round
     "q_dedup_embedding_lsh_scaled_planted",
+    "q_dedup_clusters_embedding_scaled",
     # (b) touched this round
     "q_dedup_semantic",
     "q_cluster_kmeans",

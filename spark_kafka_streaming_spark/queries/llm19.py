@@ -126,6 +126,97 @@ def q_dedup_embedding_lsh_scaled_planted(
     ).orderBy("id1", "id2")
 
 
+def _duck_emb_clusters_scaled_oracle() -> str:
+    from ..operators.similarity import duck_cosine_dup_pairs_sql
+
+    planted_table = f"""(
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+      FROM embeddings
+      UNION ALL
+      SELECT vec_id + {PLANT_OFFSET} AS vec_id,
+             list_prepend(e[1] + 0.03125, e[2:]) AS embedding
+      FROM (SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings WHERE vec_id % {PLANT_MOD} = 0)
+    )"""
+    pairs_sql = duck_cosine_dup_pairs_sql(
+        0.9, table=planted_table, planes_per_band=24, bands=8
+    )
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {pairs_sql}
+    ),
+    edges AS (
+      SELECT id1 AS src, id2 AS dst FROM pairs
+      UNION
+      SELECT id2, id1 FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    comp AS (
+      SELECT src AS vec_id, LEAST(src, MIN(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    universe AS (
+      SELECT vec_id FROM embeddings
+      UNION ALL
+      SELECT vec_id + {PLANT_OFFSET} AS vec_id
+      FROM embeddings WHERE vec_id % {PLANT_MOD} = 0
+    )
+    SELECT u.vec_id,
+           COALESCE(c.cluster_id, u.vec_id) AS cluster_id,
+           COALESCE(c.cluster_id, u.vec_id) = u.vec_id AS is_survivor
+    FROM universe u LEFT JOIN comp c ON c.vec_id = u.vec_id
+    ORDER BY u.vec_id
+    """
+
+
+@register(
+    "q_dedup_clusters_embedding_scaled",
+    oracle=_duck_emb_clusters_scaled_oracle(),
+    doc="Full pairs→components→survivors dedup resolution on the "
+    "embedding tier at the CORPUS-SCALED LSH geometry (24 planes x 8 "
+    "bands, threshold 0.9) over the planted-pair corpus (same exact "
+    "+2^-5 plant as q_dedup_embedding_lsh_scaled_planted, so true "
+    "near-dup clusters exist at every sf). Closes the catalog-level "
+    "gap the round-9 breadth batch measured: q_dedup_clusters_embedding "
+    "at the default 6x8 geometry random-collides ~10^11 candidates at "
+    "2M vectors (the round-8 plane-count find) and spills; the SAME "
+    "clusters stage at this geometry completes 2M vectors in 68.4 s "
+    "(SCALE.md round 9), because planes grow with log2(n). This entry "
+    "makes the scale path driver-verifiable end-to-end: the oracle "
+    "replays the plant, the 24x8 banding, the exact cosine verify, and "
+    "the components by recursive transitive closure bit-for-bit. "
+    "(operators/clusters.py, operators/similarity.py)",
+    tags=("llm", "dedup", "embedding", "clusters", "scale"),
+)
+def q_dedup_clusters_embedding_scaled(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.clusters import dedup_survivors
+    from ..operators.similarity import DIM, cosine_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.selectExpr(
+        "vec_id",
+        "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
+    )
+    planted = base.filter(F.col("vec_id") % PLANT_MOD == 0).selectExpr(
+        f"vec_id + {PLANT_OFFSET} AS vec_id",
+        "concat(array(element_at(embedding, 1) + 0.03125D), "
+        f"slice(embedding, 2, {DIM - 1})) AS embedding",
+    )
+    corpus = base.unionByName(planted)
+    pairs = cosine_dup_pairs(corpus, threshold=0.9, n_planes=24, n_bands=8)
+    return dedup_survivors(
+        pairs, corpus.select("vec_id"), id_col="vec_id"
+    ).orderBy("vec_id")
+
+
 @register(
     "q_knn_label_propagation_imi",
     oracle=_votes_sql(
