@@ -94,6 +94,39 @@ def stage(spark, sf_dir: str, store: str, triggers: int, work: str) -> str:
             )
             .repartitionByRange(triggers, "ts", "event_id")
         )
+    elif store == "merge":
+        # Absolute CDC feed derived from events: key = user_id, ~10 %
+        # deletes, last-change-wins by a lexicographic (ts, event_id)
+        # sequence string.  Staged in seq order so batch order is
+        # consistent with the sequence — the global last-wins batch
+        # twin is then exactly the stream's per-batch-last-wins fold.
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            .select(
+                F.col("user_id").alias("k"),
+                F.when(F.pmod("event_id", F.lit(10)) == 0, "D")
+                .otherwise("U")
+                .alias("op"),
+                "event_type",
+                "value",
+                F.concat(
+                    F.lpad(
+                        F.unix_micros(F.col("ts").cast("timestamp"))
+                        .cast("string"),
+                        20,
+                        "0",
+                    ),
+                    F.lpad(F.col("event_id").cast("string"), 12, "0"),
+                ).alias("seq"),
+            )
+            .repartitionByRange(triggers, "seq")
+        )
+    elif store == "vectors":
+        df = (
+            spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+            .select("vec_id", "embedding")
+            .repartitionByRange(triggers, "vec_id")
+        )
     else:
         df = (
             spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -167,6 +200,42 @@ def make_processor(args, work: str):
             sp, ap, jaccard_threshold=0.5, compact_every=args.compact_every
         )
         return store, store, {"store": sp, "accepted": ap}
+    if args.store == "merge":
+        from spark_kafka_streaming_spark.streaming.incremental_merge import (
+            IncrementalMerger,
+        )
+
+        sp = os.path.join(work, "mstore")
+        store = IncrementalMerger(
+            sp,
+            key_col="k",
+            n_key_buckets=args.key_buckets,
+            seq_col="seq",
+        )
+        return store, store, {"store": sp}
+    if args.store == "spans":
+        from spark_kafka_streaming_spark.streaming.incremental_spans import (
+            IncrementalSpanDeduper,
+        )
+
+        sp = os.path.join(work, "spstore")
+        store = IncrementalSpanDeduper(
+            sp, w=5, compact_every=args.compact_every
+        )
+        return store, store, {"store": sp}
+    if args.store == "vectors":
+        from spark_kafka_streaming_spark.streaming.incremental_vectors import (
+            IncrementalVectorIndexer,
+        )
+
+        sp = os.path.join(work, "vstore")
+        store = IncrementalVectorIndexer(
+            sp,
+            n_cells=args.n_cells,
+            n_assign=2,
+            compact_every=args.compact_every,
+        )
+        return store, store, {"store": sp}
     raise SystemExit(f"unknown store {args.store!r}")
 
 
@@ -281,15 +350,96 @@ def check_dedup(spark, store, stage_dir: str, accepted_path: str) -> dict:
     }
 
 
+def check_merge(spark, store, stage_dir: str) -> dict:
+    """Global last-change-wins fold of the staged CDC feed (by the
+    same (seq desc, op desc) order the store applies per batch; the
+    staging ranges by seq, so batch order agrees with seq order and
+    the global fold IS the stream contract)."""
+    from pyspark.sql import Window
+
+    feed = spark.read.parquet(stage_dir)
+    last = (
+        feed.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("k").orderBy(F.desc("seq"), F.desc("op"))
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+    )
+    want = last.filter(F.col("op") == "U").select("k", "event_type", "value")
+    got = store.snapshot(spark).select("k", "event_type", "value")
+    n1, s1 = _checksum(got)
+    n2, s2 = _checksum(want)
+    return {
+        "snapshot_rows": n1,
+        "batch_rows": n2,
+        "match": (n1, s1) == (n2, s2),
+    }
+
+
+def check_spans(spark, store, stage_dir: str) -> dict:
+    """Served span accounting over everything ingested vs the one-shot
+    batch operator (count + order-free checksum, like the index)."""
+    from spark_kafka_streaming_spark.operators.dedup import (
+        substring_span_stats,
+    )
+
+    docs = spark.read.parquet(stage_dir)
+    got = store.span_stats(docs)
+    want = substring_span_stats(docs, w=store.w)
+    n1, s1 = _checksum(got)
+    n2, s2 = _checksum(want)
+    return {
+        "snapshot_rows": n1,
+        "batch_rows": n2,
+        "match": (n1, s1) == (n2, s2),
+    }
+
+
+def check_vectors(spark, store, stage_dir: str) -> dict:
+    """Store-served ANN vs batch ivf_topk over everything ingested,
+    same pinned centroid snapshot — exact tuple equality on a bounded
+    query sample."""
+    from spark_kafka_streaming_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(stage_dir)
+    queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(997)) == 0)
+    got = sorted(map(tuple, store.topk(queries, k=5, n_probe=4).collect()))
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                queries,
+                emb,
+                k=5,
+                n_probe=4,
+                n_assign=2,
+                centroids=store.centroids(spark),
+            ).collect(),
+        )
+    )
+    return {
+        "query_rows": len(got),
+        "batch_rows": len(want),
+        "match": got == want,
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--store", required=True,
-                    choices=("quantiles", "index", "dedup"))
+                    choices=("quantiles", "index", "dedup", "merge",
+                             "spans", "vectors"))
     ap.add_argument("--sf-dir", default="/tmp/spark_graft_sf10")
     ap.add_argument("--triggers", type=int, default=50)
     ap.add_argument("--compact-every", type=int, default=10)
     ap.add_argument("--retention", default="120 HOURS")
     ap.add_argument("--k", type=int, default=64)
+    ap.add_argument("--key-buckets", type=int, default=32,
+                    help="merge store: snapshot key buckets")
+    ap.add_argument("--n-cells", type=int, default=448,
+                    help="vectors store: IVF cell count (~sqrt(n))")
     ap.add_argument("--work", default=None)
     ap.add_argument("--skip-check", action="store_true",
                     help="skip the snapshot-vs-batch equality stage")
@@ -298,7 +448,8 @@ def main() -> None:
         f"/tmp/spark_graft_stream_{args.store}_"
         f"{os.path.basename(args.sf_dir.rstrip('/'))}"
     )
-    for sub in ("qstore", "ixstore", "sigstore", "accepted", "ck"):
+    for sub in ("qstore", "ixstore", "sigstore", "accepted", "ck",
+                "mstore", "spstore", "vstore"):
         shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
     os.makedirs(work, exist_ok=True)
 
@@ -346,6 +497,12 @@ def main() -> None:
             check = check_quantiles(spark, store, stage_dir)
         elif args.store == "index":
             check = check_index(spark, store, stage_dir)
+        elif args.store == "merge":
+            check = check_merge(spark, store, stage_dir)
+        elif args.store == "spans":
+            check = check_spans(spark, store, stage_dir)
+        elif args.store == "vectors":
+            check = check_vectors(spark, store, stage_dir)
         else:
             check = check_dedup(spark, store, stage_dir, paths["accepted"])
         check["check_wall_s"] = round(time.perf_counter() - t0, 1)
