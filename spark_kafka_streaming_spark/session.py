@@ -78,6 +78,14 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # At 100 TB: bound per-task input so scans parallelize evenly.
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Sorter-spill reads are SYNCHRONOUS: the async read-ahead
+        # path deadlocked a fourth-decade run live (task parked in
+        # ReadAheadInputStream.waitForAsyncReadComplete while every
+        # "read-ahead" worker idled on a different condition — a lost
+        # wakeup; jstack evidence in SCALE.md round 9). A rare hang
+        # that stalls an entire job beats the small pipelining win on
+        # spilling queries, so the engine turns it off everywhere.
+        .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
         # Streaming state at scale: RocksDB provider (spills to disk,
         # bounded heap) instead of the default in-memory HDFS provider.
         .config(
