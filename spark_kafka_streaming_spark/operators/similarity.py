@@ -31,6 +31,25 @@ from .skew import bounded_self_pairs
 LSH_PLANES = 6
 LSH_BANDS = 8
 
+#: target mean bucket occupancy the ADAPTIVE default geometry aims for:
+#: ``derived_lsh_planes`` picks n_planes ≈ log2(corpus / occupancy), so
+#: expected candidate mass stays ≈ bands · n · occupancy / 2 — LINEAR in
+#: corpus size — instead of the quadratic blow-up a fixed plane count
+#: produces on a growing corpus (the 6-plane default at 2M vectors is
+#: 64 buckets/band × ~31k occupants ⇒ ~10¹¹ candidate pairs: measured
+#: as a disk-spill at the fourth scale decade, SCALE.md round 9).
+#: 32 keeps the derived geometry at the historical 6 planes for every
+#: corpus ≤ 2048 vectors (= all oracle scale factors), so the adaptive
+#: default is bit-identical to the old fixed default there.
+LSH_TARGET_OCCUPANCY = 32
+
+#: expected-candidate-mass bound above which an EXPLICIT geometry draws
+#: a loud warning (the kmeans default-flip treatment,
+#: operators/kmeans.py): bands · C(n/2^planes, 2) · 2^planes pairs is
+#: ~8 GB of 16-byte candidate rows at the bound — still runnable, but
+#: the caller should know they asked for it.
+LSH_CANDIDATE_WARN = 1_000_000_000
+
 #: Above this vector count the cosine-verify broadcast (id, v: d int64,
 #: n) no longer builds on the driver — found live at 2M vectors / d=64
 #: (the fourth-decade sibling of operators/dedup.py's
@@ -192,6 +211,55 @@ _PLANE_COEF_SQL = (
     f"(((p_idx * {DIM} + j + 1) * (p_idx * {DIM} + j + 1) * 3571 "
     f"+ (p_idx * {DIM} + j + 1) * 7919) % 104729) % 2001 - 1000"
 )
+
+
+def derived_lsh_planes(
+    n_rows: int,
+    floor: int = LSH_PLANES,
+    target_occupancy: int = LSH_TARGET_OCCUPANCY,
+) -> int:
+    """Corpus-count-derived LSH plane count:
+    ``max(floor, ceil(log2(n / target_occupancy)))``.
+
+    The round-8 geometry arithmetic (SCALE.md) promoted from docstring
+    rule-of-thumb to the operator default: with mean bucket occupancy
+    pinned at ``target_occupancy``, candidate mass grows linearly with
+    the corpus instead of quadratically.  Pure function of the count —
+    deterministic, so a DuckDB oracle replays it by pinning the same
+    geometry explicitly.  At n ≤ 2048 (every oracle sf) this returns
+    the historical fixed default of 6, keeping the adaptive path
+    bit-identical to the old behavior there.
+    """
+    import math
+
+    if n_rows <= target_occupancy:
+        return floor
+    return max(floor, math.ceil(math.log2(n_rows / target_occupancy)))
+
+
+def _warn_candidate_mass(n_rows: int, n_planes: int, n_bands: int) -> None:
+    """Loud warning when an EXPLICIT geometry implies an unbounded
+    candidate explosion at this corpus size — the same treatment the
+    kmeans default-flip got (operators/kmeans.py:647): production calls
+    should derive (n_planes=None) or deepen the key; oracle-replay runs
+    that MUST pin a small geometry at least fail loudly-and-visibly
+    instead of silently spilling the disk (SCALE.md round 9,
+    q_dedup_clusters_embedding at sf100)."""
+    occupancy = n_rows / (2**n_planes)
+    expected = n_bands * n_rows * occupancy / 2
+    if expected > LSH_CANDIDATE_WARN:
+        import warnings
+
+        warnings.warn(
+            f"LSH geometry {n_planes} planes x {n_bands} bands at "
+            f"n={n_rows} vectors implies ~{expected:.2e} candidate "
+            f"pairs (mean bucket occupancy {occupancy:.0f}) — this "
+            "will shuffle-explode at scale. Pass n_planes=None to "
+            "derive the geometry from the corpus count "
+            f"(derived_lsh_planes -> {derived_lsh_planes(n_rows)}), "
+            "or deepen the key yourself.",
+            stacklevel=3,
+        )
 
 
 def _sign_key(band: int, n_planes: int = LSH_PLANES) -> F.Column:
@@ -731,22 +799,36 @@ def cosine_dup_pairs(
     vec_col: str = "embedding",
     impl: str = "arrow",
     max_bucket: int | None = None,
-    n_planes: int = LSH_PLANES,
+    n_planes: int | None = None,
     n_bands: int = LSH_BANDS,
     broadcast_verify: bool | None = None,
 ) -> DataFrame:
     """Exact cosine-threshold pairs, LSH-bucketed candidate generation.
 
-    Vectors agreeing on all LSH_PLANES signs within any band become
-    candidates (equi-join on the sign pattern); exact cosine then
-    filters. Recall < 1 by construction (documented); raise LSH_BANDS
-    for higher recall.
+    Vectors agreeing on all the band's plane signs within any band
+    become candidates (equi-join on the sign pattern); exact cosine
+    then filters. Recall < 1 by construction (documented); raise
+    ``n_bands`` for higher recall.
+
+    ``n_planes=None`` (the default) DERIVES the plane count from a
+    corpus ``count()`` at plan time via :func:`derived_lsh_planes` —
+    mean bucket occupancy pinned at :data:`LSH_TARGET_OCCUPANCY`, so
+    candidate mass stays linear in corpus size at any scale (the old
+    fixed 6-plane default random-collided ~10¹¹ candidate pairs at 2M
+    vectors and spilled the disk — SCALE.md round 9).  The derivation
+    is a pure function of the count, so an oracle replays it by
+    pinning the derived geometry explicitly.  An EXPLICIT ``n_planes``
+    is taken verbatim (the oracle-replay contract) but draws a loud
+    warning when the implied candidate mass exceeds
+    :data:`LSH_CANDIDATE_WARN` (checked whenever a corpus count is
+    available, i.e. unless ``broadcast_verify`` was also pinned).
 
     ``broadcast_verify=None`` (adaptive) runs an EAGER ``count()`` at
     plan-construction time to size the verify join (materializing the
     banded index before the caller executes anything); pass an explicit
     True/False to keep construction lazy — the dedup-tier
-    ``_resolve_broadcast_verify`` contract.
+    ``_resolve_broadcast_verify`` contract.  A single count serves
+    both adaptive decisions.
 
     Caching contract: the banded index and the (small) pair result are
     ``persist()``-ed — the self-join reads the index twice, and any
@@ -755,6 +837,15 @@ def cosine_dup_pairs(
     banding, twice) again.  Release via
     :func:`..functions.caching.release_operator_caches`.
     """
+    # One corpus count serves both adaptive decisions (geometry and
+    # verify-broadcast); it runs only when at least one is adaptive.
+    n_rows: int | None = None
+    if n_planes is None or broadcast_verify is None:
+        n_rows = vectors.count()
+    if n_planes is None:
+        n_planes = derived_lsh_planes(n_rows)
+    elif n_rows is not None:
+        _warn_candidate_mass(n_rows, n_planes, n_bands)
     banded = track_persist(
         _banded(
             vectors, id_col, vec_col, impl=impl,
@@ -804,7 +895,7 @@ def cosine_dup_pairs(
     do_bcast = (
         broadcast_verify
         if broadcast_verify is not None
-        else vecs.count() <= BROADCAST_VERIFY_MAX_VECS
+        else n_rows <= BROADCAST_VERIFY_MAX_VECS
     )
     if do_bcast:
         s1, s2 = F.broadcast(s1), F.broadcast(s2)
@@ -826,11 +917,17 @@ def lsh_topk(
     vec_col: str = "embedding",
     multi_probe: bool = True,
     impl: str = "arrow",
-    n_planes: int = LSH_PLANES,
+    n_planes: int | None = None,
     n_bands: int = LSH_BANDS,
 ) -> DataFrame:
     """ANN top-k: candidates from shared LSH buckets, then exact cosine
     rank.
+
+    ``n_planes=None`` derives the plane count from a corpus ``count()``
+    via :func:`derived_lsh_planes` — same adaptive-geometry contract as
+    :func:`cosine_dup_pairs` (candidate mass per query stays
+    ≈ bands · occupancy instead of growing linearly with the corpus);
+    pin it explicitly for oracle replay.
 
     ``multi_probe`` (Lv et al., VLDB'07 shape): each query additionally
     probes the LSH_PLANES buckets one sign-flip away per band — the
@@ -842,6 +939,8 @@ def lsh_topk(
     index size and build cost stay flat — the multi-probe trade at
     100 TB: extra reads, no extra state).
     """
+    if n_planes is None:
+        n_planes = derived_lsh_planes(corpus.count())
     c = track_persist(
         _banded(
             corpus, id_col, vec_col, impl=impl,
