@@ -69,6 +69,21 @@ def q_dedup_embedding_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 PLANT_MOD = 20
 PLANT_OFFSET = 10_000_000
 
+#: Corpus contract (round-9 advice): planted ids are ``vec_id +
+#: PLANT_OFFSET``, so a corpus containing vec_id >= PLANT_OFFSET would
+#: silently collide planted ids with real ones (duplicate vec_id rows
+#: in corpus and universe) — the oracle replays the same construction
+#: so the differential check would stay green while the query's own
+#: semantics degrade.  The guard is embedded in the base projection so
+#: every corpus row is checked during the scan (no extra pass) and a
+#: violation fails loudly in BOTH planted entries.
+_VEC_ID_GUARD = (
+    f"CASE WHEN vec_id >= {PLANT_OFFSET} THEN raise_error("
+    f"'planted-pair corpus contract violated: vec_id >= PLANT_OFFSET="
+    f"{PLANT_OFFSET} collides with planted ids') ELSE vec_id END "
+    "AS vec_id"
+)
+
 
 def _duck_emb_lsh_planted_oracle() -> str:
     from ..operators.similarity import duck_cosine_dup_pairs_sql
@@ -113,7 +128,7 @@ def q_dedup_embedding_lsh_scaled_planted(
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.selectExpr(
-        "vec_id",
+        _VEC_ID_GUARD,
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
     )
     planted = base.filter(F.col("vec_id") % PLANT_MOD == 0).selectExpr(
@@ -202,7 +217,7 @@ def q_dedup_clusters_embedding_scaled(
 
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.selectExpr(
-        "vec_id",
+        _VEC_ID_GUARD,
         "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding",
     )
     planted = base.filter(F.col("vec_id") % PLANT_MOD == 0).selectExpr(

@@ -100,8 +100,24 @@ def stage(spark, sf_dir: str, store: str, triggers: int, work: str) -> str:
         # sequence string.  Staged in seq order so batch order is
         # consistent with the sequence — the global last-wins batch
         # twin is then exactly the stream's per-batch-last-wins fold.
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        # Range guard (round-9 advice): Spark lpad TRUNCATES strings
+        # longer than the pad width, and a '-' sign breaks zero-pad
+        # lexicographic order — either would silently corrupt seq
+        # uniqueness/ordering and with it the last-change-wins
+        # equivalence argument.  Fail loudly instead.
+        b = ev.agg(
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("mn"),
+            F.max("event_id").alias("mx"),
+        ).first()
+        if b.mn is None or b.mn < 0 or b.mx is None or b.mx >= 10**12:
+            raise ValueError(
+                f"merge feed seq range violated: min(unix_micros)={b.mn} "
+                f"(need >= 0), max(event_id)={b.mx} (need < 10^12) — "
+                "lpad would truncate/misorder the lexicographic seq"
+            )
         df = (
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+            ev
             .select(
                 F.col("user_id").alias("k"),
                 F.when(F.pmod("event_id", F.lit(10)) == 0, "D")
@@ -368,7 +384,10 @@ def check_merge(spark, store, stage_dir: str) -> dict:
         .filter(F.col("_rn") == 1)
     )
     want = last.filter(F.col("op") == "U").select("k", "event_type", "value")
-    got = store.snapshot(spark).select("k", "event_type", "value")
+    snap = store.snapshot(spark)
+    if snap is None:  # empty/missing store: report, don't traceback
+        return {"match": False, "empty_store": True}
+    got = snap.select("k", "event_type", "value")
     n1, s1 = _checksum(got)
     n2, s2 = _checksum(want)
     return {
@@ -387,6 +406,8 @@ def check_spans(spark, store, stage_dir: str) -> dict:
 
     docs = spark.read.parquet(stage_dir)
     got = store.span_stats(docs)
+    if got is None:  # empty/missing store: report, don't traceback
+        return {"match": False, "empty_store": True}
     want = substring_span_stats(docs, w=store.w)
     n1, s1 = _checksum(got)
     n2, s2 = _checksum(want)
@@ -405,7 +426,11 @@ def check_vectors(spark, store, stage_dir: str) -> dict:
 
     emb = spark.read.parquet(stage_dir)
     queries = emb.filter(F.pmod(F.col("vec_id"), F.lit(997)) == 0)
-    got = sorted(map(tuple, store.topk(queries, k=5, n_probe=4).collect()))
+    served = store.topk(queries, k=5, n_probe=4)
+    cents = store.centroids(spark)
+    if served is None or cents is None:  # empty/missing store
+        return {"match": False, "empty_store": True}
+    got = sorted(map(tuple, served.collect()))
     want = sorted(
         map(
             tuple,
@@ -415,7 +440,7 @@ def check_vectors(spark, store, stage_dir: str) -> dict:
                 k=5,
                 n_probe=4,
                 n_assign=2,
-                centroids=store.centroids(spark),
+                centroids=cents,
             ).collect(),
         )
     )
