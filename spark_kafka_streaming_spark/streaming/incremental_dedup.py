@@ -49,7 +49,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .swap import commit_swap, recover_swap
+from .swap import commit_swap, recover_swap, swap_lock
 from ..functions import texthash as TH
 
 #: Directory-level hash buckets on the LSH key. At cluster scale this
@@ -179,19 +179,20 @@ class IncrementalDeduper:
         """Fold all ``batch=N`` leaves into one sorted ``batch=-1`` base
         per key bucket (bounds the store's file count; run every
         ``compact_every`` batches or offline)."""
-        store = self._store(spark)
-        if store is None:
-            return
-        tmp = self.store_path + ".compact.tmp"
-        (
-            store.withColumn("batch", F.lit(-1))
-            .repartition(F.col("kb"))
-            .sortWithinPartitions("key")
-            .write.mode("overwrite")
-            .partitionBy("kb", "batch")
-            .parquet(tmp)
-        )
-        commit_swap(self.store_path)
+        with swap_lock(self.store_path):
+            store = self._store(spark)
+            if store is None:
+                return
+            tmp = self.store_path + ".compact.tmp"
+            (
+                store.withColumn("batch", F.lit(-1))
+                .repartition(F.col("kb"))
+                .sortWithinPartitions("key")
+                .write.mode("overwrite")
+                .partitionBy("kb", "batch")
+                .parquet(tmp)
+            )
+            commit_swap(self.store_path)
 
     # -- the foreachBatch hook -----------------------------------------
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
@@ -236,14 +237,17 @@ class IncrementalDeduper:
             f"{self.accepted_path}/batch={batch_id}"
         )
         accepted_keys = keys.join(accepted.select(id_c), id_c, "left_semi")
-        (
-            accepted_keys.withColumn("batch", F.lit(batch_id))
-            .sortWithinPartitions("key")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("kb", "batch")
-            .parquet(self.store_path)
-        )
+        # Lock spans the signature leaf write so an external reader of
+        # the store tree never pins a half-committed leaf.
+        with swap_lock(self.store_path):
+            (
+                accepted_keys.withColumn("batch", F.lit(batch_id))
+                .sortWithinPartitions("key")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("kb", "batch")
+                .parquet(self.store_path)
+            )
         keys.unpersist()
         accepted.unpersist()
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:

@@ -36,7 +36,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .swap import commit_swap, recover_swap
+from .swap import commit_swap, recover_swap, serve_read, swap_lock
 from ..operators import index as IX
 
 #: Directory-level hash buckets on term. Sized at cluster scale so one
@@ -65,14 +65,24 @@ class IncrementalIndexer:
         self.n_term_buckets = n_term_buckets
         self.compact_every = compact_every
 
-    def _store(self, spark: SparkSession) -> DataFrame | None:
-        recover_swap(self.store_path)
-        if not os.path.exists(self.store_path):
-            return None
-        return spark.read.parquet(self.store_path)
+    def _store(
+        self, spark: SparkSession, live: bool = False
+    ) -> DataFrame | None:
+        """Default reads are snapshot-isolated (hardlink pin via
+        :func:`..swap.serve_read`) so serving survives concurrent
+        triggers/compactions; ``live=True`` is the writer-internal
+        read (compact, under the store lock)."""
+        if live:
+            recover_swap(self.store_path)
+            if not os.path.exists(self.store_path):
+                return None
+            return spark.read.parquet(self.store_path)
+        return serve_read(spark, self.store_path)
 
-    def _merged_tf(self, spark: SparkSession) -> DataFrame | None:
-        store = self._store(spark)
+    def _merged_tf(
+        self, spark: SparkSession, live: bool = False
+    ) -> DataFrame | None:
+        store = self._store(spark, live=live)
         if store is None:
             return None
         return store.groupBy("term", "doc_id").agg(
@@ -156,41 +166,45 @@ class IncrementalIndexer:
         """Fold per-batch partials into one summed ``batch=-1`` base
         per term bucket (temp dir + rename; a transactional table
         format would make the same move atomic)."""
-        tf = self._merged_tf(spark)
-        if tf is None:
-            return
-        tmp = self.store_path + ".compact.tmp"
-        (
-            tf.withColumn(
-                "tb",
-                F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)),
+        with swap_lock(self.store_path):
+            tf = self._merged_tf(spark, live=True)
+            if tf is None:
+                return
+            tmp = self.store_path + ".compact.tmp"
+            (
+                tf.withColumn(
+                    "tb",
+                    F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)),
+                )
+                .withColumn("batch", F.lit(-1))
+                .repartition(F.col("tb"))
+                .sortWithinPartitions("term")
+                .write.mode("overwrite")
+                .partitionBy("tb", "batch")
+                .parquet(tmp)
             )
-            .withColumn("batch", F.lit(-1))
-            .repartition(F.col("tb"))
-            .sortWithinPartitions("term")
-            .write.mode("overwrite")
-            .partitionBy("tb", "batch")
-            .parquet(tmp)
-        )
-        commit_swap(self.store_path)
+            commit_swap(self.store_path)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        recover_swap(self.store_path)
         tf = IX.term_doc_tf(batch, self.id_col, self.text_col)
-        (
-            tf.withColumn(
-                "tb",
-                F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)),
+        # Lock spans the leaf write + any compact: a concurrent
+        # serve_read pins pre- or post-batch state, never a torn leaf.
+        with swap_lock(self.store_path):
+            recover_swap(self.store_path)
+            (
+                tf.withColumn(
+                    "tb",
+                    F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)),
+                )
+                .withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("tb", "batch")
+                .parquet(self.store_path)
             )
-            .withColumn("batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("tb", "batch")
-            .parquet(self.store_path)
-        )
-        if (
-            self.compact_every
-            and batch_id > 0
-            and batch_id % self.compact_every == 0
-        ):
-            self.compact(batch.sparkSession)
+            if (
+                self.compact_every
+                and batch_id > 0
+                and batch_id % self.compact_every == 0
+            ):
+                self.compact(batch.sparkSession)

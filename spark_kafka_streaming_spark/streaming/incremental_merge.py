@@ -38,6 +38,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .swap import pin_store, swap_lock
+
 N_KEY_BUCKETS = 32
 
 
@@ -94,20 +96,34 @@ class IncrementalMerger:
         shutil.rmtree(aside_root, ignore_errors=True)
 
     def snapshot(self, spark: SparkSession) -> DataFrame | None:
-        self._recover_buckets()
-        if not os.path.exists(self.store_path):
+        # Snapshot-isolated read (round-10): the hardlink pin survives
+        # concurrent triggers' per-bucket swaps, so a served snapshot
+        # can be collected at any later time (see ..swap docstring).
+        with swap_lock(self.store_path):
+            self._recover_buckets()
+            if not os.path.exists(self.store_path):
+                return None
+            # All-empty leaves (every key deleted) carry no files to
+            # infer a schema from — a legitimately empty snapshot.
+            if not any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(self.store_path)
+                for f in fs
+            ):
+                return None
+            pin = pin_store(self.store_path)
+        if pin is None:
             return None
-        # All-empty leaves (every key deleted) carry no files to infer
-        # a schema from — that is a legitimately empty snapshot.
-        if not any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(self.store_path)
-            for f in fs
-        ):
-            return None
-        return spark.read.parquet(self.store_path).drop("kb")
+        return spark.read.parquet(pin).drop("kb")
 
     def __call__(self, changes: DataFrame, batch_id: int) -> None:
+        # The store lock spans base read + tmp write + per-bucket
+        # swaps: a concurrent snapshot() pins either the pre- or
+        # post-batch tree, never a half-swapped bucket set.
+        with swap_lock(self.store_path):
+            self._apply(changes, batch_id)
+
+    def _apply(self, changes: DataFrame, batch_id: int) -> None:
         self._recover_buckets()
         spark = changes.sparkSession
         k = self.key_col

@@ -52,7 +52,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators.quantiles import K_GROUP, quantile_estimates
-from .swap import commit_swap, recover_swap
+from .swap import commit_swap, recover_swap, serve_read, swap_lock
 
 
 class IncrementalQuantileStore:
@@ -98,16 +98,29 @@ class IncrementalQuantileStore:
             .drop("prk")
         )
 
-    def sample(self, spark: SparkSession) -> DataFrame | None:
+    def sample(
+        self, spark: SparkSession, live: bool = False
+    ) -> DataFrame | None:
         """The current per-group bottom-k over ALL ingested rows:
         re-cutting the union of per-batch cuts is exact because any
-        row in the global bottom-k survives its own batch's cut."""
-        recover_swap(self.store_path)
-        if not os.path.exists(self.store_path):
-            return None
-        return self._cut(
-            spark.read.parquet(self.store_path).select("g", "v", "ky", "h")
-        )
+        row in the global bottom-k survives its own batch's cut.
+
+        Default reads are snapshot-isolated (:func:`..swap.serve_read`
+        pins the store tree with hardlinks), so a concurrent trigger or
+        compaction swap cannot tear or invalidate the read;
+        ``live=True`` is the writer-internal path (compact reads its
+        own store under the store lock — no pin, no extra inode
+        retention)."""
+        if live:
+            recover_swap(self.store_path)
+            if not os.path.exists(self.store_path):
+                return None
+            df = spark.read.parquet(self.store_path)
+        else:
+            df = serve_read(spark, self.store_path)
+            if df is None:
+                return None
+        return self._cut(df.select("g", "v", "ky", "h"))
 
     def quantiles(self, spark: SparkSession) -> DataFrame | None:
         """(g, q, est, m) over everything ingested — the SAME
@@ -149,37 +162,42 @@ class IncrementalQuantileStore:
         crash at any point leaves a complete copy at a location
         :meth:`_read_path` checks (a transactional table format makes
         the same move atomic)."""
-        samp = self.sample(spark)
-        if samp is None:
-            return
-        tmp = self.store_path + ".compact.tmp"
-        (
-            self._retained(samp)
-            .withColumn("batch", F.lit(-1))
-            .repartition("g")
-            .write.mode("overwrite")
-            .partitionBy("batch")
-            .parquet(tmp)
-        )
-        commit_swap(self.store_path)
+        with swap_lock(self.store_path):
+            samp = self.sample(spark, live=True)
+            if samp is None:
+                return
+            tmp = self.store_path + ".compact.tmp"
+            (
+                self._retained(samp)
+                .withColumn("batch", F.lit(-1))
+                .repartition("g")
+                .write.mode("overwrite")
+                .partitionBy("batch")
+                .parquet(tmp)
+            )
+            commit_swap(self.store_path)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         from ..operators.quantiles import bottomk_sample_grouped
 
-        recover_swap(self.store_path)
-        cut = bottomk_sample_grouped(
-            batch, self.group_col, self.value_col, self.key_sql, self.k
-        )
-        (
-            cut.withColumn("batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("batch")
-            .parquet(self.store_path)
-        )
-        if (
-            self.compact_every
-            and batch_id > 0
-            and batch_id % self.compact_every == 0
-        ):
-            self.compact(batch.sparkSession)
+        # The store lock spans the leaf write (and any compact), so a
+        # concurrent serve_read pins either the pre- or post-batch
+        # tree, never a half-committed leaf.
+        with swap_lock(self.store_path):
+            recover_swap(self.store_path)
+            cut = bottomk_sample_grouped(
+                batch, self.group_col, self.value_col, self.key_sql, self.k
+            )
+            (
+                cut.withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch")
+                .parquet(self.store_path)
+            )
+            if (
+                self.compact_every
+                and batch_id > 0
+                and batch_id % self.compact_every == 0
+            ):
+                self.compact(batch.sparkSession)

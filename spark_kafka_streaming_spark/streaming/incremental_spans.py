@@ -36,7 +36,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .swap import commit_swap, recover_swap
+from .swap import commit_swap, recover_swap, serve_read, swap_lock
 from ..operators.dedup import span_occurrences, span_stats_from
 
 #: Directory-level hash buckets on the window hash. Sized at cluster
@@ -65,16 +65,25 @@ class IncrementalSpanDeduper:
         self.n_hash_buckets = n_hash_buckets
         self.compact_every = compact_every
 
-    def _store(self, spark: SparkSession) -> DataFrame | None:
-        recover_swap(self.store_path)
-        if not os.path.exists(self.store_path):
-            return None
-        return spark.read.parquet(self.store_path)
+    def _store(
+        self, spark: SparkSession, live: bool = False
+    ) -> DataFrame | None:
+        """Default reads are snapshot-isolated (hardlink pin via
+        :func:`..swap.serve_read`); ``live=True`` is the
+        writer-internal read (compact, under the store lock)."""
+        if live:
+            recover_swap(self.store_path)
+            if not os.path.exists(self.store_path):
+                return None
+            return spark.read.parquet(self.store_path)
+        return serve_read(spark, self.store_path)
 
-    def merged(self, spark: SparkSession) -> DataFrame | None:
+    def merged(
+        self, spark: SparkSession, live: bool = False
+    ) -> DataFrame | None:
         """The corpus-wide (h, cnt, canon) table: partials merged by
         (sum, min) — exact because both aggregates are mergeable."""
-        store = self._store(spark)
+        store = self._store(spark, live=live)
         if store is None:
             return None
         return store.groupBy("h").agg(
@@ -105,39 +114,43 @@ class IncrementalSpanDeduper:
         """Fold per-batch partials into one merged ``batch=-1`` base
         per hash bucket (temp dir + rename; a transactional table
         format would make the same move atomic)."""
-        merged = self.merged(spark)
-        if merged is None:
-            return
-        tmp = self.store_path + ".compact.tmp"
-        (
-            merged.withColumn(
-                "hb", F.pmod(F.xxhash64("h"), F.lit(self.n_hash_buckets))
+        with swap_lock(self.store_path):
+            merged = self.merged(spark, live=True)
+            if merged is None:
+                return
+            tmp = self.store_path + ".compact.tmp"
+            (
+                merged.withColumn(
+                    "hb", F.pmod(F.xxhash64("h"), F.lit(self.n_hash_buckets))
+                )
+                .withColumn("batch", F.lit(-1))
+                .repartition(F.col("hb"))
+                .sortWithinPartitions("h")
+                .write.mode("overwrite")
+                .partitionBy("hb", "batch")
+                .parquet(tmp)
             )
-            .withColumn("batch", F.lit(-1))
-            .repartition(F.col("hb"))
-            .sortWithinPartitions("h")
-            .write.mode("overwrite")
-            .partitionBy("hb", "batch")
-            .parquet(tmp)
-        )
-        commit_swap(self.store_path)
+            commit_swap(self.store_path)
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        recover_swap(self.store_path)
         _, occ = span_occurrences(batch, self.w, self.id_col, self.text_col)
         partial = occ.groupBy("h").agg(
             F.count("*").alias("cnt"), F.min("okey").alias("canon")
         )
-        (
-            partial.withColumn(
-                "hb", F.pmod(F.xxhash64("h"), F.lit(self.n_hash_buckets))
+        # Lock spans the leaf write + any compact: a concurrent
+        # serve_read pins pre- or post-batch state, never a torn leaf.
+        with swap_lock(self.store_path):
+            recover_swap(self.store_path)
+            (
+                partial.withColumn(
+                    "hb", F.pmod(F.xxhash64("h"), F.lit(self.n_hash_buckets))
+                )
+                .withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("hb", "batch")
+                .parquet(self.store_path)
             )
-            .withColumn("batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("hb", "batch")
-            .parquet(self.store_path)
-        )
         if (
             self.compact_every
             and batch_id > 0

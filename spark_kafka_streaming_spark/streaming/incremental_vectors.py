@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .swap import commit_swap, recover_swap
+from .swap import commit_swap, pin_store, recover_swap, swap_lock
 from ..functions import vectors as V
 from ..operators.similarity import _scaled, nearest_cells_sql
 
@@ -104,26 +104,29 @@ class IncrementalVectorIndexer:
     # -- ingest --------------------------------------------------------
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        recover_swap(self.cells_path)
         scaled = _scaled(batch, self.id_col, self.vec_col, "c")
         if not os.path.exists(self.centroids_path):
             self._train_centroids(scaled)
         cents = self.centroids(batch.sparkSession)
-        (
-            nearest_cells_sql(scaled, cents, "c_v", "c_n", self.n_assign)
-            .select("c_id", "c_v", "c_n", "cell")
-            .withColumn("batch", F.lit(batch_id))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("cell", "batch")
-            .parquet(self.cells_path)
-        )
-        if (
-            self.compact_every
-            and batch_id > 0
-            and batch_id % self.compact_every == 0
-        ):
-            self.compact(batch.sparkSession)
+        # Lock spans the leaf write + any compact: a concurrent topk
+        # pins pre- or post-batch state, never a torn leaf.
+        with swap_lock(self.cells_path):
+            recover_swap(self.cells_path)
+            (
+                nearest_cells_sql(scaled, cents, "c_v", "c_n", self.n_assign)
+                .select("c_id", "c_v", "c_n", "cell")
+                .withColumn("batch", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("cell", "batch")
+                .parquet(self.cells_path)
+            )
+            if (
+                self.compact_every
+                and batch_id > 0
+                and batch_id % self.compact_every == 0
+            ):
+                self.compact(batch.sparkSession)
 
     # -- serve ---------------------------------------------------------
 
@@ -140,8 +143,10 @@ class IncrementalVectorIndexer:
         ingested vectors with the same snapshot."""
         spark = queries.sparkSession
         cents = self.centroids(spark)
-        recover_swap(self.cells_path)
-        if cents is None or not os.path.exists(self.cells_path):
+        # Snapshot-isolated serving read: the pinned tree survives
+        # concurrent triggers/compactions (see ..swap docstring).
+        pin = pin_store(self.cells_path)
+        if cents is None or pin is None:
             return None
         q_scaled = _scaled(queries, self.id_col, self.vec_col, "q")
         q_cells = nearest_cells_sql(
@@ -152,7 +157,7 @@ class IncrementalVectorIndexer:
         probed = sorted(
             {r["cell"] for r in q_cells.select("cell").distinct().collect()}
         )
-        store = spark.read.parquet(self.cells_path).filter(
+        store = spark.read.parquet(pin).filter(
             F.col("cell").isin(probed)
         )
         cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
@@ -177,17 +182,18 @@ class IncrementalVectorIndexer:
 
     def compact(self, spark: SparkSession) -> None:
         """Fold per-batch leaves into one ``batch=-1`` base per cell."""
-        if not os.path.exists(self.cells_path):
-            return
-        store = spark.read.parquet(self.cells_path)
-        tmp = self.cells_path + ".compact.tmp"
-        (
-            store.select("c_id", "c_v", "c_n", "cell")
-            .withColumn("batch", F.lit(-1))
-            .repartition(F.col("cell"))
-            .sortWithinPartitions("c_id")
-            .write.mode("overwrite")
-            .partitionBy("cell", "batch")
-            .parquet(tmp)
-        )
-        commit_swap(self.cells_path)
+        with swap_lock(self.cells_path):
+            if not os.path.exists(self.cells_path):
+                return
+            store = spark.read.parquet(self.cells_path)
+            tmp = self.cells_path + ".compact.tmp"
+            (
+                store.select("c_id", "c_v", "c_n", "cell")
+                .withColumn("batch", F.lit(-1))
+                .repartition(F.col("cell"))
+                .sortWithinPartitions("c_id")
+                .write.mode("overwrite")
+                .partitionBy("cell", "batch")
+                .parquet(tmp)
+            )
+            commit_swap(self.cells_path)

@@ -15,12 +15,53 @@ so subsequent batch leaves append to full history.
 A transactional table format (Delta/Iceberg) makes this one atomic
 metadata commit; this is the same move expressed in plain
 directories.
+
+Serving under ingestion (round-10): crash-safety alone does not make
+the swap CONCURRENT-READER-safe — a Spark read plans its file listing
+eagerly but opens files at task time, so a swap (or even a leaf-batch
+commit) landing between the two leaves the reader with dangling paths
+(FileNotFoundException), and a multi-file leaf commit observed
+half-renamed is a torn read.  :func:`serve_read` closes both windows
+with snapshot isolation in plain directories: under the store's
+in-process lock (:func:`swap_lock` — the same lock
+:func:`commit_swap` and the stores' leaf writes hold), the reader
+HARDLINKS the store tree into a private pin directory beside the
+store (``<store>.reads/pin-*``), then reads the pin.  Hardlinks pin
+the inodes, so a later swap/rmtree of the live tree cannot invalidate
+the snapshot mid-collect; the link walk is metadata-only (no data
+copy), and pins are garbage-collected by age on subsequent reads.
+The lock is in-process (``threading``) because that is the store
+contract: ONE maintenance process owns the store directory; readers
+share its driver.  Cross-process serving should consume an exported
+snapshot, not the live store tree.
 """
 
 from __future__ import annotations
 
 import os
 import shutil
+import threading
+import uuid
+
+#: pins older than this (by mtime) are reclaimed on the next pin —
+#: bounds the disk held by abandoned lazy reads to one TTL window.
+PIN_TTL_SECONDS = 3600.0
+
+_LOCKS: dict[str, threading.RLock] = {}
+_LOCKS_GUARD = threading.Lock()
+
+
+def swap_lock(store_path: str) -> threading.RLock:
+    """The store's in-process lock. Writers hold it across leaf-batch
+    writes and the compact swap; :func:`serve_read` holds it only for
+    the (metadata-fast) recover + hardlink walk. RLock so a compact
+    that re-reads its own store (sample → serve_read) re-enters."""
+    key = os.path.abspath(store_path)
+    with _LOCKS_GUARD:
+        lock = _LOCKS.get(key)
+        if lock is None:
+            lock = _LOCKS[key] = threading.RLock()
+        return lock
 
 
 def commit_swap(store_path: str) -> None:
@@ -28,13 +69,66 @@ def commit_swap(store_path: str) -> None:
     ``store_path``: old aside → tmp in → drop aside."""
     tmp = store_path + ".compact.tmp"
     old = store_path + ".old"
-    if os.path.exists(old):  # leftover from a prior crash
-        shutil.rmtree(old)
-    if os.path.exists(store_path):
-        os.rename(store_path, old)
-    os.rename(tmp, store_path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    with swap_lock(store_path):
+        if os.path.exists(old):  # leftover from a prior crash
+            shutil.rmtree(old)
+        if os.path.exists(store_path):
+            os.rename(store_path, old)
+        os.rename(tmp, store_path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+
+def _gc_pins(reads_dir: str, now: float) -> None:
+    try:
+        entries = os.listdir(reads_dir)
+    except FileNotFoundError:
+        return
+    for name in entries:
+        p = os.path.join(reads_dir, name)
+        try:
+            if now - os.path.getmtime(p) > PIN_TTL_SECONDS:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
+def pin_store(store_path: str) -> str | None:
+    """Snapshot-isolate the store tree: hardlink every file into a
+    fresh pin directory (``<store>.reads/pin-<uuid>``) under the
+    store lock, so the pinned paths survive any later swap or leaf
+    rewrite (the inodes stay live until the pin is GC'd).  Returns
+    the pin path, or None when the store does not exist.  Metadata
+    cost only — no data bytes are copied; requires pins and store on
+    one filesystem (they share a parent directory)."""
+    import time
+
+    reads_dir = store_path + ".reads"
+    with swap_lock(store_path):
+        recover_swap(store_path)
+        if not os.path.exists(store_path):
+            return None
+        _gc_pins(reads_dir, time.time())
+        pin = os.path.join(reads_dir, f"pin-{uuid.uuid4().hex}")
+        for root, _dirs, files in os.walk(store_path):
+            rel = os.path.relpath(root, store_path)
+            dst_root = os.path.join(pin, rel) if rel != "." else pin
+            os.makedirs(dst_root, exist_ok=True)
+            for f in files:
+                os.link(os.path.join(root, f), os.path.join(dst_root, f))
+        return pin
+
+
+def serve_read(spark, store_path: str):
+    """The stores' shared serving read: a DataFrame over a pinned
+    snapshot of the store (or None when the store is empty/missing).
+    Safe to collect at any later time regardless of concurrent
+    triggers and compaction swaps — the no-torn-reads contract
+    (tests/test_serving_under_ingestion.py)."""
+    pin = pin_store(store_path)
+    if pin is None:
+        return None
+    return spark.read.parquet(pin)
 
 
 def recover_swap(store_path: str) -> None:
