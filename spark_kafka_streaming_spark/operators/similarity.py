@@ -38,10 +38,14 @@ LSH_BANDS = 8
 #: produces on a growing corpus (the 6-plane default at 2M vectors is
 #: 64 buckets/band × ~31k occupants ⇒ ~10¹¹ candidate pairs: measured
 #: as a disk-spill at the fourth scale decade, SCALE.md round 9).
-#: 32 keeps the derived geometry at the historical 6 planes for every
-#: corpus ≤ 2048 vectors (= all oracle scale factors), so the adaptive
-#: default is bit-identical to the old fixed default there.
-LSH_TARGET_OCCUPANCY = 32
+#: 4 bounds the mass at ≈ 2 · bands · n pairs: the verify join ships
+#: two (64 × int64, ~0.5 KB) vector payloads per candidate, so at
+#: occupancy 32 the 2M-vector verify was still a ~140 GB shuffle
+#: (measured as a second spill, SCALE.md round 10) — 16n pairs keeps
+#: it ~1 KB/vector, flat at any corpus size.  The 6-plane floor rules
+#: below n = 256; above it the derived key deepens by one plane per
+#: doubling (500 → 7, 2k → 9, 2M → 19).
+LSH_TARGET_OCCUPANCY = 4
 
 #: expected-candidate-mass bound above which an EXPLICIT geometry draws
 #: a loud warning (the kmeans default-flip treatment,
@@ -226,9 +230,9 @@ def derived_lsh_planes(
     pinned at ``target_occupancy``, candidate mass grows linearly with
     the corpus instead of quadratically.  Pure function of the count —
     deterministic, so a DuckDB oracle replays it by pinning the same
-    geometry explicitly.  At n ≤ 2048 (every oracle sf) this returns
-    the historical fixed default of 6, keeping the adaptive path
-    bit-identical to the old behavior there.
+    geometry explicitly (the adaptive catalog entries pin their
+    oracles at the derived geometry of the driver's 500-vector oracle
+    corpus — see queries/llm.py::_ORACLE_LSH_PLANES).
     """
     import math
 
@@ -370,11 +374,16 @@ def duck_lsh_topk_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    planes_per_band: int = LSH_PLANES,
+    bands: int = LSH_BANDS,
 ) -> str:
     """DuckDB oracle twin of :func:`lsh_topk` (multi-probe): same
     hyperplanes, same band keys, same one-bit-flip probe set, same
     exact cosines, same (cos desc, neighbor) rank tiebreak.
-    ``query_pred`` selects the query rows (e.g. ``id < 10``)."""
+    ``query_pred`` selects the query rows (e.g. ``id < 10``);
+    ``planes_per_band`` / ``bands`` must match the builder's
+    geometry (pin them when the builder derives adaptively)."""
+    LSH_PLANES, LSH_BANDS = planes_per_band, bands  # mirror builder names
     n_planes = LSH_PLANES * LSH_BANDS
     return f"""
     WITH planes AS (

@@ -319,10 +319,29 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rn", F.col("rn").cast("int")).orderBy("query_id", "rn")
 
 
+#: The driver's oracle differential runs at sf0.01, whose embeddings
+#: table is 500 vectors.  The entries that exercise the operators'
+#: ADAPTIVE default geometry (n_planes derived from a corpus count —
+#: operators/similarity.py::derived_lsh_planes) pin their static
+#: DuckDB oracles at the geometry the operator derives THERE:
+#: derived_lsh_planes(500) = 7 planes at target occupancy 4.  The
+#: corpus size is asserted in tests/test_round10_verdict.py so
+#: testdata drift fails loudly instead of as a silent oracle diff.
+ORACLE_EMB_N = 500
+
+
+def _oracle_lsh_planes() -> int:
+    from ..operators.similarity import derived_lsh_planes
+
+    return derived_lsh_planes(ORACLE_EMB_N)
+
+
 def _duck_ann_lsh_oracle() -> str:
     from ..operators.similarity import duck_lsh_topk_sql
 
-    return duck_lsh_topk_sql(5, "id < 10")
+    return duck_lsh_topk_sql(
+        5, "id < 10", planes_per_band=_oracle_lsh_planes()
+    )
 
 
 @register(
@@ -332,10 +351,13 @@ def _duck_ann_lsh_oracle() -> str:
     # the oracle reproduces hyperplanes, band keys, multi-probe
     # expansion, cosines, and the rank tiebreak bit-for-bit; recall
     # vs brute force is additionally asserted in tests/test_llm_ops.py.
-    doc="ANN top-k via random-hyperplane LSH buckets (8 bands × 6 "
-    "planes, multi-probe): candidates only from shared buckets — the "
-    "100 TB scale path that replaces the O(|Q|·|C|) scan. "
-    "Oracle-checked end-to-end.",
+    doc="ANN top-k via random-hyperplane LSH buckets (8 bands × "
+    "corpus-DERIVED planes — max(6, ceil(log2(n/4))), multi-probe): "
+    "candidates only from shared buckets — the 100 TB scale path that "
+    "replaces the O(|Q|·|C|) scan; the derived key keeps per-query "
+    "candidate mass ≈ bands × occupancy at any corpus size. Oracle "
+    "pins the geometry derived at the 500-vector oracle corpus (7 "
+    "planes). Oracle-checked end-to-end.",
     tags=("llm", "similarity", "lsh"),
 )
 def q_similarity_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -670,7 +692,9 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _duck_emb_lsh_oracle() -> str:
     from ..operators.similarity import duck_cosine_dup_pairs_sql
 
-    return duck_cosine_dup_pairs_sql(0.45)
+    return duck_cosine_dup_pairs_sql(
+        0.45, planes_per_band=_oracle_lsh_planes()
+    )
 
 
 @register(
@@ -682,9 +706,15 @@ def _duck_emb_lsh_oracle() -> str:
     # AND the cosine verify bit-for-bit, like the MinHash tier.
     doc="Embedding near-dup pairs via hyperplane-LSH candidate buckets + "
     "exact cosine verify — the scale path that replaces "
-    "q_dedup_embedding_cosine's O(n^2) pair generation. Oracle-checked "
-    "end-to-end: same hyperplanes, same band keys, same candidates, "
-    "same cosines.",
+    "q_dedup_embedding_cosine's O(n^2) pair generation. GEOMETRY RULE: "
+    "the plane count is DERIVED from the corpus count (max(6, "
+    "ceil(log2(n/4))) — one plane per corpus doubling), keeping "
+    "candidate mass ~16n at any scale; recall falls as keys deepen, so "
+    "raise n_bands (not occupancy) for recall, and use the explicit "
+    "24x8 q_dedup_embedding_lsh_scaled twin when bit-reproducible "
+    "geometry across scale factors matters. Oracle pins the geometry "
+    "derived at the 500-vector oracle corpus (7 planes): same "
+    "hyperplanes, same band keys, same candidates, same cosines.",
     tags=("llm", "dedup", "embedding", "lsh"),
 )
 def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -727,7 +757,7 @@ def _duck_emb_cluster_oracle() -> str:
 
     return f"""
     WITH RECURSIVE pairs AS (
-      {duck_cosine_dup_pairs_sql(0.45)}
+      {duck_cosine_dup_pairs_sql(0.45, planes_per_band=_oracle_lsh_planes())}
     ),
     edges AS (
       SELECT id1 AS src, id2 AS dst FROM pairs
@@ -758,10 +788,14 @@ def _duck_emb_cluster_oracle() -> str:
     "cosine pairs → connected components (min-label propagation, "
     "O(diameter) shuffle-bounded rounds) → canonical min-id survivor "
     "per cluster — the embedding twin of q_dedup_clusters_minhash, so "
-    "both near-dup modalities close the pairs→survivors loop. The "
-    "oracle recomputes the LSH pair set bit-for-bit and the components "
-    "by recursive transitive closure. (operators/clusters.py, "
-    "operators/similarity.py)",
+    "both near-dup modalities close the pairs→survivors loop. Runs the "
+    "ADAPTIVE corpus-derived LSH geometry (the round-9 fixed 6-plane "
+    "default spilled the disk at 2M vectors; derived keys keep the "
+    "candidate mass linear — use q_dedup_clusters_embedding_scaled for "
+    "a bit-reproducible pinned geometry). The oracle recomputes the "
+    "pair set bit-for-bit at the oracle corpus' derived geometry (7 "
+    "planes at 500 vectors) and the components by recursive transitive "
+    "closure. (operators/clusters.py, operators/similarity.py)",
     tags=("llm", "dedup", "embedding", "clusters"),
 )
 def q_dedup_clusters_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

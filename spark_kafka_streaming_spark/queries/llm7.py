@@ -175,7 +175,13 @@ _SEM_CTE, _SEM_FINAL = _duck_kmeans_cte(KMEANS_K, 1, k_auto=True)
     "the ~3.2k-vector floor; adversarial "
     "single-cluster corpora additionally route through "
     "skew.bounded_self_pairs. Exact int64 dots make the cosine "
-    "threshold engine-identical. (operators/kmeans.py)",
+    "threshold engine-identical. OPERATOR GUIDANCE (measured at "
+    "production k, SCALE.md round 9): kept-set agreement between the "
+    "two-level (IMI) and exact assignment routes is 0.995 in the "
+    "true-near-dup regime (tau 0.9); at LOW tau the drop set is "
+    "partition-defined noise in the exact route too — pin "
+    "two_level=False when bit-reproducibility of low-tau drops "
+    "matters. (operators/kmeans.py)",
     tags=("llm", "dedup", "vectors"),
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,10 +389,15 @@ def _duck_ann_recall_oracle() -> str:
       ) AS rn FROM scored
     ) t WHERE rn <= 5
     """
+    from .llm import _oracle_lsh_planes
+
+    approx_sql = duck_lsh_topk_sql(
+        5, "id < 10", planes_per_band=_oracle_lsh_planes()
+    )
     return f"""
     WITH brute AS (SELECT query_id, neighbor_id FROM ({brute}) b),
     approx AS (
-      SELECT query_id, neighbor_id FROM ({duck_lsh_topk_sql(5, "id < 10")}) a
+      SELECT query_id, neighbor_id FROM ({approx_sql}) a
     )
     SELECT b.query_id,
            CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,

@@ -23,23 +23,42 @@ from spark_kafka_streaming_spark.operators import similarity as S
 
 # ---------------------------------------------------------------- math
 def test_derived_planes_floor_and_growth():
-    # Floor: every corpus small enough keeps the historical 6 planes —
-    # this is what keeps all fixed-geometry oracles green at sf<=0.1
-    # (500 vectors at sf0.01, 2000 at sf0.1).
+    # Floor: tiny corpora keep the historical 6 planes.
     assert S.derived_lsh_planes(0) == S.LSH_PLANES
     assert S.derived_lsh_planes(1) == S.LSH_PLANES
-    assert S.derived_lsh_planes(500) == S.LSH_PLANES
-    assert S.derived_lsh_planes(2000) == S.LSH_PLANES
-    assert S.derived_lsh_planes(64 * 32) == S.LSH_PLANES  # boundary: 2^6 exactly
-    # Growth: occupancy pinned at LSH_TARGET_OCCUPANCY=32.
-    assert S.derived_lsh_planes(64 * 32 + 1) == 7
-    assert S.derived_lsh_planes(200_000) == 13  # sf10 embeddings
-    assert S.derived_lsh_planes(2_000_000) == 16  # sf100 embeddings
-    # Derived occupancy is in (target/2, target] for exact powers and
-    # never exceeds the target above the floor regime.
+    assert S.derived_lsh_planes(64 * 4) == S.LSH_PLANES  # boundary: 2^6 exactly
+    # Growth: occupancy pinned at LSH_TARGET_OCCUPANCY=4 — one plane
+    # per corpus doubling above the floor.
+    assert S.derived_lsh_planes(64 * 4 + 1) == 7
+    assert S.derived_lsh_planes(500) == 7  # the sf0.01 oracle corpus
+    assert S.derived_lsh_planes(2000) == 9  # sf0.1 bench corpus
+    assert S.derived_lsh_planes(200_000) == 16  # sf10 embeddings
+    assert S.derived_lsh_planes(2_000_000) == 19  # sf100 embeddings
+    # Derived occupancy never exceeds the target above the floor
+    # regime.
     for n in (10**5, 10**6, 10**7, 10**8):
         p = S.derived_lsh_planes(n)
         assert n / 2**p <= S.LSH_TARGET_OCCUPANCY
+
+
+def test_oracle_corpus_size_pin():
+    # The adaptive catalog entries pin their static DuckDB oracles at
+    # derived_lsh_planes(ORACLE_EMB_N); if the driver's testdata spec
+    # ever changes the embeddings row count, fail HERE with a message
+    # instead of as a silent oracle hash mismatch.
+    import duckdb
+
+    from spark_kafka_streaming_spark.queries.llm import ORACLE_EMB_N
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n = duckdb.sql(
+            f"SELECT count(*) FROM '{sf}/embeddings.parquet'"
+        ).fetchone()[0]
+        assert n == ORACLE_EMB_N, (
+            f"{sf}: embeddings count {n} != ORACLE_EMB_N {ORACLE_EMB_N}; "
+            "regenerate the adaptive-entry oracles "
+            "(queries/llm.py::_oracle_lsh_planes)"
+        )
 
 
 def test_derived_planes_candidate_mass_is_linear():
@@ -59,6 +78,7 @@ def test_derived_planes_candidate_mass_is_linear():
 # ------------------------------------------------- adaptive == explicit
 def test_adaptive_default_bit_identical_to_explicit(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    derived = S.derived_lsh_planes(emb.count())  # 7 at the 500-row corpus
     adaptive = {
         (r.id1, r.id2, r.cos_sim)
         for r in S.cosine_dup_pairs(emb, threshold=0.45).collect()
@@ -66,17 +86,18 @@ def test_adaptive_default_bit_identical_to_explicit(spark, sf_dir):
     explicit = {
         (r.id1, r.id2, r.cos_sim)
         for r in S.cosine_dup_pairs(
-            emb, threshold=0.45, n_planes=S.LSH_PLANES
+            emb, threshold=0.45, n_planes=derived
         ).collect()
     }
-    # 500 vectors at sf0.001 -> derived floor 6 == the historical fixed
-    # default: the adaptive path is bit-identical there, which is the
+    # The derivation is a pure function of the count, so the adaptive
+    # default is bit-identical to pinning the derived geometry — the
     # whole oracle-compatibility argument.
     assert adaptive == explicit and adaptive
 
 
 def test_lsh_topk_adaptive_default_matches_explicit(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    derived = S.derived_lsh_planes(emb.count())
     q = emb.filter(F.col("vec_id") < 5)
     a = {
         (r.query_id, r.neighbor_id, r.rn)
@@ -84,7 +105,7 @@ def test_lsh_topk_adaptive_default_matches_explicit(spark, sf_dir):
     }
     b = {
         (r.query_id, r.neighbor_id, r.rn)
-        for r in S.lsh_topk(q, emb, k=3, n_planes=S.LSH_PLANES).collect()
+        for r in S.lsh_topk(q, emb, k=3, n_planes=derived).collect()
     }
     assert a == b and a
 
