@@ -38,14 +38,18 @@ LSH_BANDS = 8
 #: produces on a growing corpus (the 6-plane default at 2M vectors is
 #: 64 buckets/band × ~31k occupants ⇒ ~10¹¹ candidate pairs: measured
 #: as a disk-spill at the fourth scale decade, SCALE.md round 9).
-#: 4 bounds the mass at ≈ 2 · bands · n pairs: the verify join ships
-#: two (64 × int64, ~0.5 KB) vector payloads per candidate, so at
-#: occupancy 32 the 2M-vector verify was still a ~140 GB shuffle
-#: (measured as a second spill, SCALE.md round 10) — 16n pairs keeps
-#: it ~1 KB/vector, flat at any corpus size.  The 6-plane floor rules
-#: below n = 256; above it the derived key deepens by one plane per
-#: doubling (500 → 7, 2k → 9, 2M → 19).
-LSH_TARGET_OCCUPANCY = 4
+#: 1 bounds the UNIFORM mass at ≈ bands · n / 2 pairs; real corpora
+#: run a small multiple of that (cosine correlation concentrates sign
+#: patterns — measured ~5× uniform on the zipf scale corpus, i.e.
+#: Σf² ≈ 5 / 2^planes).  The margin matters because the verify join
+#: ships two (64 × int64, ~0.5 KB) vector payloads per candidate:
+#: occupancy 32 put the 2M-vector verify at ~10¹¹ pairs (disk spill,
+#: SCALE.md round 9) and occupancy 4 still at ~1.6 × 10⁸ pairs /
+#: ~170 GB of verify shuffle (second spill, round 10); occupancy 1
+#: lands ~4 × 10⁷ pairs / ~40 GB at 2M vectors — linear in n from
+#: there.  The 6-plane floor rules below n = 64; above it the derived
+#: key deepens one plane per doubling (500 → 9, 2k → 11, 2M → 21).
+LSH_TARGET_OCCUPANCY = 1
 
 #: expected-candidate-mass bound above which an EXPLICIT geometry draws
 #: a loud warning (the kmeans default-flip treatment,

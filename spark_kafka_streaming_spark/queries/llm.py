@@ -324,7 +324,7 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: ADAPTIVE default geometry (n_planes derived from a corpus count —
 #: operators/similarity.py::derived_lsh_planes) pin their static
 #: DuckDB oracles at the geometry the operator derives THERE:
-#: derived_lsh_planes(500) = 7 planes at target occupancy 4.  The
+#: derived_lsh_planes(500) = 9 planes at target occupancy 1.  The
 #: corpus size is asserted in tests/test_round10_verdict.py so
 #: testdata drift fails loudly instead of as a silent oracle diff.
 ORACLE_EMB_N = 500
@@ -352,11 +352,11 @@ def _duck_ann_lsh_oracle() -> str:
     # expansion, cosines, and the rank tiebreak bit-for-bit; recall
     # vs brute force is additionally asserted in tests/test_llm_ops.py.
     doc="ANN top-k via random-hyperplane LSH buckets (8 bands × "
-    "corpus-DERIVED planes — max(6, ceil(log2(n/4))), multi-probe): "
+    "corpus-DERIVED planes — max(6, ceil(log2(n))), multi-probe): "
     "candidates only from shared buckets — the 100 TB scale path that "
     "replaces the O(|Q|·|C|) scan; the derived key keeps per-query "
     "candidate mass ≈ bands × occupancy at any corpus size. Oracle "
-    "pins the geometry derived at the 500-vector oracle corpus (7 "
+    "pins the geometry derived at the 500-vector oracle corpus (9 "
     "planes). Oracle-checked end-to-end.",
     tags=("llm", "similarity", "lsh"),
 )
@@ -708,12 +708,12 @@ def _duck_emb_lsh_oracle() -> str:
     "exact cosine verify — the scale path that replaces "
     "q_dedup_embedding_cosine's O(n^2) pair generation. GEOMETRY RULE: "
     "the plane count is DERIVED from the corpus count (max(6, "
-    "ceil(log2(n/4))) — one plane per corpus doubling), keeping "
-    "candidate mass ~16n at any scale; recall falls as keys deepen, so "
+    "ceil(log2(n))) — one plane per corpus doubling), keeping "
+    "candidate mass a few x n at any scale; recall falls as keys deepen, so "
     "raise n_bands (not occupancy) for recall, and use the explicit "
     "24x8 q_dedup_embedding_lsh_scaled twin when bit-reproducible "
     "geometry across scale factors matters. Oracle pins the geometry "
-    "derived at the 500-vector oracle corpus (7 planes): same "
+    "derived at the 500-vector oracle corpus (9 planes): same "
     "hyperplanes, same band keys, same candidates, same cosines.",
     tags=("llm", "dedup", "embedding", "lsh"),
 )
@@ -793,7 +793,7 @@ def _duck_emb_cluster_oracle() -> str:
     "default spilled the disk at 2M vectors; derived keys keep the "
     "candidate mass linear — use q_dedup_clusters_embedding_scaled for "
     "a bit-reproducible pinned geometry). The oracle recomputes the "
-    "pair set bit-for-bit at the oracle corpus' derived geometry (7 "
+    "pair set bit-for-bit at the oracle corpus' derived geometry (9 "
     "planes at 500 vectors) and the components by recursive transitive "
     "closure. (operators/clusters.py, operators/similarity.py)",
     tags=("llm", "dedup", "embedding", "clusters"),

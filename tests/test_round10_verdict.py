@@ -26,14 +26,14 @@ def test_derived_planes_floor_and_growth():
     # Floor: tiny corpora keep the historical 6 planes.
     assert S.derived_lsh_planes(0) == S.LSH_PLANES
     assert S.derived_lsh_planes(1) == S.LSH_PLANES
-    assert S.derived_lsh_planes(64 * 4) == S.LSH_PLANES  # boundary: 2^6 exactly
-    # Growth: occupancy pinned at LSH_TARGET_OCCUPANCY=4 — one plane
+    assert S.derived_lsh_planes(64) == S.LSH_PLANES  # boundary: 2^6 exactly
+    # Growth: occupancy pinned at LSH_TARGET_OCCUPANCY=1 — one plane
     # per corpus doubling above the floor.
-    assert S.derived_lsh_planes(64 * 4 + 1) == 7
-    assert S.derived_lsh_planes(500) == 7  # the sf0.01 oracle corpus
-    assert S.derived_lsh_planes(2000) == 9  # sf0.1 bench corpus
-    assert S.derived_lsh_planes(200_000) == 16  # sf10 embeddings
-    assert S.derived_lsh_planes(2_000_000) == 19  # sf100 embeddings
+    assert S.derived_lsh_planes(65) == 7
+    assert S.derived_lsh_planes(500) == 9  # the sf0.01 oracle corpus
+    assert S.derived_lsh_planes(2000) == 11  # sf0.1 bench corpus
+    assert S.derived_lsh_planes(200_000) == 18  # sf10 embeddings
+    assert S.derived_lsh_planes(2_000_000) == 21  # sf100 embeddings
     # Derived occupancy never exceeds the target above the floor
     # regime.
     for n in (10**5, 10**6, 10**7, 10**8):
@@ -78,7 +78,7 @@ def test_derived_planes_candidate_mass_is_linear():
 # ------------------------------------------------- adaptive == explicit
 def test_adaptive_default_bit_identical_to_explicit(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    derived = S.derived_lsh_planes(emb.count())  # 7 at the 500-row corpus
+    derived = S.derived_lsh_planes(emb.count())  # 9 at the 500-row corpus
     adaptive = {
         (r.id1, r.id2, r.cos_sim)
         for r in S.cosine_dup_pairs(emb, threshold=0.45).collect()
