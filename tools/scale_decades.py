@@ -96,15 +96,22 @@ def main() -> None:
     )
     from spark_kafka_streaming_spark.queries import REGISTRY
 
+    from watchdog import StallWatchdog
+
     spark = get_spark(app_name="scale_decades", shuffle_partitions=32)
     results: dict[str, float] = {}
     for name in names:
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            REGISTRY[name].builder(spark, out).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            # stall guard (round-10): a hung stage (the round-9
+            # read-ahead deadlock shape) dumps jstack + py stacks to
+            # /tmp every SPARK_GRAFT_STALL_TIMEOUT seconds instead of
+            # parking the measurement session silently.
+            with StallWatchdog(name):
+                REGISTRY[name].builder(spark, out).write.format(
+                    "noop"
+                ).mode("overwrite").save()
             ts.append(time.perf_counter() - t0)
             release_operator_caches()
             spark.catalog.clearCache()

@@ -123,15 +123,19 @@ def main() -> None:
     )
     from spark_kafka_streaming_spark.queries import REGISTRY
 
+    from watchdog import StallWatchdog
+
     spark = get_spark(app_name="skew_probe", shuffle_partitions=32)
     results: dict[str, float] = {}
     for name in names:
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()
-            REGISTRY[name].builder(spark, out).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            # stall guard — see tools/watchdog.py (round-10)
+            with StallWatchdog(name):
+                REGISTRY[name].builder(spark, out).write.format(
+                    "noop"
+                ).mode("overwrite").save()
             ts.append(time.perf_counter() - t0)
             release_operator_caches()
             spark.catalog.clearCache()
