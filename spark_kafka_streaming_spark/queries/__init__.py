@@ -530,7 +530,76 @@ _ROUND9_WINDOW = [
     "q05_local_supplier_volume",
     "q06_forecast_revenue",
 ]
-_reorder(_ROUND9_WINDOW[:50])
+# Round-10 sample window.  Freshness rules unchanged: (a) no new
+# registrations this round (the catalog holds at 200); (b) every query
+# whose code path round 10 touched — the ENTIRE embedding-LSH family
+# re-keys through the adaptive corpus-derived geometry
+# (derived_lsh_planes: the four adaptive-default entries get new
+# 9-plane oracles; the pinned-geometry siblings share the reworked
+# cosine_dup_pairs/lsh_topk/duck_lsh_topk_sql code paths) plus the two
+# planted entries that gained the in-plan PLANT_OFFSET guard; then
+# (c) backfill with the stalest rows — after r9's rotation the oldest
+# green rows are r5-era (30 queries: the TPC-H q06-q17 wave + the
+# r4/r5 dedup/sketch/text band), then the r6-era TPC-H tail and agg
+# wave (computed from CORRECTNESS_r01-r09 latest-green rounds;
+# q_agg_approx and q_vector_pca_project stay out as
+# rows-only-by-design).
+_ROUND10_WINDOW = [
+    # (b) touched this round: the adaptive-geometry LSH family
+    "q_dedup_embedding_lsh",
+    "q_dedup_clusters_embedding",
+    "q_similarity_ann_lsh",
+    "q_ann_recall_lsh",
+    "q_dedup_embedding_lsh_deep",
+    "q_dedup_embedding_lsh_scaled",
+    "q_dedup_embedding_lsh_scaled_planted",
+    "q_dedup_clusters_embedding_scaled",
+    "q_dedup_embedding_cosine",
+    # (c) freshness backfill: last sampled in round 5
+    "q06_forecast_revenue",
+    "q07_nation_trade_flow",
+    "q08_nation_market_share",
+    "q09_product_type_profit",
+    "q10_returned_items",
+    "q11_important_part_values",
+    "q12_priority_ship_delay",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q16_supplier_part_variety",
+    "q17_small_quantity_revenue",
+    "q_cdc_apply_changes",
+    "q_dedup_clusters_minhash",
+    "q_dedup_exact_documents",
+    "q_dedup_minhash_lsh_guarded",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash_capped",
+    "q_dedup_survivor_by_quality",
+    "q_dedup_tier_agreement",
+    "q_quality_expectations_events",
+    "q_similarity_ivfpq",
+    "q_sketch_count_min",
+    "q_sketch_join_cardinality",
+    "q_stats_correlation_merge",
+    "q_stats_moments_merge",
+    "q_text_bm25_search",
+    "q_text_collocations_lift",
+    "q_text_inverted_index",
+    "q_text_phrase_search",
+    # (c) freshness backfill: last sampled in round 6
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_part_share_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_accounts",
+    "q_agg_count_distinct",
+    "q_agg_cube_orders",
+    "q_agg_exact_percentiles",
+    "q_agg_grouping_sets",
+    "q_agg_pivot_status_by_priority",
+    "q_agg_rollup_pricing",
+]
+_reorder(_ROUND10_WINDOW[:50])
 
 
 def queries():
