@@ -116,6 +116,16 @@ class IncrementalVectorIndexer:
                 nearest_cells_sql(scaled, cents, "c_v", "c_n", self.n_assign)
                 .select("c_id", "c_v", "c_n", "cell")
                 .withColumn("batch", F.lit(batch_id))
+                # Co-locate each cell's rows in one task before the
+                # partitioned write: without this every input task
+                # writes a file per cell it touches — O(tasks × cells)
+                # leaves per trigger (measured live at the fourth
+                # decade: 16,734 files / 731 s per 20k-vector trigger
+                # at 1,414 cells; the commit move is driver-side
+                # O(files)).  Hashing by cell makes it exactly one
+                # file per touched (cell, batch) leaf; the shuffle is
+                # the micro-batch only, never the store.
+                .repartition(F.col("cell"))
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("cell", "batch")
