@@ -53,7 +53,7 @@ from pyspark.sql import Window as W
 
 from .swap import commit_swap, pin_store, recover_swap, swap_lock
 from ..functions import vectors as V
-from ..operators.similarity import _scaled, nearest_cells_sql
+from ..operators.similarity import _cells_arrow, _scaled, nearest_cells_sql
 
 
 class IncrementalVectorIndexer:
@@ -108,12 +108,30 @@ class IncrementalVectorIndexer:
         if not os.path.exists(self.centroids_path):
             self._train_centroids(scaled)
         cents = self.centroids(batch.sparkSession)
+        # Ingest assignment runs the Arrow int64-matmul kernel, not the
+        # interpreted HOF chain: the SQL form is a |batch| × n_cells
+        # broadcast cartesian scored row-at-a-time by aggregate/zip_with
+        # — measured live at the fourth decade as the trigger wall
+        # (20k vectors × 1,414 cells = 28M interpreted dots, minutes
+        # per trigger on the micro-batch's 2 input partitions).  The
+        # kernel is bit-identical to nearest_cells_sql (the ivf_topk
+        # dual-impl pin), and the centroid pull is the bounded
+        # k×(d+1)-int model-pull posture ivf_topk already uses.
+        rows = cents.orderBy("cell").collect()
+        import numpy as np
+
+        cent_ids = np.array([r["cell"] for r in rows], dtype="int64")
+        cent_m = np.array([r["cent_v"] for r in rows], dtype="int64")
+        cent_n = np.array([r["cent_n"] for r in rows], dtype="int64")
+        assigned = _cells_arrow(
+            scaled, "c", self.n_assign, cent_ids, cent_m, cent_n
+        )
         # Lock spans the leaf write + any compact: a concurrent topk
         # pins pre- or post-batch state, never a torn leaf.
         with swap_lock(self.cells_path):
             recover_swap(self.cells_path)
             (
-                nearest_cells_sql(scaled, cents, "c_v", "c_n", self.n_assign)
+                assigned
                 .select("c_id", "c_v", "c_n", "cell")
                 .withColumn("batch", F.lit(batch_id))
                 # Co-locate each cell's rows in one task before the
