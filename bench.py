@@ -515,6 +515,59 @@ def bench_dedup_store_drain(spark, sf_dir: str) -> float:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_vector_store_drain(spark, sf_dir: str) -> float:
+    """Streaming vector-index maintenance path: drain embeddings
+    through foreachBatch cell-assignment ingest
+    (streaming/incremental_vectors.py — Arrow int64-matmul assignment
+    + one-file-per-cell-leaf partitioned write) with one mid-stream
+    compaction, then serve one probe-and-score top-k from the store —
+    stream≡batch pinned in tests, decade-replayed in SCALE.md round 10
+    (tools/stream_backlog.py --store vectors)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from spark_kafka_streaming_spark.sources.batch import load_table
+    from spark_kafka_streaming_spark.streaming.incremental_vectors import (
+        IncrementalVectorIndexer,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="bench_vecstore_")
+    try:
+        src = f"{tmp}/src"
+        # Bench-scale slice: two triggers of 2k vectors at 64 cells —
+        # fixed ingest overhead dominates here; the decade-scale
+        # per-vector cost (0.80 ms/vector at 1,414 cells) lives in
+        # SCALE.md round 10.
+        emb = (
+            load_table(spark, sf_dir, "embeddings")
+            .select("vec_id", "embedding")
+            .orderBy("vec_id")
+            .limit(4000)
+        )
+        emb.repartition(2).write.parquet(src)
+        vx = IncrementalVectorIndexer(
+            f"{tmp}/store", n_cells=64, n_assign=2, compact_every=1
+        )
+        t0 = time.perf_counter()
+        q = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(vx)
+            .option("checkpointLocation", f"{tmp}/ck")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_stop(q)
+        queries = emb.filter(F.col("vec_id") % 400 == 0)
+        vx.topk(queries, k=5, n_probe=3).collect()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -588,6 +641,10 @@ def main() -> None:
         bench_dedup_store_drain(spark, SF_DIR)  # warm
         timings["stream_dedup_store_drain"] = round(
             bench_dedup_store_drain(spark, SF_DIR), 4
+        )
+        bench_vector_store_drain(spark, SF_DIR)  # warm
+        timings["stream_vector_store_drain"] = round(
+            bench_vector_store_drain(spark, SF_DIR), 4
         )
     finally:
         shutil.rmtree(sig_cache, ignore_errors=True)
