@@ -8,8 +8,7 @@ anything already accepted?" incrementally.
 Design (the 100 TB shape):
 
 * a persistent **signature store** (parquet, laid out for pruned point
-  lookups — see below) holds one row per (band, key, doc_id) for every
-  accepted doc;
+  lookups — see below) holds the LSH band keys of every accepted doc;
 * each micro-batch, via ``foreachBatch``: compute the batch's
   signatures (same engine-portable hash family), probe the store with
   a **broadcast** equi-join on the band keys (and self-join the batch
@@ -19,32 +18,48 @@ Design (the 100 TB shape):
 * the store grows by accepted docs only and doubles as the corpus's
   dedup index for batch jobs.
 
-Store layout — the part that has to survive 100 TB:
+Store layout — the part that has to survive 100 TB.  The store is TWO
+normalized subtrees under ``store_path``:
 
-* Partitioned by ``kb = pmod(xxhash64(key), N_KEY_BUCKETS)`` (plus
-  ``batch`` for idempotent replay).  The per-trigger probe joins on
-  ``(kb, band, key)`` with the (small) batch side broadcast, so the
+* ``keys/`` — the band-key index, one NARROW row per (band, key,
+  doc_id), partitioned by ``kb = pmod(xxhash64(key), N_KEY_BUCKETS)``
+  (plus ``batch`` for idempotent replay).  The per-trigger probe joins
+  on ``(kb, band, key)`` with the (small) batch side broadcast, so the
   store side is **never shuffled**, and Spark's dynamic partition
-  pruning drops every ``kb=…`` directory the batch doesn't touch —
-  per-trigger I/O scales with the batch's bucket fan-out, not with
-  corpus size.  Files are sorted by ``key`` within each bucket so
-  parquet row-group min/max stats prune further.
-* Each trigger writes its survivors under ``kb=…/batch=N`` with
-  dynamic partition overwrite — replaying batch N after a crash
-  overwrites exactly its own leaves (exactly-once, same pattern as
+  pruning drops every ``kb=…`` directory the batch doesn't touch.
+  Files are sorted by ``key`` within each bucket so parquet row-group
+  min/max stats prune further.
+* ``hashes/`` — the exact-verify payload, ONE row per accepted doc
+  ``(doc_id, hs)``, partitioned by ``hb = pmod(xxhash64(doc_id),
+  N_KEY_BUCKETS)``.  Candidates that survive the key join fetch their
+  exact shingle-hash sets here via a second broadcast join that
+  carries ``hb`` in the join key, so dynamic partition pruning reads
+  only the buckets holding actual candidates.
+
+  Why normalized: the original layout carried ``hs`` inline on every
+  band row — the fattest column duplicated ``BANDS``× per doc, >90 %
+  of store bytes — so every probe scanned the whole corpus's shingle
+  hashes even though only the (rare) key-collided candidates need
+  them.  Measured live at the fourth decade (SCALE.md round 10,
+  5M-doc backlog replay): per-trigger walls grew 65 → 160 s as the
+  store grew to 8 GB, exactly the probe's full-store scan.  The
+  normalized layout scans the narrow key index (a few % of the bytes)
+  plus only the candidate-touched hash buckets.
+* Each trigger writes its survivors under ``…/batch=N`` with dynamic
+  partition overwrite — replaying batch N after a crash overwrites
+  exactly its own leaves (exactly-once, same pattern as
   tests/test_streaming_extra.py).
 * ``compact()`` (optionally every ``compact_every`` batches) folds the
-  accumulated per-batch leaves into a single sorted ``batch=-1`` base
-  per bucket, bounding file counts.  The rewrite goes through a temp
-  directory + rename; a production deployment would put the store in a
-  transactional table format (Delta/Iceberg) and get the same move
-  atomically.
+  accumulated per-batch leaves of both subtrees into a single sorted
+  ``batch=-1`` base per bucket, bounding file counts.  The rewrite
+  goes through a temp directory + rename; a production deployment
+  would put the store in a transactional table format (Delta/Iceberg)
+  and get the same move atomically.
 """
 
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -76,10 +91,12 @@ def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
 def band_keys(
     sigs: DataFrame, id_col: str = "doc_id", n_key_buckets: int = N_KEY_BUCKETS
 ) -> DataFrame:
-    """(id, band, key, kb, hs) — the LSH index rows for the store.
+    """(id, band, key, kb, hs) — the LSH index rows for a batch.
 
     ``kb`` is the store's partition bucket; computing it here keeps the
     batch side and the store side of the probe join bit-identical.
+    ``hs`` rides along in memory for the batch's own verify legs; the
+    persisted key index is the narrow projection without it.
     """
     return (
         sigs.select(
@@ -120,6 +137,8 @@ class IncrementalDeduper:
         compact_every: int = 0,
     ):
         self.store_path = store_path
+        self.keys_path = os.path.join(store_path, "keys")
+        self.hashes_path = os.path.join(store_path, "hashes")
         self.accepted_path = accepted_path
         self.threshold = jaccard_threshold
         self.id_col = id_col
@@ -128,11 +147,21 @@ class IncrementalDeduper:
         self.compact_every = compact_every
 
     # -- helpers -------------------------------------------------------
-    def _store(self, spark: SparkSession) -> DataFrame | None:
-        recover_swap(self.store_path)
-        if not os.path.exists(self.store_path):
+    def _recover(self) -> None:
+        recover_swap(self.keys_path)
+        recover_swap(self.hashes_path)
+
+    def _store_keys(self, spark: SparkSession) -> DataFrame | None:
+        """The narrow band-key index (doc_id, band, key, kb, batch)."""
+        if not os.path.exists(self.keys_path):
             return None
-        return spark.read.parquet(self.store_path)
+        return spark.read.parquet(self.keys_path)
+
+    def _store_hashes(self, spark: SparkSession) -> DataFrame | None:
+        """The per-doc exact-verify payload (doc_id, hs, hb, batch)."""
+        if not os.path.exists(self.hashes_path):
+            return None
+        return spark.read.parquet(self.hashes_path)
 
     def _verify(self, cand: DataFrame) -> DataFrame:
         """Exact-Jaccard filter on candidate pairs → distinct dup ids."""
@@ -147,19 +176,29 @@ class IncrementalDeduper:
             .distinct()
         )
 
-    def _dup_ids(self, batch_keys: DataFrame, store: DataFrame) -> DataFrame:
-        """ids in ``batch_keys`` that near-dup anything in ``store``.
+    def _dup_ids(
+        self,
+        batch_keys: DataFrame,
+        store_keys: DataFrame,
+        store_hashes: DataFrame,
+    ) -> DataFrame:
+        """ids in ``batch_keys`` that near-dup anything in the store.
 
-        The batch side is broadcast: the store — arbitrarily large — is
-        probed in place (no shuffle), and the equi-join on the ``kb``
-        partition column lets dynamic partition pruning skip every
-        store bucket the batch doesn't touch.
+        Two broadcast probes, the store never shuffled: (1) the batch's
+        band keys against the NARROW key index — dynamic partition
+        pruning on ``kb`` skips untouched buckets and the scan never
+        reads shingle hashes; (2) the surviving candidate ids against
+        the per-doc hash table, carrying the ``hb`` bucket in the join
+        key so partition pruning reads only candidate-touched buckets.
+        The exact-Jaccard verify then runs on that bounded fetch.
         """
         id_c = self.id_col
-        cand = (
-            store.alias("o")
+        cand_ids = (
+            store_keys.alias("o")
             .join(
-                F.broadcast(batch_keys).alias("n"),
+                F.broadcast(
+                    batch_keys.select(id_c, "band", "key", "kb", "hs")
+                ).alias("n"),
                 (F.col("o.kb") == F.col("n.kb"))
                 & (F.col("o.band") == F.col("n.band"))
                 & (F.col("o.key") == F.col("n.key"))
@@ -169,44 +208,71 @@ class IncrementalDeduper:
                 F.col(f"n.{id_c}").alias("new_id"),
                 F.col(f"o.{id_c}").alias("old_id"),
                 F.col("n.hs").alias("hs1"),
-                F.col("o.hs").alias("hs2"),
             )
             .dropDuplicates(["new_id", "old_id"])
+            .withColumn(
+                "old_hb",
+                F.pmod(F.xxhash64("old_id"), F.lit(self.n_key_buckets)),
+            )
+        )
+        cand = (
+            store_hashes.alias("h")
+            .join(
+                F.broadcast(cand_ids).alias("c"),
+                (F.col("h.hb") == F.col("c.old_hb"))
+                & (F.col(f"h.{id_c}") == F.col("c.old_id")),
+            )
+            .select(
+                "c.new_id",
+                "c.old_id",
+                "c.hs1",
+                F.col("h.hs").alias("hs2"),
+            )
         )
         return self._verify(cand)
 
     def compact(self, spark: SparkSession) -> None:
-        """Fold all ``batch=N`` leaves into one sorted ``batch=-1`` base
-        per key bucket (bounds the store's file count; run every
-        ``compact_every`` batches or offline)."""
+        """Fold all ``batch=N`` leaves of both subtrees into one sorted
+        ``batch=-1`` base per bucket (bounds the store's file count; run
+        every ``compact_every`` batches or offline)."""
         with swap_lock(self.store_path):
-            store = self._store(spark)
-            if store is None:
-                return
-            tmp = self.store_path + ".compact.tmp"
-            (
-                store.withColumn("batch", F.lit(-1))
-                .repartition(F.col("kb"))
-                .sortWithinPartitions("key")
-                .write.mode("overwrite")
-                .partitionBy("kb", "batch")
-                .parquet(tmp)
-            )
-            commit_swap(self.store_path)
+            self._recover()
+            keys = self._store_keys(spark)
+            if keys is not None:
+                (
+                    keys.withColumn("batch", F.lit(-1))
+                    .repartition(F.col("kb"))
+                    .sortWithinPartitions("key")
+                    .write.mode("overwrite")
+                    .partitionBy("kb", "batch")
+                    .parquet(self.keys_path + ".compact.tmp")
+                )
+                commit_swap(self.keys_path)
+            hashes = self._store_hashes(spark)
+            if hashes is not None:
+                (
+                    hashes.withColumn("batch", F.lit(-1))
+                    .repartition(F.col("hb"))
+                    .sortWithinPartitions(self.id_col)
+                    .write.mode("overwrite")
+                    .partitionBy("hb", "batch")
+                    .parquet(self.hashes_path + ".compact.tmp")
+                )
+                commit_swap(self.hashes_path)
 
     # -- the foreachBatch hook -----------------------------------------
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        recover_swap(self.store_path)
+        self._recover()
         spark = batch.sparkSession
         id_c = self.id_col
-        keys = band_keys(
-            signatures(batch, id_c, self.text_col), id_c, self.n_key_buckets
-        ).persist()
+        sigs = signatures(batch, id_c, self.text_col)
+        keys = band_keys(sigs, id_c, self.n_key_buckets).persist()
 
         dup_vs_store = None
-        store = self._store(spark)
-        if store is not None:
-            dup_vs_store = self._dup_ids(keys, store)
+        store_keys = self._store_keys(spark)
+        store_hashes = self._store_hashes(spark)
+        if store_keys is not None and store_hashes is not None:
+            dup_vs_store = self._dup_ids(keys, store_keys, store_hashes)
 
         # intra-batch: keep the lowest id of each duplicate cluster
         intra = (
@@ -237,16 +303,34 @@ class IncrementalDeduper:
             f"{self.accepted_path}/batch={batch_id}"
         )
         accepted_keys = keys.join(accepted.select(id_c), id_c, "left_semi")
-        # Lock spans the signature leaf write so an external reader of
-        # the store tree never pins a half-committed leaf.
+        # Lock spans both signature leaf writes so an external reader of
+        # the store tree never pins a half-committed leaf.  Hashes land
+        # FIRST: an orphan hash row (crash before the key write) is
+        # unreachable and harmless, while a key row without its hash
+        # row would silently miss a dup until the trigger replays.
         with swap_lock(self.store_path):
             (
-                accepted_keys.withColumn("batch", F.lit(batch_id))
+                accepted_keys.select(id_c, "hs")
+                .dropDuplicates([id_c])
+                .withColumn(
+                    "hb",
+                    F.pmod(F.xxhash64(id_c), F.lit(self.n_key_buckets)),
+                )
+                .withColumn("batch", F.lit(batch_id))
+                .sortWithinPartitions(id_c)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("hb", "batch")
+                .parquet(self.hashes_path)
+            )
+            (
+                accepted_keys.select(id_c, "band", "key", "kb")
+                .withColumn("batch", F.lit(batch_id))
                 .sortWithinPartitions("key")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("kb", "batch")
-                .parquet(self.store_path)
+                .parquet(self.keys_path)
             )
         keys.unpersist()
         accepted.unpersist()

@@ -58,18 +58,27 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # 10 rejected (cross-batch dup of 1); 11 accepted
     assert got == [1, 3, 11]
 
-    # the signature store only indexes accepted docs
+    # the signature store only indexes accepted docs — both subtrees
     store_ids = {
-        r.doc_id for r in spark.read.parquet(store).select("doc_id").collect()
+        r.doc_id
+        for r in spark.read.parquet(f"{store}/keys").select("doc_id").collect()
     }
     assert store_ids == {1, 3, 11}
+    hash_rows = (
+        spark.read.parquet(f"{store}/hashes").select("doc_id").collect()
+    )
+    # hashes are normalized: exactly ONE fat row per accepted doc (the
+    # key index holds one narrow row per band instead)
+    assert sorted(r.doc_id for r in hash_rows) == [1, 3, 11]
 
 
 def test_store_probe_broadcasts_batch_and_prunes_store(spark, tmp_path):
-    """The 100 TB contract of the store layout: the per-trigger probe
-    join must broadcast the (small) batch side — the store is never
-    shuffled — and the store scan must carry a dynamic partition-
-    pruning filter on the kb bucket column."""
+    """The 100 TB contract of the store layout: both per-trigger probe
+    joins must broadcast the (small) batch/candidate side — the store
+    is never shuffled — and both store scans must carry a dynamic
+    partition-pruning filter (kb on the narrow key index, hb on the
+    per-doc hash table), with the fat ``hs`` column absent from the
+    key-index scan entirely."""
     from spark_kafka_streaming_spark.streaming.incremental_dedup import (
         band_keys,
         signatures,
@@ -83,13 +92,22 @@ def test_store_probe_broadcasts_batch_and_prunes_store(spark, tmp_path):
 
     b2 = spark.createDataFrame([(10, BASE + " extra")], DOC_SCHEMA)
     keys = band_keys(signatures(b2))
-    probe = dedup._dup_ids(keys, dedup._store(spark))
+    probe = dedup._dup_ids(
+        keys, dedup._store_keys(spark), dedup._store_hashes(spark)
+    )
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, "store probe must broadcast the batch"
     assert "SortMergeJoin" not in plan, "store side must not be shuffled"
     assert "dynamicpruning" in plan.lower(), (
-        "store scan lost the kb partition-pruning filter"
+        "store scans lost their bucket partition-pruning filters"
     )
+    # the narrow key-index scan must NOT read the fat shingle-hash
+    # column — that is the whole point of the normalized layout
+    for line in plan.splitlines():
+        if "/keys" in line and "ReadSchema" in line:
+            assert "hs" not in line.split("ReadSchema")[1], (
+                "key-index scan reads the fat hs column"
+            )
     # and it still finds the cross-batch near-dup
     assert [r.doc_id for r in probe.collect()] == [10]
 
@@ -103,11 +121,17 @@ def test_compaction_preserves_store_and_dedups(spark, tmp_path):
     dedup(spark.createDataFrame([(1, BASE)], DOC_SCHEMA), 0)
     dedup(spark.createDataFrame([(3, OTHER)], DOC_SCHEMA), 1)
     dedup(spark.createDataFrame([(5, "unrelated fresh tokens everywhere")], DOC_SCHEMA), 2)
-    # batch 2 triggered compaction: all leaves folded into batch=-1
-    batches = {
-        r.batch for r in spark.read.parquet(store).select("batch").distinct().collect()
-    }
-    assert batches == {-1}
+    # batch 2 triggered compaction: all leaves of BOTH subtrees folded
+    # into batch=-1
+    for sub in ("keys", "hashes"):
+        batches = {
+            r.batch
+            for r in spark.read.parquet(f"{store}/{sub}")
+            .select("batch")
+            .distinct()
+            .collect()
+        }
+        assert batches == {-1}, sub
     # post-compaction probes still reject cross-batch near-dups
     dedup(spark.createDataFrame([(9, BASE + " extra")], DOC_SCHEMA), 3)
     got = sorted(
