@@ -309,6 +309,12 @@ class IncrementalDeduper:
         # unreachable and harmless, while a key row without its hash
         # row would silently miss a dup until the trigger replays.
         with swap_lock(self.store_path):
+            # Both writes co-locate each bucket's rows in one task
+            # first (the vector-store lesson, same round): without the
+            # repartition every task writes a file per bucket it
+            # touches — O(tasks × buckets) leaves per trigger — and
+            # the dynamic-partition commit move is driver-side
+            # O(files).  The shuffle is the micro-batch only.
             (
                 accepted_keys.select(id_c, "hs")
                 .dropDuplicates([id_c])
@@ -317,6 +323,7 @@ class IncrementalDeduper:
                     F.pmod(F.xxhash64(id_c), F.lit(self.n_key_buckets)),
                 )
                 .withColumn("batch", F.lit(batch_id))
+                .repartition(F.col("hb"))
                 .sortWithinPartitions(id_c)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -326,6 +333,7 @@ class IncrementalDeduper:
             (
                 accepted_keys.select(id_c, "band", "key", "kb")
                 .withColumn("batch", F.lit(batch_id))
+                .repartition(F.col("kb"))
                 .sortWithinPartitions("key")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

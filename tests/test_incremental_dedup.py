@@ -70,6 +70,15 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
     # hashes are normalized: exactly ONE fat row per accepted doc (the
     # key index holds one narrow row per band instead)
     assert sorted(r.doc_id for r in hash_rows) == [1, 3, 11]
+    # and each (bucket, batch) leaf holds exactly ONE data file — the
+    # ingest writes co-locate by bucket so leaves never multiply with
+    # the batch's task count (O(tasks x buckets) files otherwise)
+    import glob
+
+    for sub in ("keys", "hashes"):
+        for leaf in glob.glob(f"{store}/{sub}/*=*/batch=*"):
+            n = len(glob.glob(os.path.join(leaf, "part-*")))
+            assert n == 1, f"{leaf}: {n} files (want 1)"
 
 
 def test_store_probe_broadcasts_batch_and_prunes_store(spark, tmp_path):
