@@ -59,6 +59,7 @@ normalized subtrees under ``store_path``:
 
 from __future__ import annotations
 
+import glob
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +71,7 @@ from ..functions import texthash as TH
 #: Directory-level hash buckets on the LSH key. At cluster scale this
 #: would be sized so one bucket ≈ a few hundred MB of index.
 N_KEY_BUCKETS = 64
+
 
 
 def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -135,6 +137,7 @@ class IncrementalDeduper:
         text_col: str = "text",
         n_key_buckets: int = N_KEY_BUCKETS,
         compact_every: int = 0,
+        broadcast_candidates: bool = True,
     ):
         self.store_path = store_path
         self.keys_path = os.path.join(store_path, "keys")
@@ -145,8 +148,29 @@ class IncrementalDeduper:
         self.text_col = text_col
         self.n_key_buckets = n_key_buckets
         self.compact_every = compact_every
+        self.broadcast_candidates = broadcast_candidates
+        self._guard_layout()
 
     # -- helpers -------------------------------------------------------
+    def _guard_layout(self) -> None:
+        """Refuse to start over a pre-normalization (round-9) store.
+
+        The old layout put ``kb=…`` leaves (with inline ``hs``) directly
+        under ``store_path``; starting the normalized deduper there
+        would silently treat the corpus as empty (``keys/``/``hashes/``
+        don't exist) and accept cross-batch dups of previously accepted
+        docs while forking new subtrees beside the stale data.
+        """
+        old_leaves = glob.glob(os.path.join(self.store_path, "kb=*"))
+        if old_leaves:
+            raise ValueError(
+                f"signature store at {self.store_path!r} uses the old "
+                "inline-hs layout (kb=* leaves at the store root); "
+                "rebuild it by replaying the accepted corpus through "
+                "this deduper into a fresh store_path (the normalized "
+                "layout keeps keys/ and hashes/ subtrees)"
+            )
+
     def _recover(self) -> None:
         recover_swap(self.keys_path)
         recover_swap(self.hashes_path)
@@ -193,11 +217,23 @@ class IncrementalDeduper:
         The exact-Jaccard verify then runs on that bounded fetch.
         """
         id_c = self.id_col
+        # Both broadcasts are NARROW by construction: the batch side of
+        # the key probe drops ``hs`` (re-attached after the bounded
+        # store fetch), and the candidate broadcast carries only
+        # (new_id, old_id, old_hb) tuples — 3 fixed-width columns.  The
+        # candidate count is bounded by key collisions against the
+        # whole store, not by the micro-batch (a hot band key shared by
+        # many accepted docs multiplies pairs), so the OLD layout's
+        # fat-array broadcast was a driver-OOM risk; the narrow tuples
+        # put the 8 GB broadcast hard limit ~300M pairs away.  Corpora
+        # known to be skew-hot can set ``broadcast_candidates=False``
+        # to run the hash fetch as a shuffle join instead (correctness
+        # identical; loses dynamic partition pruning on ``hb``).
         cand_ids = (
             store_keys.alias("o")
             .join(
                 F.broadcast(
-                    batch_keys.select(id_c, "band", "key", "kb", "hs")
+                    batch_keys.select(id_c, "band", "key", "kb")
                 ).alias("n"),
                 (F.col("o.kb") == F.col("n.kb"))
                 & (F.col("o.band") == F.col("n.band"))
@@ -207,7 +243,6 @@ class IncrementalDeduper:
             .select(
                 F.col(f"n.{id_c}").alias("new_id"),
                 F.col(f"o.{id_c}").alias("old_id"),
-                F.col("n.hs").alias("hs1"),
             )
             .dropDuplicates(["new_id", "old_id"])
             .withColumn(
@@ -215,18 +250,33 @@ class IncrementalDeduper:
                 F.pmod(F.xxhash64("old_id"), F.lit(self.n_key_buckets)),
             )
         )
+        cand_side = (
+            F.broadcast(cand_ids) if self.broadcast_candidates else cand_ids
+        )
+        batch_hs = batch_keys.select(id_c, "hs").dropDuplicates([id_c])
         cand = (
             store_hashes.alias("h")
             .join(
-                F.broadcast(cand_ids).alias("c"),
+                cand_side.alias("c"),
                 (F.col("h.hb") == F.col("c.old_hb"))
                 & (F.col(f"h.{id_c}") == F.col("c.old_id")),
             )
             .select(
                 "c.new_id",
                 "c.old_id",
-                "c.hs1",
                 F.col("h.hs").alias("hs2"),
+            )
+            # re-attach the fat batch-side shingle hashes AFTER the
+            # bounded store fetch; the batch side is micro-batch-sized.
+            .join(
+                F.broadcast(batch_hs.alias("b")),
+                F.col("new_id") == F.col(f"b.{id_c}"),
+            )
+            .select(
+                "new_id",
+                "old_id",
+                F.col("b.hs").alias("hs1"),
+                "hs2",
             )
         )
         return self._verify(cand)

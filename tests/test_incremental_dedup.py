@@ -107,16 +107,40 @@ def test_store_probe_broadcasts_batch_and_prunes_store(spark, tmp_path):
     plan = probe._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, "store probe must broadcast the batch"
     assert "SortMergeJoin" not in plan, "store side must not be shuffled"
-    assert "dynamicpruning" in plan.lower(), (
-        "store scans lost their bucket partition-pruning filters"
-    )
+    # BOTH store scans must carry a dynamic partition-pruning filter:
+    # kb on the key index AND hb on the hash table.  Scans are
+    # identified by their partition column, NOT the store path — the
+    # Location string is length-truncated ("…/sig...") under pytest's
+    # tmp dirs, which made the old path-based match silently vacuous.
+    scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "PartitionFilters" in line
+    ]
+
+    def _pruned_on(bucket_col: str) -> list[str]:
+        return [
+            s
+            for s in scans
+            if f"isnotnull({bucket_col}#" in s.split("PartitionFilters")[1]
+            and "dynamicpruning" in s.split("PartitionFilters")[1].lower()
+        ]
+
+    keys_scans = _pruned_on("kb")
+    hash_scans = _pruned_on("hb")
+    assert keys_scans, f"key-index scan lost its kb pruning:\n{plan}"
+    assert hash_scans, f"hash-table scan lost its hb pruning:\n{plan}"
     # the narrow key-index scan must NOT read the fat shingle-hash
-    # column — that is the whole point of the normalized layout
-    for line in plan.splitlines():
-        if "/keys" in line and "ReadSchema" in line:
-            assert "hs" not in line.split("ReadSchema")[1], (
-                "key-index scan reads the fat hs column"
-            )
+    # column — that is the whole point of the normalized layout —
+    # while the hash-table scan is exactly (doc_id, hs)
+    for s in keys_scans:
+        schema = s.split("ReadSchema")[1]
+        assert "hs" not in schema, "key-index scan reads the fat hs column"
+        assert "key" in schema, "key-index scan lost the band key column"
+    for s in hash_scans:
+        assert "hs:array" in s.split("ReadSchema")[1], (
+            "hash-table scan must read the shingle-hash payload"
+        )
     # and it still finds the cross-batch near-dup
     assert [r.doc_id for r in probe.collect()] == [10]
 
