@@ -599,7 +599,75 @@ _ROUND10_WINDOW = [
     "q_agg_pivot_status_by_priority",
     "q_agg_rollup_pricing",
 ]
-_reorder(_ROUND10_WINDOW[:50])
+# Round-11 sample window.  Freshness rules unchanged: (a) no new
+# registrations (catalog holds at 200); (b) round 11's code changes are
+# to the streaming dedup STORE (a bench drain, not a catalog query), so
+# no touched-entry wave; (c) the window is pure staleness backfill,
+# computed from CORRECTNESS_r01-r10 latest-green rounds: the two
+# rows-only-by-design entries last sampled r1/r3 (they still get the
+# driver's rows-only check and would otherwise fall 10 rounds stale),
+# then ALL 23 r6-era rows (join family, multimodal decode family,
+# q_dedup_minhash_lsh, q_similarity_topk_bruteforce,
+# q_dedup_substring_spans, ...), then 25 of the 38 r7-era rows
+# (events family, scalar family, the ORC/Avro roundtrips first).  The
+# 13 r7-era rows left over are 4 rounds stale after this round and
+# lead the r12 window.
+_ROUND11_WINDOW = [
+    # (c) rows-only-by-design, last sampled r1 / r3
+    "q_agg_approx",
+    "q_vector_pca_project",
+    # (c) last sampled round 6 — all 23
+    "q_ann_recall_ivfpq",
+    "q_dedup_containment_overlap",
+    "q_dedup_minhash_lsh",
+    "q_dedup_minhash_recall",
+    "q_dedup_substring_spans",
+    "q_graph_triangles",
+    "q_join_anti_customers_without_orders",
+    "q_join_full_outer_nation_activity",
+    "q_join_left_order_counts",
+    "q_join_semi_parts_ordered",
+    "q_knn_label_propagation",
+    "q_multimodal_audio_decode",
+    "q_multimodal_audio_windows",
+    "q_multimodal_features",
+    "q_multimodal_fingerprint",
+    "q_multimodal_video_frames",
+    "q_multimodal_video_scene_cuts",
+    "q_search_hybrid_rrf",
+    "q_similarity_ann_ivf",
+    "q_similarity_hard_negatives",
+    "q_similarity_mips_topk",
+    "q_similarity_topk_bruteforce",
+    "q_vector_random_projection",
+    # (c) last sampled round 7 — 25 of 38
+    "q_events_asof_last_click_before_purchase",
+    "q_events_distinct_users_by_type",
+    "q_events_funnel",
+    "q_events_interval_join_click_purchase",
+    "q_events_json_extract",
+    "q_events_lag_lead_per_user",
+    "q_events_retention",
+    "q_events_sessionize_batch",
+    "q_scalar_case_when_buckets",
+    "q_scalar_date_functions",
+    "q_scalar_math_functions",
+    "q_scalar_string_builders",
+    "q_scalar_string_functions",
+    "q_orc_file_roundtrip",
+    "q_avro_container_roundtrip",
+    "q_corpus_snapshot_diff",
+    "q_dedup_chunk_exact",
+    "q_dedup_simhash",
+    "q_filter_median_tokens",
+    "q_map_json_explode",
+    "q_mix_weighted_lang",
+    "q_multimodal_image_decode",
+    "q_ngram_bigram_counts",
+    "q_null_handling",
+    "q_pack_sequences",
+]
+_reorder(_ROUND11_WINDOW[:50])
 
 
 def queries():

@@ -36,7 +36,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .swap import commit_swap, recover_swap, serve_read, swap_lock
+from .fold import compact_tiered, fold_filter, folded_bounds
+from .swap import pin_store, recover_swap, swap_lock
 from ..operators import index as IX
 
 #: Directory-level hash buckets on term. Sized at cluster scale so one
@@ -69,15 +70,24 @@ class IncrementalIndexer:
         self, spark: SparkSession, live: bool = False
     ) -> DataFrame | None:
         """Default reads are snapshot-isolated (hardlink pin via
-        :func:`..swap.serve_read`) so serving survives concurrent
+        :func:`..swap.pin_store`) so serving survives concurrent
         triggers/compactions; ``live=True`` is the writer-internal
-        read (compact, under the store lock)."""
+        read (under the store lock).  Both apply the tiered-fold
+        watermark filter (:func:`..fold.fold_filter`) so a trigger
+        leaf replayed after its fold is ignored — exactly-once across
+        the compaction boundary."""
         if live:
             recover_swap(self.store_path)
             if not os.path.exists(self.store_path):
                 return None
-            return spark.read.parquet(self.store_path)
-        return serve_read(spark, self.store_path)
+            path = self.store_path
+        else:
+            path = pin_store(self.store_path)
+            if path is None:
+                return None
+        return fold_filter(
+            spark.read.parquet(path), "tb", folded_bounds(path, "tb")
+        )
 
     def _merged_tf(
         self, spark: SparkSession, live: bool = False
@@ -162,28 +172,25 @@ class IncrementalIndexer:
             )
         )
 
-    def compact(self, spark: SparkSession) -> None:
-        """Fold per-batch partials into one summed ``batch=-1`` base
-        per term bucket (temp dir + rename; a transactional table
-        format would make the same move atomic)."""
-        with swap_lock(self.store_path):
-            tf = self._merged_tf(spark, live=True)
-            if tf is None:
-                return
-            tmp = self.store_path + ".compact.tmp"
-            (
-                tf.withColumn(
-                    "tb",
-                    F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)),
-                )
-                .withColumn("batch", F.lit(-1))
-                .repartition(F.col("tb"))
-                .sortWithinPartitions("term")
-                .write.mode("overwrite")
-                .partitionBy("tb", "batch")
-                .parquet(tmp)
-            )
-            commit_swap(self.store_path)
+    def compact(self, spark: SparkSession) -> dict[str, int]:
+        """Tiered per-bucket fold (:func:`..fold.compact_tiered`):
+        buckets that accumulated ``leaf_bound`` trigger leaves get ONLY
+        those leaves merged into a new run; a bucket's runs fold into
+        its ``batch=-1`` base when they hit the staggered run bound.
+        Per-compact work is bounded by data since the last compact
+        (plus the amortized, staggered majors) — never store size,
+        which the old whole-store fold paid every time (13.5 → 91.4 s
+        growth within one sf100 replay).  tf partials sum across any
+        split, so merging any subset of leaves is exact."""
+        return compact_tiered(
+            spark,
+            self.store_path,
+            "tb",
+            lambda df: df.groupBy("tb", "term", "doc_id").agg(
+                F.sum("tf").alias("tf")
+            ),
+            sort_col="term",
+        )
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         tf = IX.term_doc_tf(batch, self.id_col, self.text_col)

@@ -38,7 +38,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .swap import pin_store, swap_lock
+from .swap import pin_store, recover_bucket_swap, swap_buckets, swap_lock
 
 N_KEY_BUCKETS = 32
 
@@ -85,15 +85,10 @@ class IncrementalMerger:
         aside whose store slot is empty is restored (a crash between
         the aside rename and the new leaf's rename-in would otherwise
         drop the bucket's untouched keys — the replayed trigger only
-        reconstructs keys present in its own change set)."""
-        aside_root = f"{self.store_path}.aside"
-        if not os.path.isdir(aside_root):
-            return
-        for name in os.listdir(aside_root):
-            dst = os.path.join(self.store_path, name)
-            if not os.path.exists(dst):
-                os.rename(os.path.join(aside_root, name), dst)
-        shutil.rmtree(aside_root, ignore_errors=True)
+        reconstructs keys present in its own change set).  Shared with
+        the tiered-compaction stores (:func:`..swap
+        .recover_bucket_swap`)."""
+        recover_bucket_swap(self.store_path)
 
     def snapshot(self, spark: SparkSession) -> DataFrame | None:
         # Snapshot-isolated read (round-10): the hardlink pin survives
@@ -190,21 +185,10 @@ class IncrementalMerger:
         # actually replayed, which an abandoned stream never does.
         for b in touched:
             os.makedirs(os.path.join(tmp, f"kb={b}"), exist_ok=True)
-        # per-bucket crash-safe swap: the old bucket renames ASIDE
-        # (outside the store path, so partition discovery never sees
-        # it) before the new leaf renames in — at every instant the
-        # bucket's content exists at exactly one known location, and
-        # _recover_buckets() restores an interrupted swap on the next
-        # read/write.
-        aside_root = f"{self.store_path}.aside"
-        shutil.rmtree(aside_root, ignore_errors=True)
-        os.makedirs(aside_root, exist_ok=True)
-        for b in touched:
-            src = os.path.join(tmp, f"kb={b}")
-            dst = os.path.join(self.store_path, f"kb={b}")
-            if os.path.exists(dst):
-                os.rename(dst, os.path.join(aside_root, f"kb={b}"))
-            if os.path.exists(src):
-                os.rename(src, dst)
-        shutil.rmtree(aside_root, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        # per-bucket crash-safe swap (shared ..swap.swap_buckets): the
+        # old bucket renames ASIDE (outside the store path, so
+        # partition discovery never sees it) before the new leaf
+        # renames in — at every instant the bucket's content exists at
+        # exactly one known location, and _recover_buckets() restores
+        # an interrupted swap on the next read/write.
+        swap_buckets(self.store_path, tmp, [f"kb={b}" for b in touched])

@@ -36,7 +36,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .swap import commit_swap, recover_swap, serve_read, swap_lock
+from .fold import compact_tiered, fold_filter, folded_bounds
+from .swap import pin_store, recover_swap, swap_lock
 from ..operators.dedup import span_occurrences, span_stats_from
 
 #: Directory-level hash buckets on the window hash. Sized at cluster
@@ -69,14 +70,23 @@ class IncrementalSpanDeduper:
         self, spark: SparkSession, live: bool = False
     ) -> DataFrame | None:
         """Default reads are snapshot-isolated (hardlink pin via
-        :func:`..swap.serve_read`); ``live=True`` is the
-        writer-internal read (compact, under the store lock)."""
+        :func:`..swap.pin_store`); ``live=True`` is the
+        writer-internal read (under the store lock).  Both apply the
+        tiered-fold watermark filter so a trigger leaf replayed after
+        its fold is ignored — exactly-once across the compaction
+        boundary."""
         if live:
             recover_swap(self.store_path)
             if not os.path.exists(self.store_path):
                 return None
-            return spark.read.parquet(self.store_path)
-        return serve_read(spark, self.store_path)
+            path = self.store_path
+        else:
+            path = pin_store(self.store_path)
+            if path is None:
+                return None
+        return fold_filter(
+            spark.read.parquet(path), "hb", folded_bounds(path, "hb")
+        )
 
     def merged(
         self, spark: SparkSession, live: bool = False
@@ -110,27 +120,20 @@ class IncrementalSpanDeduper:
         )
         return span_stats_from(base, removable, self.w, self.id_col)
 
-    def compact(self, spark: SparkSession) -> None:
-        """Fold per-batch partials into one merged ``batch=-1`` base
-        per hash bucket (temp dir + rename; a transactional table
-        format would make the same move atomic)."""
-        with swap_lock(self.store_path):
-            merged = self.merged(spark, live=True)
-            if merged is None:
-                return
-            tmp = self.store_path + ".compact.tmp"
-            (
-                merged.withColumn(
-                    "hb", F.pmod(F.xxhash64("h"), F.lit(self.n_hash_buckets))
-                )
-                .withColumn("batch", F.lit(-1))
-                .repartition(F.col("hb"))
-                .sortWithinPartitions("h")
-                .write.mode("overwrite")
-                .partitionBy("hb", "batch")
-                .parquet(tmp)
-            )
-            commit_swap(self.store_path)
+    def compact(self, spark: SparkSession) -> dict[str, int]:
+        """Tiered per-bucket fold (:func:`..fold.compact_tiered`):
+        per-compact work bounded by data since the last compact plus
+        amortized staggered majors, never store size.  (cnt sum,
+        canon min) merge exactly over any subset of leaves."""
+        return compact_tiered(
+            spark,
+            self.store_path,
+            "hb",
+            lambda df: df.groupBy("hb", "h").agg(
+                F.sum("cnt").alias("cnt"), F.min("canon").alias("canon")
+            ),
+            sort_col="h",
+        )
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         _, occ = span_occurrences(batch, self.w, self.id_col, self.text_col)

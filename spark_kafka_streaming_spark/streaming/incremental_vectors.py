@@ -51,7 +51,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .swap import commit_swap, pin_store, recover_swap, swap_lock
+from .fold import compact_tiered, fold_filter, folded_bounds
+from .swap import pin_store, recover_swap, swap_lock
 from ..functions import vectors as V
 from ..operators.similarity import _cells_arrow, _scaled, nearest_cells_sql
 
@@ -185,9 +186,11 @@ class IncrementalVectorIndexer:
         probed = sorted(
             {r["cell"] for r in q_cells.select("cell").distinct().collect()}
         )
-        store = spark.read.parquet(pin).filter(
-            F.col("cell").isin(probed)
-        )
+        # tiered-fold watermark filter: a trigger leaf replayed after
+        # its fold is ignored (exactly-once across compaction)
+        store = fold_filter(
+            spark.read.parquet(pin), "cell", folded_bounds(pin, "cell")
+        ).filter(F.col("cell").isin(probed))
         cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
         pair_cos = (
             q_cells.join(store, "cell")
@@ -208,20 +211,19 @@ class IncrementalVectorIndexer:
 
     # -- maintenance ---------------------------------------------------
 
-    def compact(self, spark: SparkSession) -> None:
-        """Fold per-batch leaves into one ``batch=-1`` base per cell."""
-        with swap_lock(self.cells_path):
-            if not os.path.exists(self.cells_path):
-                return
-            store = spark.read.parquet(self.cells_path)
-            tmp = self.cells_path + ".compact.tmp"
-            (
-                store.select("c_id", "c_v", "c_n", "cell")
-                .withColumn("batch", F.lit(-1))
-                .repartition(F.col("cell"))
-                .sortWithinPartitions("c_id")
-                .write.mode("overwrite")
-                .partitionBy("cell", "batch")
-                .parquet(tmp)
-            )
-            commit_swap(self.cells_path)
+    def compact(self, spark: SparkSession) -> dict[str, int]:
+        """Tiered per-cell fold (:func:`..fold.compact_tiered`): cells
+        that accumulated trigger leaves get those leaves rewritten into
+        one run; runs fold into the cell's base at the staggered run
+        bound.  Per-compact work is bounded by data since the last
+        compact plus amortized majors, never store size.  State is
+        append-only (cell membership is pinned by the centroid
+        snapshot), so the fold is a plain rewrite — no merge
+        arithmetic."""
+        return compact_tiered(
+            spark,
+            self.cells_path,
+            "cell",
+            lambda df: df.select("c_id", "c_v", "c_n", "cell"),
+            sort_col="c_id",
+        )

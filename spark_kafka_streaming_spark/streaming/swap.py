@@ -43,9 +43,19 @@ import shutil
 import threading
 import uuid
 
-#: pins older than this (by mtime) are reclaimed on the next pin —
-#: bounds the disk held by abandoned lazy reads to one TTL window.
+#: pins older than this (by mtime of the pin root, refreshed on every
+#: re-pin of the same store) are reclaimed on the next pin — bounds
+#: the disk held by abandoned lazy reads to one TTL window.
 PIN_TTL_SECONDS = 3600.0
+
+#: temp tree used by tiered per-bucket compaction (:mod:`.fold`);
+#: distinct from ``.compact.tmp`` so whole-tree recovery never renames
+#: a partial bucket-fold tree into the store slot.
+BUCKET_TMP_SUFFIX = ".bucketfold.tmp"
+
+#: watermark marker written inside a folded run's leaf directory —
+#: ``_``-prefixed so Spark's file index ignores it.
+FOLD_MARKER_PREFIX = "_folded_up_to_"
 
 _LOCKS: dict[str, threading.RLock] = {}
 _LOCKS_GUARD = threading.Lock()
@@ -77,6 +87,56 @@ def commit_swap(store_path: str) -> None:
         os.rename(tmp, store_path)
         if os.path.exists(old):
             shutil.rmtree(old)
+
+
+def recover_bucket_swap(store_path: str) -> None:
+    """Finish an interrupted per-bucket swap (tiered compaction major
+    fold, or the MERGE store's per-trigger bucket rewrite): any bucket
+    renamed aside whose store slot is empty is restored — a crash
+    between the aside rename and the replacement's rename-in would
+    otherwise drop the bucket — then the aside root and any leftover
+    bucket-fold temp tree are reclaimed."""
+    aside_root = store_path + ".aside"
+    if os.path.isdir(aside_root):
+        for name in os.listdir(aside_root):
+            dst = os.path.join(store_path, name)
+            if not os.path.exists(dst):
+                os.makedirs(store_path, exist_ok=True)
+                os.rename(os.path.join(aside_root, name), dst)
+        shutil.rmtree(aside_root, ignore_errors=True)
+    tmp = store_path + BUCKET_TMP_SUFFIX
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def swap_buckets(
+    store_path: str,
+    tmp: str,
+    leaves: list[str],
+    keep_tmp: bool = False,
+) -> None:
+    """Per-bucket crash-safe swap: each named leaf (e.g. ``kb=3``)
+    renames its store copy ASIDE (outside partition discovery) before
+    the fully-written tmp copy renames in, so the bucket's content
+    exists at exactly one known location at every instant;
+    :func:`recover_bucket_swap` restores an interrupted swap.  Caller
+    holds the store lock and has fully written ``tmp``.  With
+    ``keep_tmp`` the tmp tree survives (a caller with more leaves to
+    move — tiered compaction's minor runs — cleans it up itself)."""
+    aside_root = store_path + ".aside"
+    shutil.rmtree(aside_root, ignore_errors=True)
+    os.makedirs(aside_root, exist_ok=True)
+    os.makedirs(store_path, exist_ok=True)
+    for name in leaves:
+        src = os.path.join(tmp, name)
+        dst = os.path.join(store_path, name)
+        if os.path.exists(dst):
+            os.rename(dst, os.path.join(aside_root, name))
+        if os.path.exists(src):
+            os.rename(src, dst)
+    shutil.rmtree(aside_root, ignore_errors=True)
+    if not keep_tmp:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _gc_pins(reads_dir: str, now: float) -> None:
@@ -147,6 +207,7 @@ def recover_swap(store_path: str) -> None:
             shutil.rmtree(old)
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
+        recover_bucket_swap(store_path)
         return
     if os.path.exists(tmp):
         os.rename(tmp, store_path)
@@ -154,3 +215,4 @@ def recover_swap(store_path: str) -> None:
             shutil.rmtree(old)
     elif os.path.exists(old):
         os.rename(old, store_path)
+    recover_bucket_swap(store_path)
