@@ -29,6 +29,11 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+)
+
+from watchdog import StallWatchdog  # noqa: E402
 
 from spark_kafka_streaming_spark import get_spark  # noqa: E402
 from spark_kafka_streaming_spark.functions.caching import (  # noqa: E402
@@ -618,34 +623,22 @@ def main() -> None:
             if max(a, b) > 1.5 * best:
                 best = min(best, run_query(spark, name, SF_DIR))
             timings[name] = round(best, 4)
-        bench_streaming_drain(spark, SF_DIR)  # warm
-        timings["stream_events_windowed_drain"] = round(
-            bench_streaming_drain(spark, SF_DIR), 4
-        )
-        bench_stateful_dedup_drain(spark, SF_DIR)  # warm
-        timings["stream_stateful_dedup_drain"] = round(
-            bench_stateful_dedup_drain(spark, SF_DIR), 4
-        )
-        bench_sketch_drain(spark, SF_DIR)  # warm
-        timings["stream_sketch_drain"] = round(
-            bench_sketch_drain(spark, SF_DIR), 4
-        )
-        bench_quantile_store_drain(spark, SF_DIR)  # warm
-        timings["stream_quantile_store_drain"] = round(
-            bench_quantile_store_drain(spark, SF_DIR), 4
-        )
-        bench_index_store_drain(spark, SF_DIR)  # warm
-        timings["stream_index_store_drain"] = round(
-            bench_index_store_drain(spark, SF_DIR), 4
-        )
-        bench_dedup_store_drain(spark, SF_DIR)  # warm
-        timings["stream_dedup_store_drain"] = round(
-            bench_dedup_store_drain(spark, SF_DIR), 4
-        )
-        bench_vector_store_drain(spark, SF_DIR)  # warm
-        timings["stream_vector_store_drain"] = round(
-            bench_vector_store_drain(spark, SF_DIR), 4
-        )
+        # stall guard on each drain (round-11, verdict minor #4): a
+        # hung trigger dumps jstack + py stacks instead of parking the
+        # whole bench silently (budget: SPARK_GRAFT_STALL_TIMEOUT).
+        drains = {
+            "stream_events_windowed_drain": bench_streaming_drain,
+            "stream_stateful_dedup_drain": bench_stateful_dedup_drain,
+            "stream_sketch_drain": bench_sketch_drain,
+            "stream_quantile_store_drain": bench_quantile_store_drain,
+            "stream_index_store_drain": bench_index_store_drain,
+            "stream_dedup_store_drain": bench_dedup_store_drain,
+            "stream_vector_store_drain": bench_vector_store_drain,
+        }
+        for label, fn in drains.items():
+            with StallWatchdog(label):
+                fn(spark, SF_DIR)  # warm
+                timings[label] = round(fn(spark, SF_DIR), 4)
     finally:
         shutil.rmtree(sig_cache, ignore_errors=True)
         os.environ.pop(SIG_CACHE_ENV, None)

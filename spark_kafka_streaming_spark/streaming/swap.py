@@ -182,13 +182,90 @@ def pin_store(store_path: str) -> str | None:
 def serve_read(spark, store_path: str):
     """The stores' shared serving read: a DataFrame over a pinned
     snapshot of the store (or None when the store is empty/missing).
-    Safe to collect at any later time regardless of concurrent
-    triggers and compaction swaps — the no-torn-reads contract
-    (tests/test_serving_under_ingestion.py)."""
+    Safe to collect regardless of concurrent triggers and compaction
+    swaps — the no-torn-reads contract
+    (tests/test_serving_under_ingestion.py) — WITHIN one
+    ``PIN_TTL_SECONDS`` window: a DataFrame held lazy past the TTL can
+    have its pin reclaimed by a later read's GC, and its collect then
+    RAISES (missing files; never silent partial data — pinned at the
+    boundary in the same test file).  Long-lived holds must re-serve,
+    or consume an :func:`export_snapshot`."""
     pin = pin_store(store_path)
     if pin is None:
         return None
     return spark.read.parquet(pin)
+
+
+def export_snapshot(store_path: str, dest: str) -> str:
+    """Export a consistent snapshot of the store tree to ``dest`` for
+    CROSS-PROCESS serving — the piece :func:`serve_read` deliberately
+    does not cover (its pins rest on an in-process lock and
+    same-filesystem hardlinks, so serving had to share the maintenance
+    driver; see the module docstring).
+
+    Under the store's lock: finish any interrupted swap, then link
+    (same filesystem — metadata-only) or copy (cross-filesystem) every
+    file into ``dest + '.exporting'``, write a ``_snapshot_manifest
+    .json`` (file count, byte total, source path) and rename the tree
+    to ``dest`` LAST — a reader that can see ``dest`` sees a complete,
+    immutable snapshot; a crashed export leaves only the ``.exporting``
+    tree, which the caller may delete.  The exported tree is a valid
+    store path: a second process (its own SparkSession, its own lock
+    namespace) constructs the store class over it and serves — ingest
+    in the maintenance driver never touches the export's inodes.
+
+    This is the plain-directory form of a Delta/Iceberg snapshot
+    export (publishing a table version to readers): the transactional
+    format gets the same isolation from its immutable file set + a
+    metadata pointer; here the hardlink tree is the immutable file set
+    and the final rename is the pointer flip.
+    """
+    import json
+
+    dest = os.path.abspath(dest)
+    if os.path.exists(dest):
+        raise FileExistsError(f"snapshot destination exists: {dest}")
+    tmp = dest + ".exporting"
+    shutil.rmtree(tmp, ignore_errors=True)
+    n_files = 0
+    n_bytes = 0
+    with swap_lock(store_path):
+        recover_swap(store_path)
+        if not os.path.exists(store_path):
+            raise FileNotFoundError(f"no store at {store_path}")
+        for root, _dirs, files in os.walk(store_path):
+            rel = os.path.relpath(root, store_path)
+            dst_root = os.path.join(tmp, rel) if rel != "." else tmp
+            os.makedirs(dst_root, exist_ok=True)
+            for f in files:
+                src = os.path.join(root, f)
+                dst = os.path.join(dst_root, f)
+                try:
+                    os.link(src, dst)
+                except OSError:
+                    shutil.copy2(src, dst)
+                n_files += 1
+                n_bytes += os.path.getsize(src)
+    with open(os.path.join(tmp, "_snapshot_manifest.json"), "w") as fh:
+        json.dump(
+            {
+                "source": os.path.abspath(store_path),
+                "files": n_files,
+                "bytes": n_bytes,
+            },
+            fh,
+        )
+    os.rename(tmp, dest)
+    return dest
+
+
+def snapshot_manifest(dest: str) -> dict:
+    """The manifest of a completed :func:`export_snapshot` tree;
+    raises FileNotFoundError for a missing/incomplete export."""
+    import json
+
+    with open(os.path.join(dest, "_snapshot_manifest.json")) as fh:
+        return json.load(fh)
 
 
 def recover_swap(store_path: str) -> None:

@@ -169,3 +169,37 @@ def test_pin_survives_swap_and_gc_reclaims(spark, tmp_path, monkeypatch):
     assert sorted(int(r.v) for r in again.collect()) == [0, 1, 2]
     pins = os.listdir(reads_dir)
     assert len(pins) == 1  # old pin GC'd, only the new one remains
+
+
+def test_stale_pin_collect_after_gc_raises_not_partial(
+    spark, tmp_path, monkeypatch
+):
+    """The pin-TTL boundary (round-11 verdict minor #3): a served
+    DataFrame held lazy for longer than ``PIN_TTL_SECONDS`` can have
+    its pin reclaimed by a LATER read's GC — the documented
+    "abandoned lazy read" contract.  Pin the failure mode at the
+    boundary: the stale collect RAISES (missing files); it never
+    silently returns partial data.  Long-lived lazy holds must
+    re-serve (re-pin) or consume an export_snapshot."""
+    store = IncrementalQuantileStore(
+        store_path=str(tmp_path / "qstore"),
+        group_col="g",
+        value_col="v",
+        key_sql="ky",
+        k=64,
+        compact_every=0,
+    )
+    for i in range(3):
+        store(
+            spark.createDataFrame(
+                [("g", float(i), i)], "g string, v double, ky long"
+            ),
+            i,
+        )
+    stale = store.sample(spark)  # pins, then goes idle past the TTL
+    assert stale.count() > 0  # collectable within the TTL window
+    monkeypatch.setattr(SW, "PIN_TTL_SECONDS", 0.0)
+    fresh = store.sample(spark)  # GC reclaims the aged pin
+    assert sorted(int(r.v) for r in fresh.collect()) == [0, 1, 2]
+    with pytest.raises(Exception, match="(?i)not exist|notfound|no such"):
+        stale.collect()

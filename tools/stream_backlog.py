@@ -451,11 +451,13 @@ def check_vectors(spark, store, stage_dir: str) -> dict:
     }
 
 
+ALL_STORES = ("quantiles", "index", "dedup", "merge", "spans", "vectors")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--store", required=True,
-                    choices=("quantiles", "index", "dedup", "merge",
-                             "spans", "vectors"))
+                    choices=ALL_STORES + ("all",))
     ap.add_argument("--sf-dir", default="/tmp/spark_graft_sf10")
     ap.add_argument("--triggers", type=int, default=50)
     ap.add_argument("--compact-every", type=int, default=10)
@@ -469,24 +471,110 @@ def main() -> None:
     ap.add_argument("--skip-check", action="store_true",
                     help="skip the snapshot-vs-batch equality stage")
     args = ap.parse_args()
+    if args.store == "all":
+        run_all(args)
+        return
+    spark = get_spark(app_name=f"stream_backlog_{args.store}")
+    print(json.dumps(run_store(spark, args, args.store)))
+
+
+def run_all(args) -> None:
+    """Concurrent multi-store soak (round-11 verdict #5): production
+    runs all six maintenance loops on shared resources; every
+    fourth-decade replay ran one store in isolation.  Drive all six
+    stores' backlog feeds CONCURRENTLY on one SparkSession (six
+    streaming queries sharing the executor pool), assert each store's
+    snapshot ≡ batch at the end, and report per-store wall stats for
+    the interference profile (compare against the isolated runs'
+    numbers in SCALE.md)."""
+    import copy
+    import threading
+
+    spark = get_spark(app_name="stream_backlog_all")
+    # stage every feed up front (idempotent) so staging I/O doesn't
+    # pollute the interference window
+    for name in ALL_STORES:
+        ns = copy.copy(args)
+        ns.store = name
+        ns.work = os.path.join(args.work, name) if args.work else None
+        stage(spark, args.sf_dir, name, args.triggers,
+              _work_dir(ns, name, fresh=True))
+    barrier = threading.Barrier(len(ALL_STORES))
+    results: dict[str, dict] = {}
+    errors: list[BaseException] = []
+
+    def drive(name: str) -> None:
+        ns = copy.copy(args)
+        ns.store = name
+        ns.work = os.path.join(args.work, name) if args.work else None
+        try:
+            results[name] = run_store(spark, ns, name, barrier=barrier)
+        except BaseException as e:  # noqa: BLE001 — reported below
+            errors.append(e)
+            try:
+                barrier.abort()
+            except Exception:
+                pass
+
+    threads = [
+        threading.Thread(target=drive, args=(n,), daemon=True)
+        for n in ALL_STORES
+    ]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    print(json.dumps({
+        "mode": "all",
+        "sf_dir": args.sf_dir,
+        "triggers": args.triggers,
+        "total_wall_s": round(time.perf_counter() - t0, 1),
+        "all_match": all(
+            r["check"].get("match", r["check"].get("skipped", False))
+            for r in results.values()
+        ),
+        "stores": results,
+    }))
+
+
+def _work_dir(args, store_name: str, fresh: bool = False) -> str:
     work = args.work or (
-        f"/tmp/spark_graft_stream_{args.store}_"
+        f"/tmp/spark_graft_stream_{store_name}_"
         f"{os.path.basename(args.sf_dir.rstrip('/'))}"
     )
-    for sub in ("qstore", "ixstore", "sigstore", "accepted", "ck",
-                "mstore", "spstore", "vstore"):
-        shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
+    if fresh:
+        for sub in ("qstore", "ixstore", "sigstore", "accepted", "ck",
+                    "mstore", "spstore", "vstore"):
+            shutil.rmtree(os.path.join(work, sub), ignore_errors=True)
     os.makedirs(work, exist_ok=True)
+    return work
 
-    spark = get_spark(app_name=f"stream_backlog_{args.store}")
-    stage_dir = stage(spark, args.sf_dir, args.store, args.triggers, work)
+
+def run_store(spark, args, store_name: str, barrier=None) -> dict:
+    """Stage, ingest, and verify one store; returns the summary dict.
+    With ``barrier``, waits for the other soak threads between ingest
+    and the equality check so checks never pollute another store's
+    per-trigger walls."""
+    work = _work_dir(args, store_name, fresh=barrier is None)
+    stage_dir = stage(spark, args.sf_dir, store_name, args.triggers, work)
     proc, store, paths = make_processor(args, work)
 
     records: list[dict] = []
 
+    from watchdog import StallWatchdog
+
     def timed(batch, bid):
         t0 = time.perf_counter()
-        proc(batch, bid)
+        # stall guard (round-11, verdict minor #4): this is the
+        # multi-hour replay harness where the round-9 read-ahead
+        # deadlock class actually bites — a hung trigger dumps
+        # jstack + py stacks every SPARK_GRAFT_STALL_TIMEOUT seconds
+        # instead of parking the run silently.
+        with StallWatchdog(f"{store_name}_trigger_{bid}"):
+            proc(batch, bid)
         wall = time.perf_counter() - t0
         size, files = du(paths["store"])
         rec = {
@@ -500,6 +588,7 @@ def main() -> None:
             "store_bytes": size,
             "store_files": files,
         }
+        rec["store"] = store_name
         records.append(rec)
         print(json.dumps(rec), file=sys.stderr, flush=True)
 
@@ -514,22 +603,29 @@ def main() -> None:
         .start()
     )
     q.awaitTermination()
+    if barrier is not None:
+        # soak mode: wait for the other stores' ingest to finish so
+        # the equality checks never pollute another store's walls
+        barrier.wait(timeout=7200)
 
     check: dict = {"skipped": True}
     if not args.skip_check:
         t0 = time.perf_counter()
-        if args.store == "quantiles":
-            check = check_quantiles(spark, store, stage_dir)
-        elif args.store == "index":
-            check = check_index(spark, store, stage_dir)
-        elif args.store == "merge":
-            check = check_merge(spark, store, stage_dir)
-        elif args.store == "spans":
-            check = check_spans(spark, store, stage_dir)
-        elif args.store == "vectors":
-            check = check_vectors(spark, store, stage_dir)
-        else:
-            check = check_dedup(spark, store, stage_dir, paths["accepted"])
+        with StallWatchdog(f"{store_name}_final_check"):
+            if store_name == "quantiles":
+                check = check_quantiles(spark, store, stage_dir)
+            elif store_name == "index":
+                check = check_index(spark, store, stage_dir)
+            elif store_name == "merge":
+                check = check_merge(spark, store, stage_dir)
+            elif store_name == "spans":
+                check = check_spans(spark, store, stage_dir)
+            elif store_name == "vectors":
+                check = check_vectors(spark, store, stage_dir)
+            else:
+                check = check_dedup(
+                    spark, store, stage_dir, paths["accepted"]
+                )
         check["check_wall_s"] = round(time.perf_counter() - t0, 1)
 
     plain = sorted(r["wall_s"] for r in records if not r["compacted"])
@@ -555,24 +651,20 @@ def main() -> None:
         if len(arr) >= 10
         else None
     )
-    print(
-        json.dumps(
-            {
-                "store": args.store,
-                "sf_dir": args.sf_dir,
-                "triggers": args.triggers,
-                "compact_every": args.compact_every,
-                "retention": args.retention if args.store == "quantiles" else None,
-                "plain_wall": stats(plain),
-                "compact_wall": stats(comp),
-                "last5_over_first5": flat,
-                "store_bytes_final": records[-1]["store_bytes"],
-                "store_files_final": records[-1]["store_files"],
-                "store_bytes_peak": max(r["store_bytes"] for r in records),
-                "check": check,
-            }
-        )
-    )
+    return {
+        "store": store_name,
+        "sf_dir": args.sf_dir,
+        "triggers": args.triggers,
+        "compact_every": args.compact_every,
+        "retention": args.retention if store_name == "quantiles" else None,
+        "plain_wall": stats(plain),
+        "compact_wall": stats(comp),
+        "last5_over_first5": flat,
+        "store_bytes_final": records[-1]["store_bytes"],
+        "store_files_final": records[-1]["store_files"],
+        "store_bytes_peak": max(r["store_bytes"] for r in records),
+        "check": check,
+    }
 
 
 if __name__ == "__main__":
