@@ -205,6 +205,7 @@ class IncrementalDeduper:
         batch_keys: DataFrame,
         store_keys: DataFrame,
         store_hashes: DataFrame,
+        batch_hs: DataFrame | None = None,
     ) -> DataFrame:
         """ids in ``batch_keys`` that near-dup anything in the store.
 
@@ -253,7 +254,11 @@ class IncrementalDeduper:
         cand_side = (
             F.broadcast(cand_ids) if self.broadcast_candidates else cand_ids
         )
-        batch_hs = batch_keys.select(id_c, "hs").dropDuplicates([id_c])
+        if batch_hs is None:
+            # derive the per-doc hash table from the exploded band rows
+            # (callers holding the pre-explosion signature table pass
+            # it directly and skip this dedup shuffle)
+            batch_hs = batch_keys.select(id_c, "hs").dropDuplicates([id_c])
         cand = (
             store_hashes.alias("h")
             .join(
@@ -315,14 +320,23 @@ class IncrementalDeduper:
         self._recover()
         spark = batch.sparkSession
         id_c = self.id_col
-        sigs = signatures(batch, id_c, self.text_col)
+        # sigs (one row per doc) is persisted alongside the exploded
+        # band keys: the per-doc hash table the probe's verify leg and
+        # the hashes/ subtree write both need falls straight out of it
+        # — no dedup shuffle over the 8x-exploded band rows.
+        sigs = signatures(batch, id_c, self.text_col).persist()
         keys = band_keys(sigs, id_c, self.n_key_buckets).persist()
 
         dup_vs_store = None
         store_keys = self._store_keys(spark)
         store_hashes = self._store_hashes(spark)
         if store_keys is not None and store_hashes is not None:
-            dup_vs_store = self._dup_ids(keys, store_keys, store_hashes)
+            dup_vs_store = self._dup_ids(
+                keys,
+                store_keys,
+                store_hashes,
+                batch_hs=sigs.select(id_c, "hs"),
+            )
 
         # intra-batch: keep the lowest id of each duplicate cluster
         intra = (
@@ -366,8 +380,8 @@ class IncrementalDeduper:
             # the dynamic-partition commit move is driver-side
             # O(files).  The shuffle is the micro-batch only.
             (
-                accepted_keys.select(id_c, "hs")
-                .dropDuplicates([id_c])
+                sigs.join(accepted.select(id_c), id_c, "left_semi")
+                .select(id_c, "hs")
                 .withColumn(
                     "hb",
                     F.pmod(F.xxhash64(id_c), F.lit(self.n_key_buckets)),
@@ -390,6 +404,7 @@ class IncrementalDeduper:
                 .partitionBy("kb", "batch")
                 .parquet(self.keys_path)
             )
+        sigs.unpersist()
         keys.unpersist()
         accepted.unpersist()
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
