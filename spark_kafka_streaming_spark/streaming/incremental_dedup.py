@@ -49,12 +49,14 @@ normalized subtrees under ``store_path``:
   partition overwrite — replaying batch N after a crash overwrites
   exactly its own leaves (exactly-once, same pattern as
   tests/test_streaming_extra.py).
-* ``compact()`` (optionally every ``compact_every`` batches) folds the
-  accumulated per-batch leaves of both subtrees into a single sorted
-  ``batch=-1`` base per bucket, bounding file counts.  The rewrite
-  goes through a temp directory + rename; a production deployment
-  would put the store in a transactional table format (Delta/Iceberg)
-  and get the same move atomically.
+* ``compact()`` (optionally every ``compact_every`` batches) runs the
+  TIERED per-bucket fold shared with the index/spans/vectors stores
+  (:mod:`.fold`): trigger leaves merge into sorted runs (work ∝ data
+  since the last compact), runs collapse into the bucket's base at a
+  staggered bound, and a watermark marker makes a trigger replayed
+  after its fold exactly-once.  A production deployment would put the
+  store in a transactional table format (Delta/Iceberg) and get the
+  same moves as atomic metadata commits.
 """
 
 from __future__ import annotations
@@ -65,7 +67,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .swap import commit_swap, recover_swap, swap_lock
+from .fold import compact_tiered, fold_filter, folded_bounds
+from .swap import recover_swap, swap_lock
 from ..functions import texthash as TH
 
 #: Directory-level hash buckets on the LSH key. At cluster scale this
@@ -176,16 +179,28 @@ class IncrementalDeduper:
         recover_swap(self.hashes_path)
 
     def _store_keys(self, spark: SparkSession) -> DataFrame | None:
-        """The narrow band-key index (doc_id, band, key, kb, batch)."""
+        """The narrow band-key index (doc_id, band, key, kb, batch).
+        The tiered-fold watermark filter drops trigger leaves already
+        folded into a run (exactly-once across compaction; both filter
+        columns are partition columns, so it prunes directories)."""
         if not os.path.exists(self.keys_path):
             return None
-        return spark.read.parquet(self.keys_path)
+        return fold_filter(
+            spark.read.parquet(self.keys_path),
+            "kb",
+            folded_bounds(self.keys_path, "kb"),
+        )
 
     def _store_hashes(self, spark: SparkSession) -> DataFrame | None:
-        """The per-doc exact-verify payload (doc_id, hs, hb, batch)."""
+        """The per-doc exact-verify payload (doc_id, hs, hb, batch);
+        watermark-filtered like the key index."""
         if not os.path.exists(self.hashes_path):
             return None
-        return spark.read.parquet(self.hashes_path)
+        return fold_filter(
+            spark.read.parquet(self.hashes_path),
+            "hb",
+            folded_bounds(self.hashes_path, "hb"),
+        )
 
     def _verify(self, cand: DataFrame) -> DataFrame:
         """Exact-Jaccard filter on candidate pairs → distinct dup ids."""
@@ -286,34 +301,36 @@ class IncrementalDeduper:
         )
         return self._verify(cand)
 
-    def compact(self, spark: SparkSession) -> None:
-        """Fold all ``batch=N`` leaves of both subtrees into one sorted
-        ``batch=-1`` base per bucket (bounds the store's file count; run
-        every ``compact_every`` batches or offline)."""
+    def compact(self, spark: SparkSession) -> dict[str, dict[str, int]]:
+        """Tiered per-bucket fold of both subtrees
+        (:func:`..fold.compact_tiered` — the same LSM shape as the
+        index/spans/vectors stores): buckets that accumulated trigger
+        leaves get ONLY those leaves rewritten into one sorted run;
+        runs fold into the bucket's base at the staggered run bound.
+        Per-compact work is bounded by data since the last compact
+        plus amortized majors, never store size.  Both subtrees are
+        append-only (one row per (doc, band) key / per doc), so the
+        fold is a plain rewrite.  The store lock spans both subtree
+        folds so a reader never pins one folded and one unfolded
+        subtree mid-swap."""
+        id_c = self.id_col
         with swap_lock(self.store_path):
             self._recover()
-            keys = self._store_keys(spark)
-            if keys is not None:
-                (
-                    keys.withColumn("batch", F.lit(-1))
-                    .repartition(F.col("kb"))
-                    .sortWithinPartitions("key")
-                    .write.mode("overwrite")
-                    .partitionBy("kb", "batch")
-                    .parquet(self.keys_path + ".compact.tmp")
-                )
-                commit_swap(self.keys_path)
-            hashes = self._store_hashes(spark)
-            if hashes is not None:
-                (
-                    hashes.withColumn("batch", F.lit(-1))
-                    .repartition(F.col("hb"))
-                    .sortWithinPartitions(self.id_col)
-                    .write.mode("overwrite")
-                    .partitionBy("hb", "batch")
-                    .parquet(self.hashes_path + ".compact.tmp")
-                )
-                commit_swap(self.hashes_path)
+            stats_k = compact_tiered(
+                spark,
+                self.keys_path,
+                "kb",
+                lambda df: df.select(id_c, "band", "key", "kb"),
+                sort_col="key",
+            )
+            stats_h = compact_tiered(
+                spark,
+                self.hashes_path,
+                "hb",
+                lambda df: df.select(id_c, "hs", "hb"),
+                sort_col=id_c,
+            )
+        return {"keys": stats_k, "hashes": stats_h}
 
     # -- the foreachBatch hook -----------------------------------------
     def __call__(self, batch: DataFrame, batch_id: int) -> None:

@@ -148,23 +148,30 @@ def test_store_probe_broadcasts_batch_and_prunes_store(spark, tmp_path):
 def test_compaction_preserves_store_and_dedups(spark, tmp_path):
     store = str(tmp_path / "sigstore")
     accepted = str(tmp_path / "accepted")
+    # 2 buckets so consecutive batches are guaranteed to land trigger
+    # leaves in the same bucket (the tiered fold needs >= leaf_bound)
     dedup = IncrementalDeduper(
-        store, accepted, jaccard_threshold=0.5, compact_every=2
+        store, accepted, jaccard_threshold=0.5, compact_every=2,
+        n_key_buckets=2,
     )
     dedup(spark.createDataFrame([(1, BASE)], DOC_SCHEMA), 0)
     dedup(spark.createDataFrame([(3, OTHER)], DOC_SCHEMA), 1)
     dedup(spark.createDataFrame([(5, "unrelated fresh tokens everywhere")], DOC_SCHEMA), 2)
-    # batch 2 triggered compaction: all leaves of BOTH subtrees folded
-    # into batch=-1
-    for sub in ("keys", "hashes"):
-        batches = {
-            r.batch
-            for r in spark.read.parquet(f"{store}/{sub}")
-            .select("batch")
-            .distinct()
-            .collect()
-        }
-        assert batches == {-1}, sub
+    # batch 2 triggered the tiered compaction: buckets that saw >= 2
+    # trigger leaves folded them into a run (negative batch id) and
+    # left a watermark marker; single-leaf buckets keep their leaf
+    from spark_kafka_streaming_spark.streaming.fold import folded_bounds
+
+    folded = False
+    for sub, bcol in (("keys", "kb"), ("hashes", "hb")):
+        bounds = folded_bounds(f"{store}/{sub}", bcol)
+        folded = folded or bool(bounds)
+        for val, b in bounds.items():
+            for n in range(b + 1):
+                assert not os.path.exists(
+                    f"{store}/{sub}/{bcol}={val}/batch={n}"
+                ), (sub, val, n)
+    assert folded, "no bucket folded — compaction did not run"
     # post-compaction probes still reject cross-batch near-dups
     dedup(spark.createDataFrame([(9, BASE + " extra")], DOC_SCHEMA), 3)
     got = sorted(

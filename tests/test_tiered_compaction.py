@@ -218,3 +218,56 @@ def test_spans_and_vectors_tiered_compact_roundtrip(spark, tmp_path):
     # replay after fold: exactly-once for the vector store too
     vx(emb.filter("vec_id >= 20"), 1)
     assert sorted(map(tuple, vx.topk(q, k=3, n_probe=2).collect())) == want_v
+
+
+def test_dedup_store_replay_after_fold_exactly_once(spark, tmp_path):
+    """The dedup signature store shares the tiered fold: a trigger
+    replayed after its leaves were folded must neither duplicate store
+    rows (watermark shadowing) nor change accept decisions."""
+    from spark_kafka_streaming_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+
+    BASE = "the quick brown fox jumps over the lazy dog again and again today"
+    store = str(tmp_path / "sig")
+    dd = IncrementalDeduper(
+        store, str(tmp_path / "acc"), jaccard_threshold=0.5,
+        n_key_buckets=2,
+    )
+    b0 = spark.createDataFrame(
+        [(i, f"{BASE} variant {i} {'x ' * i}") for i in range(1, 6)],
+        "doc_id bigint, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(10 + i, f"fresh unrelated words {i} about streams and state "
+                  f"{'y ' * i}") for i in range(5)],
+        "doc_id bigint, text string",
+    )
+    dd(b0, 0)
+    dd(b1, 1)
+    keys_before = sorted(
+        map(tuple, dd._store_keys(spark).drop("batch").collect())
+    )
+    hashes_before = sorted(
+        map(tuple, dd._store_hashes(spark).drop("batch").collect())
+    )
+    dd.compact(spark)
+    assert sorted(
+        map(tuple, dd._store_keys(spark).drop("batch").collect())
+    ) == keys_before
+    dd(b1, 1)  # replay after the fold
+    assert sorted(
+        map(tuple, dd._store_keys(spark).drop("batch").collect())
+    ) == keys_before, "replayed folded leaves duplicated the key index"
+    assert sorted(
+        map(tuple, dd._store_hashes(spark).drop("batch").collect())
+    ) == hashes_before, "replayed folded leaves duplicated the hash table"
+    # and a near-dup of an accepted doc is still rejected post-replay
+    dd(spark.createDataFrame(
+        [(99, BASE + " variant 1 x extra")], "doc_id bigint, text string"
+    ), 2)
+    acc = {
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "acc")).collect()
+    }
+    assert 99 not in acc
