@@ -80,14 +80,17 @@ LEAF_BOUND = 2
 RUN_BOUND = 8
 
 
-def folded_bounds(path: str, bucket_col: str) -> dict[int, int]:
-    """bucket value → highest trigger batch id already folded into a
-    run (from the ``_folded_up_to_<B>`` markers inside run leaves)."""
+def _walk_bounds(
+    path: str, bucket_col: str
+) -> tuple[dict[int, int], set[int]]:
+    """(bucket value → highest folded trigger batch id, ALL bucket
+    values present) from one directory walk."""
     out: dict[int, int] = {}
+    all_buckets: set[int] = set()
     try:
         names = os.listdir(path)
     except FileNotFoundError:
-        return out
+        return out, all_buckets
     prefix = bucket_col + "="
     for name in names:
         if not name.startswith(prefix):
@@ -95,6 +98,8 @@ def folded_bounds(path: str, bucket_col: str) -> dict[int, int]:
         bdir = os.path.join(path, name)
         if not os.path.isdir(bdir):
             continue
+        val = int(name[len(prefix):])
+        all_buckets.add(val)
         bounds = []
         for leaf in os.listdir(bdir):
             ldir = os.path.join(bdir, leaf)
@@ -104,8 +109,14 @@ def folded_bounds(path: str, bucket_col: str) -> dict[int, int]:
                 if f.startswith(FOLD_MARKER_PREFIX):
                     bounds.append(int(f[len(FOLD_MARKER_PREFIX):]))
         if bounds:
-            out[int(name[len(prefix):])] = max(bounds)
-    return out
+            out[val] = max(bounds)
+    return out, all_buckets
+
+
+def folded_bounds(path: str, bucket_col: str) -> dict[int, int]:
+    """bucket value → highest trigger batch id already folded into a
+    run (from the ``_folded_up_to_<B>`` markers inside run leaves)."""
+    return _walk_bounds(path, bucket_col)[0]
 
 
 def fold_filter(
@@ -124,6 +135,36 @@ def fold_filter(
         mapping[F.col(bucket_col).cast("long")], F.lit(-1)
     )
     return df.filter((F.col("batch") < 0) | (F.col("batch") > bound))
+
+
+def fold_filter_path(
+    df: DataFrame, path: str, bucket_col: str
+) -> DataFrame:
+    """:func:`fold_filter` with the watermark walk folded in — the
+    form every store read path uses.
+
+    Plan-size guard: the general filter carries one map literal PER
+    FOLDED BUCKET, which is fine for the hash-bucketed stores (32–64
+    buckets by construction) but grows with the corpus for the vector
+    store, whose bucket is the IVF cell (~√n — thousands of literals
+    in every serving plan at the later decades).  Uniform-touch
+    workloads (every trigger writes every bucket — the index store
+    always, the vector store nearly) leave EVERY bucket folded to the
+    same watermark; that case collapses to a constant two-comparison
+    predicate, so the serving plan stops growing with cell count.
+    The collapse is only sound when the shared bound covers ALL
+    buckets present: a bucket first touched after the last compact
+    has no marker, and its young leaves (possibly below the other
+    buckets' watermark) must survive the filter — verified against
+    the same directory walk."""
+    bounds, all_buckets = _walk_bounds(path, bucket_col)
+    if not bounds:
+        return df
+    vals = set(bounds.values())
+    if len(vals) == 1 and set(bounds) == all_buckets:
+        b = vals.pop()
+        return df.filter((F.col("batch") < 0) | (F.col("batch") > b))
+    return fold_filter(df, bucket_col, bounds)
 
 
 def _write_marker(leaf_dir: str, bound: int) -> None:

@@ -67,7 +67,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .fold import compact_tiered, fold_filter, folded_bounds
+from .fold import compact_tiered, fold_filter_path
 from .swap import recover_swap, swap_lock
 from ..functions import texthash as TH
 
@@ -185,10 +185,8 @@ class IncrementalDeduper:
         columns are partition columns, so it prunes directories)."""
         if not os.path.exists(self.keys_path):
             return None
-        return fold_filter(
-            spark.read.parquet(self.keys_path),
-            "kb",
-            folded_bounds(self.keys_path, "kb"),
+        return fold_filter_path(
+            spark.read.parquet(self.keys_path), self.keys_path, "kb"
         )
 
     def _store_hashes(self, spark: SparkSession) -> DataFrame | None:
@@ -196,10 +194,8 @@ class IncrementalDeduper:
         watermark-filtered like the key index."""
         if not os.path.exists(self.hashes_path):
             return None
-        return fold_filter(
-            spark.read.parquet(self.hashes_path),
-            "hb",
-            folded_bounds(self.hashes_path, "hb"),
+        return fold_filter_path(
+            spark.read.parquet(self.hashes_path), self.hashes_path, "hb"
         )
 
     def _verify(self, cand: DataFrame) -> DataFrame:

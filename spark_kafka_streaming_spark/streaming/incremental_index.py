@@ -36,7 +36,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .fold import compact_tiered, fold_filter, folded_bounds
+from .fold import compact_tiered, fold_filter_path
 from .swap import pin_store, recover_swap, swap_lock
 from ..operators import index as IX
 
@@ -85,9 +85,7 @@ class IncrementalIndexer:
             path = pin_store(self.store_path)
             if path is None:
                 return None
-        return fold_filter(
-            spark.read.parquet(path), "tb", folded_bounds(path, "tb")
-        )
+        return fold_filter_path(spark.read.parquet(path), path, "tb")
 
     def _merged_tf(
         self, spark: SparkSession, live: bool = False

@@ -36,7 +36,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .fold import compact_tiered, fold_filter, folded_bounds
+from .fold import compact_tiered, fold_filter_path
 from .swap import pin_store, recover_swap, swap_lock
 from ..operators.dedup import span_occurrences, span_stats_from
 
@@ -84,9 +84,7 @@ class IncrementalSpanDeduper:
             path = pin_store(self.store_path)
             if path is None:
                 return None
-        return fold_filter(
-            spark.read.parquet(path), "hb", folded_bounds(path, "hb")
-        )
+        return fold_filter_path(spark.read.parquet(path), path, "hb")
 
     def merged(
         self, spark: SparkSession, live: bool = False

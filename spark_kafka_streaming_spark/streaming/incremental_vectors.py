@@ -51,7 +51,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .fold import compact_tiered, fold_filter, folded_bounds
+from .fold import compact_tiered, fold_filter_path
 from .swap import pin_store, recover_swap, swap_lock
 from ..functions import vectors as V
 from ..operators.similarity import _cells_arrow, _scaled, nearest_cells_sql
@@ -188,8 +188,8 @@ class IncrementalVectorIndexer:
         )
         # tiered-fold watermark filter: a trigger leaf replayed after
         # its fold is ignored (exactly-once across compaction)
-        store = fold_filter(
-            spark.read.parquet(pin), "cell", folded_bounds(pin, "cell")
+        store = fold_filter_path(
+            spark.read.parquet(pin), pin, "cell"
         ).filter(F.col("cell").isin(probed))
         cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
         pair_cos = (

@@ -196,7 +196,9 @@ def serve_read(spark, store_path: str):
     return spark.read.parquet(pin)
 
 
-def export_snapshot(store_path: str, dest: str) -> str:
+def export_snapshot(
+    store_path: str, dest: str, link_base: str | None = None
+) -> str:
     """Export a consistent snapshot of the store tree to ``dest`` for
     CROSS-PROCESS serving — the piece :func:`serve_read` deliberately
     does not cover (its pins rest on an in-process lock and
@@ -219,6 +221,19 @@ def export_snapshot(store_path: str, dest: str) -> str:
     format gets the same isolation from its immutable file set + a
     metadata pointer; here the hardlink tree is the immutable file set
     and the final rename is the pointer flip.
+
+    ``link_base`` makes repeated CROSS-filesystem exports incremental
+    (the same-fs case is already metadata-only): when the direct
+    hardlink fails (EXDEV), a file whose relpath exists in
+    ``link_base`` — normally the PREVIOUS export, which shares dest's
+    filesystem — with identical size and mtime_ns is hardlinked from
+    there instead of copied.  Store files are immutable once written
+    (leaves/runs only ever rename in whole; ``shutil.copy2``
+    preserves mtime), so size+mtime_ns equality identifies the same
+    bytes; only files new since the previous export pay a copy —
+    Iceberg's incremental snapshot publish, where a new version's
+    manifest mostly points at data files the previous version already
+    shipped.
     """
     import json
 
@@ -243,7 +258,25 @@ def export_snapshot(store_path: str, dest: str) -> str:
                 try:
                     os.link(src, dst)
                 except OSError:
-                    shutil.copy2(src, dst)
+                    prev = (
+                        os.path.join(link_base, rel, f)
+                        if link_base is not None
+                        else None
+                    )
+                    linked = False
+                    if prev is not None:
+                        try:
+                            s_new, s_old = os.stat(src), os.stat(prev)
+                            if (
+                                s_new.st_size == s_old.st_size
+                                and s_new.st_mtime_ns == s_old.st_mtime_ns
+                            ):
+                                os.link(prev, dst)
+                                linked = True
+                        except OSError:
+                            linked = False
+                    if not linked:
+                        shutil.copy2(src, dst)
                 n_files += 1
                 n_bytes += os.path.getsize(src)
     with open(os.path.join(tmp, "_snapshot_manifest.json"), "w") as fh:
@@ -266,6 +299,102 @@ def snapshot_manifest(dest: str) -> dict:
 
     with open(os.path.join(dest, "_snapshot_manifest.json")) as fh:
         return json.load(fh)
+
+
+#: version-directory prefix of a snapshot chain root
+SNAPSHOT_VERSION_PREFIX = "v="
+
+
+def snapshot_versions(root: str) -> list[int]:
+    """Sorted COMPLETE snapshot versions under a chain root: ``v=N``
+    directories holding a manifest.  Crashed ``*.exporting`` trees and
+    foreign names are ignored (an export becomes visible only through
+    its final rename, so a listed version is always whole)."""
+    out = []
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        return out
+    for name in names:
+        if not name.startswith(SNAPSHOT_VERSION_PREFIX):
+            continue
+        tail = name[len(SNAPSHOT_VERSION_PREFIX):]
+        if not tail.isdigit():
+            continue
+        if os.path.isfile(
+            os.path.join(root, name, "_snapshot_manifest.json")
+        ):
+            out.append(int(tail))
+    return sorted(out)
+
+
+def latest_snapshot(root: str) -> str | None:
+    """Path of the newest complete snapshot in the chain (the reader's
+    entry point — the Iceberg ``current-snapshot-id`` pointer), or
+    None for an empty/missing chain."""
+    vers = snapshot_versions(root)
+    if not vers:
+        return None
+    return os.path.join(root, f"{SNAPSHOT_VERSION_PREFIX}{vers[-1]}")
+
+
+def publish_snapshot(
+    store_path: str, root: str, keep: int | None = None
+) -> str:
+    """Publish the store's next snapshot version into the chain at
+    ``root`` (``root/v=1``, ``v=2``, …) and return its path — the
+    recurring form of :func:`export_snapshot` a serving deployment
+    runs on a cadence: each publish is a complete immutable tree, the
+    previous version keeps serving until its readers move on, and
+    ``keep`` applies :func:`expire_snapshots` retention afterwards.
+
+    The previous version is passed as ``link_base``, so on a
+    cross-filesystem chain each publish copies only files NEW since
+    the last one (same-fs chains hardlink everything either way).
+    Single-publisher contract, same as the store itself: version
+    numbering is read-then-rename without a cross-process lock.
+    """
+    os.makedirs(root, exist_ok=True)
+    prev = latest_snapshot(root)
+    nxt = (snapshot_versions(root)[-1] if prev else 0) + 1
+    dest = export_snapshot(
+        store_path,
+        os.path.join(root, f"{SNAPSHOT_VERSION_PREFIX}{nxt}"),
+        link_base=prev,
+    )
+    if keep is not None:
+        expire_snapshots(root, keep)
+    return dest
+
+
+def expire_snapshots(root: str, keep: int) -> list[str]:
+    """Retention for a snapshot chain: drop all but the newest
+    ``keep`` complete versions (plus any crashed ``*.exporting``
+    trees) and return the removed paths.  ``keep`` must be ≥ 1 — the
+    chain never expires its only serving copy.  Expiring a version a
+    reader still holds open invalidates that reader (files vanish
+    under its lazy plan) — the exact contract of Iceberg
+    ``expire_snapshots`` ending time-travel to old versions; retention
+    is the operator's promise about how long readers may hold a
+    version.  Hardlinked chains reclaim real disk only when the LAST
+    version referencing a file expires."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    removed = []
+    for v in snapshot_versions(root)[:-keep]:
+        p = os.path.join(root, f"{SNAPSHOT_VERSION_PREFIX}{v}")
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(p)
+    try:
+        names = os.listdir(root)
+    except FileNotFoundError:
+        names = []
+    for name in names:
+        if name.endswith(".exporting"):
+            p = os.path.join(root, name)
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+    return removed
 
 
 def recover_swap(store_path: str) -> None:

@@ -271,3 +271,65 @@ def test_dedup_store_replay_after_fold_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "acc")).collect()
     }
     assert 99 not in acc
+
+
+def _kv_leaf(spark, store, batch, buckets, v=1):
+    df = (
+        spark.createDataFrame(
+            [(b, f"k{b}", v) for b in buckets], "tb int, k string, v int"
+        )
+        .withColumn("batch", F.lit(batch))
+    )
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("tb", "batch")
+        .parquet(store)
+    )
+
+
+def _kv_fold(df):
+    return df.groupBy("tb", "k").agg(F.sum("v").alias("v"))
+
+
+def test_fold_filter_path_uniform_collapse_and_first_touch_bucket(
+    spark, tmp_path
+):
+    """The serving-plan size guard: with every bucket folded to one
+    watermark the filter is a constant predicate (no per-bucket map
+    literal — the vector store's cell count would otherwise grow every
+    serving plan), and the collapse is withheld the moment a bucket
+    exists that the shared bound does not cover, so a first-touch
+    bucket's young leaves survive."""
+    from spark_kafka_streaming_spark.streaming.fold import fold_filter_path
+
+    store = str(tmp_path / "kv")
+    _kv_leaf(spark, store, 0, [0, 1, 2, 3])
+    _kv_leaf(spark, store, 1, [0, 1, 2, 3])
+    compact_tiered(spark, store, "tb", _kv_fold, sort_col="k", leaf_bound=2)
+    assert set(folded_bounds(store, "tb").values()) == {1}
+
+    out = fold_filter_path(spark.read.parquet(store), store, "tb")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "map(" not in plan, "uniform watermark should not build a map"
+    rows = {(r.tb, r.k, r.v) for r in out.collect()}
+    assert rows == {(b, f"k{b}", 2) for b in range(4)}
+
+    # a replayed (already-folded) leaf is dropped by the constant
+    # predicate exactly as by the map form
+    _kv_leaf(spark, store, 1, [0], v=100)
+    out = fold_filter_path(spark.read.parquet(store), store, "tb")
+    assert {(r.tb, r.k, r.v) for r in out.collect()} == {
+        (b, f"k{b}", 2) for b in range(4)
+    }
+
+    # first-touch bucket: tb=9 appears AFTER the fold with a young
+    # batch=0 leaf (below the others' watermark).  The shared bound no
+    # longer covers all buckets, so the filter must fall back to the
+    # per-bucket map and keep tb=9's rows.
+    _kv_leaf(spark, store, 0, [9])
+    out = fold_filter_path(spark.read.parquet(store), store, "tb")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "map(" in plan, "partial coverage must use the per-bucket map"
+    rows = {(r.tb, r.k, r.v) for r in out.collect()}
+    assert rows == {(b, f"k{b}", 2) for b in range(4)} | {(9, "k9", 1)}
