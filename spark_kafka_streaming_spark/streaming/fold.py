@@ -69,6 +69,7 @@ from pyspark.sql import functions as F
 from .swap import (
     BUCKET_TMP_SUFFIX,
     FOLD_MARKER_PREFIX,
+    pin_store,
     recover_swap,
     swap_buckets,
     swap_lock,
@@ -158,6 +159,15 @@ def fold_filter_path(
     buckets' watermark) must survive the filter — verified against
     the same directory walk."""
     bounds, all_buckets = _walk_bounds(path, bucket_col)
+    return _apply_fold_filter(df, bucket_col, bounds, all_buckets)
+
+
+def _apply_fold_filter(
+    df: DataFrame,
+    bucket_col: str,
+    bounds: dict[int, int],
+    all_buckets: set[int],
+) -> DataFrame:
     if not bounds:
         return df
     vals = set(bounds.values())
@@ -165,6 +175,84 @@ def fold_filter_path(
         b = vals.pop()
         return df.filter((F.col("batch") < 0) | (F.col("batch") > b))
     return fold_filter(df, bucket_col, bounds)
+
+
+def read_store(
+    spark: SparkSession,
+    store_path: str,
+    bucket_col: str,
+    live: bool = False,
+) -> DataFrame | None:
+    """The tiered stores' shared read: ``live=True`` is the
+    writer-internal read (recover, read the store tree under the
+    caller-held lock), the default is the SERVING read (snapshot-
+    isolated hardlink pin via :func:`..swap.pin_store`).  Both apply
+    the fold watermark filter; the serving path collects the markers
+    DURING the pin's own hardlink walk instead of re-walking the pin
+    tree — at the vector store's cell counts the second listdir
+    cascade per read is real metadata cost.  Returns None when the
+    store does not exist."""
+    if live:
+        recover_swap(store_path)
+        if not os.path.exists(store_path):
+            return None
+        return fold_filter_path(
+            spark.read.parquet(store_path), store_path, bucket_col
+        )
+    bounds: dict[int, int] = {}
+    buckets: set[int] = set()
+    prefix = bucket_col + "="
+
+    def visit(rel: str, fname: str) -> None:
+        head = rel.split(os.sep, 1)[0]
+        if not head.startswith(prefix):
+            return
+        val = int(head[len(prefix):])
+        # only files imply rows/markers: an empty bucket dir cannot
+        # hold young leaves, so it cannot invalidate the uniform
+        # collapse in _apply_fold_filter
+        buckets.add(val)
+        if fname.startswith(FOLD_MARKER_PREFIX):
+            b = int(fname[len(FOLD_MARKER_PREFIX):])
+            if b > bounds.get(val, -1):
+                bounds[val] = b
+
+    pin = pin_store(store_path, file_visitor=visit)
+    if pin is None:
+        return None
+    return _apply_fold_filter(
+        spark.read.parquet(pin), bucket_col, bounds, buckets
+    )
+
+
+def guard_batch_id(path: str, bucket_col: str, batch_id: int) -> None:
+    """Refuse a trigger write whose batch id fell BEHIND the store's
+    fold watermark — the loud form of a silent-data-loss hazard.
+
+    The watermark contract assumes one stream with one checkpoint:
+    batch ids only grow, and the only id that can legitimately
+    reappear is the LAST one (foreachBatch replays exactly the
+    uncommitted tail batch, which a compact inside the same call may
+    already have folded — so equality with the bound is allowed).  An
+    id STRICTLY below the store's highest folded bound means the
+    stream was re-keyed — a fresh checkpoint directory over an
+    existing store restarts numbering at 0 — and every such write
+    would be treated as an already-folded replay: filtered from every
+    read and physically swept by the next compact.  Raise instead;
+    the operator either restores the checkpoint or rebuilds/exports
+    the store under the new stream."""
+    bounds = folded_bounds(path, bucket_col)
+    top = max(bounds.values(), default=-1)
+    if batch_id < top:
+        raise ValueError(
+            f"batch id {batch_id} is behind the fold watermark {top} "
+            f"of store {path!r}: this stream's checkpoint does not "
+            "match the store (a fresh checkpoint restarts batch "
+            "numbering, and these writes would be silently dropped "
+            "as already-folded replays). Restore the original "
+            "checkpoint, or rebuild the store / start a fresh "
+            "store_path for the new stream."
+        )
 
 
 def _write_marker(leaf_dir: str, bound: int) -> None:

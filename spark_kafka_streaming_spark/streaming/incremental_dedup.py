@@ -67,7 +67,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .fold import compact_tiered, fold_filter_path
+from .fold import compact_tiered, fold_filter_path, guard_batch_id
 from .swap import recover_swap, swap_lock
 from ..functions import texthash as TH
 
@@ -331,6 +331,10 @@ class IncrementalDeduper:
     # -- the foreachBatch hook -----------------------------------------
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
         self._recover()
+        # refuse re-keyed streams up front, before ANY write (the
+        # accepted-docs write precedes the signature writes)
+        guard_batch_id(self.keys_path, "kb", batch_id)
+        guard_batch_id(self.hashes_path, "hb", batch_id)
         spark = batch.sparkSession
         id_c = self.id_col
         # sigs (one row per doc) is persisted alongside the exploded

@@ -31,13 +31,12 @@ Store layout (the 100 TB shape, mirroring
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .fold import compact_tiered, fold_filter_path
-from .swap import pin_store, recover_swap, swap_lock
+from .fold import compact_tiered, guard_batch_id, read_store
+from .swap import recover_swap, swap_lock
 from ..operators import index as IX
 
 #: Directory-level hash buckets on term. Sized at cluster scale so one
@@ -76,16 +75,7 @@ class IncrementalIndexer:
         watermark filter (:func:`..fold.fold_filter`) so a trigger
         leaf replayed after its fold is ignored — exactly-once across
         the compaction boundary."""
-        if live:
-            recover_swap(self.store_path)
-            if not os.path.exists(self.store_path):
-                return None
-            path = self.store_path
-        else:
-            path = pin_store(self.store_path)
-            if path is None:
-                return None
-        return fold_filter_path(spark.read.parquet(path), path, "tb")
+        return read_store(spark, self.store_path, "tb", live=live)
 
     def _merged_tf(
         self, spark: SparkSession, live: bool = False
@@ -196,6 +186,7 @@ class IncrementalIndexer:
         # serve_read pins pre- or post-batch state, never a torn leaf.
         with swap_lock(self.store_path):
             recover_swap(self.store_path)
+            guard_batch_id(self.store_path, "tb", batch_id)
             (
                 tf.withColumn(
                     "tb",

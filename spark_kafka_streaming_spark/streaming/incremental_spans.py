@@ -31,13 +31,12 @@ Store layout (the 100 TB shape):
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .fold import compact_tiered, fold_filter_path
-from .swap import pin_store, recover_swap, swap_lock
+from .fold import compact_tiered, guard_batch_id, read_store
+from .swap import recover_swap, swap_lock
 from ..operators.dedup import span_occurrences, span_stats_from
 
 #: Directory-level hash buckets on the window hash. Sized at cluster
@@ -75,16 +74,7 @@ class IncrementalSpanDeduper:
         tiered-fold watermark filter so a trigger leaf replayed after
         its fold is ignored — exactly-once across the compaction
         boundary."""
-        if live:
-            recover_swap(self.store_path)
-            if not os.path.exists(self.store_path):
-                return None
-            path = self.store_path
-        else:
-            path = pin_store(self.store_path)
-            if path is None:
-                return None
-        return fold_filter_path(spark.read.parquet(path), path, "hb")
+        return read_store(spark, self.store_path, "hb", live=live)
 
     def merged(
         self, spark: SparkSession, live: bool = False
@@ -142,6 +132,7 @@ class IncrementalSpanDeduper:
         # serve_read pins pre- or post-batch state, never a torn leaf.
         with swap_lock(self.store_path):
             recover_swap(self.store_path)
+            guard_batch_id(self.store_path, "hb", batch_id)
             (
                 partial.withColumn(
                     "hb", F.pmod(F.xxhash64("h"), F.lit(self.n_hash_buckets))

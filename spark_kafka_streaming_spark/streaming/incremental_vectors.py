@@ -45,14 +45,13 @@ Design (the 100 TB shape):
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from .fold import compact_tiered, fold_filter_path
-from .swap import pin_store, recover_swap, swap_lock
+from .fold import compact_tiered, guard_batch_id, read_store
+from .swap import recover_swap, swap_lock
 from ..functions import vectors as V
 from ..operators.similarity import _cells_arrow, _scaled, nearest_cells_sql
 
@@ -131,6 +130,7 @@ class IncrementalVectorIndexer:
         # pins pre- or post-batch state, never a torn leaf.
         with swap_lock(self.cells_path):
             recover_swap(self.cells_path)
+            guard_batch_id(self.cells_path, "cell", batch_id)
             (
                 assigned
                 .select("c_id", "c_v", "c_n", "cell")
@@ -172,10 +172,12 @@ class IncrementalVectorIndexer:
         ingested vectors with the same snapshot."""
         spark = queries.sparkSession
         cents = self.centroids(spark)
-        # Snapshot-isolated serving read: the pinned tree survives
-        # concurrent triggers/compactions (see ..swap docstring).
-        pin = pin_store(self.cells_path)
-        if cents is None or pin is None:
+        # Snapshot-isolated serving read (hardlink pin) with the
+        # tiered-fold watermark filter applied from the pin walk
+        # itself — a trigger leaf replayed after its fold is ignored
+        # (exactly-once across compaction).
+        pinned = read_store(spark, self.cells_path, "cell")
+        if cents is None or pinned is None:
             return None
         q_scaled = _scaled(queries, self.id_col, self.vec_col, "q")
         q_cells = nearest_cells_sql(
@@ -186,11 +188,7 @@ class IncrementalVectorIndexer:
         probed = sorted(
             {r["cell"] for r in q_cells.select("cell").distinct().collect()}
         )
-        # tiered-fold watermark filter: a trigger leaf replayed after
-        # its fold is ignored (exactly-once across compaction)
-        store = fold_filter_path(
-            spark.read.parquet(pin), pin, "cell"
-        ).filter(F.col("cell").isin(probed))
+        store = pinned.filter(F.col("cell").isin(probed))
         cos = F.expr(V.spark_cosine(V.spark_dot("q_v", "c_v"), "q_n", "c_n"))
         pair_cos = (
             q_cells.join(store, "cell")

@@ -153,14 +153,21 @@ def _gc_pins(reads_dir: str, now: float) -> None:
             continue
 
 
-def pin_store(store_path: str) -> str | None:
+def pin_store(store_path: str, file_visitor=None) -> str | None:
     """Snapshot-isolate the store tree: hardlink every file into a
     fresh pin directory (``<store>.reads/pin-<uuid>``) under the
     store lock, so the pinned paths survive any later swap or leaf
     rewrite (the inodes stay live until the pin is GC'd).  Returns
     the pin path, or None when the store does not exist.  Metadata
     cost only — no data bytes are copied; requires pins and store on
-    one filesystem (they share a parent directory)."""
+    one filesystem (they share a parent directory).
+
+    ``file_visitor(rel_dir, filename)`` is called for every linked
+    file; callers that need per-file metadata (the tiered-fold
+    watermark markers) collect it during THIS walk instead of
+    re-walking the pin tree afterwards — at the vector store's cell
+    counts the second listdir cascade per serving read is real
+    money."""
     import time
 
     reads_dir = store_path + ".reads"
@@ -176,6 +183,8 @@ def pin_store(store_path: str) -> str | None:
             os.makedirs(dst_root, exist_ok=True)
             for f in files:
                 os.link(os.path.join(root, f), os.path.join(dst_root, f))
+                if file_visitor is not None:
+                    file_visitor(rel, f)
         return pin
 
 
@@ -245,10 +254,15 @@ def export_snapshot(
     n_files = 0
     n_bytes = 0
     with swap_lock(store_path):
-        recover_swap(store_path)
+        recover_tree(store_path)
         if not os.path.exists(store_path):
             raise FileNotFoundError(f"no store at {store_path}")
-        for root, _dirs, files in os.walk(store_path):
+        for root, dirs, files in os.walk(store_path):
+            # never ship swap scratch / pin trees / crashed exports
+            # nested beside a subtree store (keys.reads etc.)
+            dirs[:] = [
+                d for d in dirs if not d.endswith(SIDECAR_SUFFIXES)
+            ]
             rel = os.path.relpath(root, store_path)
             dst_root = os.path.join(tmp, rel) if rel != "." else tmp
             os.makedirs(dst_root, exist_ok=True)
@@ -355,11 +369,17 @@ def publish_snapshot(
     numbering is read-then-rename without a cross-process lock.
     """
     os.makedirs(root, exist_ok=True)
-    prev = latest_snapshot(root)
-    nxt = (snapshot_versions(root)[-1] if prev else 0) + 1
+    vers = snapshot_versions(root)
+    prev = (
+        os.path.join(root, f"{SNAPSHOT_VERSION_PREFIX}{vers[-1]}")
+        if vers
+        else None
+    )
     dest = export_snapshot(
         store_path,
-        os.path.join(root, f"{SNAPSHOT_VERSION_PREFIX}{nxt}"),
+        os.path.join(
+            root, f"{SNAPSHOT_VERSION_PREFIX}{(vers[-1] if vers else 0) + 1}"
+        ),
         link_base=prev,
     )
     if keep is not None:
@@ -395,6 +415,46 @@ def expire_snapshots(root: str, keep: int) -> list[str]:
             shutil.rmtree(p, ignore_errors=True)
             removed.append(p)
     return removed
+
+
+#: sidecar directories that live BESIDE a store (or nested store) and
+#: must never ship in an export: swap scratch, pin trees, crashed
+#: exports.
+SIDECAR_SUFFIXES = (
+    ".aside",
+    ".compact.tmp",
+    ".old",
+    BUCKET_TMP_SUFFIX,
+    ".reads",
+    ".exporting",
+)
+
+
+def recover_tree(store_path: str) -> None:
+    """:func:`recover_swap` for a store ROOT that may contain NESTED
+    stores — the dedup store's ``keys/`` and ``hashes/`` subtrees.
+    The root-level recover only looks for sidecars beside the root,
+    so an export (or any whole-tree consumer) taken after a crash and
+    before the store's own write path runs ``_recover`` would ship a
+    subtree with a bucket still renamed aside — silently invisible to
+    the reader.  This walks the tree and finishes every interrupted
+    swap whose sidecar directory is present, at any depth."""
+    recover_swap(store_path)
+    if not os.path.isdir(store_path):
+        return
+    for root, dirs, _files in os.walk(store_path):
+        pending = []
+        for d in list(dirs):
+            for suf in (".aside", ".compact.tmp", ".old", BUCKET_TMP_SUFFIX):
+                if d.endswith(suf):
+                    pending.append(d[: -len(suf)])
+                    dirs.remove(d)
+                    break
+            else:
+                if d.endswith((".reads", ".exporting")):
+                    dirs.remove(d)
+        for base in dict.fromkeys(pending):
+            recover_swap(os.path.join(root, base))
 
 
 def recover_swap(store_path: str) -> None:

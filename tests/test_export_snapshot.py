@@ -149,3 +149,67 @@ def test_export_refuses_existing_dest_and_missing_store(spark, tmp_path):
     # to manifest readers
     with pytest.raises(FileNotFoundError):
         snapshot_manifest(str(tmp_path / "export2"))
+
+
+def test_export_recovers_nested_subtree_swaps_and_ships_no_sidecars(
+    spark, tmp_path
+):
+    """The dedup store is TWO nested stores (keys/, hashes/) under one
+    root; an export taken after a crash mid-bucket-swap — before the
+    store's own write path runs recovery — must finish the nested swap
+    (else the reader silently misses a bucket's signatures and accepts
+    near-dups) and must not ship swap scratch or pin trees."""
+    import glob
+    import shutil
+
+    from spark_kafka_streaming_spark.streaming.incremental_dedup import (
+        IncrementalDeduper,
+    )
+    from spark_kafka_streaming_spark.streaming.swap import serve_read
+
+    store = str(tmp_path / "dd_store")
+    dd = IncrementalDeduper(store, str(tmp_path / "acc"))
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " + " ".join(f"w{i}{j}" for j in range(8)))
+         for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    dd(docs, 0)
+
+    keys = os.path.join(store, "keys")
+    buckets = sorted(
+        os.path.basename(p) for p in glob.glob(os.path.join(keys, "kb=*"))
+    )
+    assert buckets
+    # also leave a pin tree lying around: it must not ship
+    assert serve_read(spark, keys) is not None
+    assert os.path.isdir(keys + ".reads")
+
+    # simulate a crash between swap_buckets' aside rename and the
+    # replacement's rename-in for one keys bucket
+    victim = buckets[0]
+    aside = keys + ".aside"
+    os.makedirs(aside, exist_ok=True)
+    os.rename(os.path.join(keys, victim), os.path.join(aside, victim))
+
+    dest = str(tmp_path / "export")
+    export_snapshot(store, dest)
+
+    # the nested swap was finished INTO the export (and the live store)
+    assert os.path.isdir(os.path.join(dest, "keys", victim))
+    assert os.path.isdir(os.path.join(keys, victim))
+    # no sidecar trees shipped
+    assert not glob.glob(os.path.join(dest, "**", "*.aside"), recursive=True)
+    assert not glob.glob(os.path.join(dest, "**", "*.reads"), recursive=True)
+
+    # the export serves the complete signature store: same key-index
+    # rows as the live store
+    live = sorted(
+        map(tuple, dd._store_keys(spark).drop("batch").collect())
+    )
+    exported = IncrementalDeduper(dest, str(tmp_path / "acc2"))
+    got = sorted(
+        map(tuple, exported._store_keys(spark).drop("batch").collect())
+    )
+    assert got == live
+    shutil.rmtree(dest)

@@ -333,3 +333,27 @@ def test_fold_filter_path_uniform_collapse_and_first_touch_bucket(
     assert "map(" in plan, "partial coverage must use the per-bucket map"
     rows = {(r.tb, r.k, r.v) for r in out.collect()}
     assert rows == {(b, f"k{b}", 2) for b in range(4)} | {(9, "k9", 1)}
+
+
+def test_rekeyed_stream_is_refused_loudly(spark, tmp_path):
+    """A fresh checkpoint dir restarts foreachBatch numbering at 0; a
+    batch id strictly below the store's fold watermark would be
+    silently treated as an already-folded replay (filtered from every
+    read, swept by the next compact) — the write path must raise
+    instead.  Equality with the bound stays allowed: foreachBatch
+    replays exactly the last batch, which a compact inside the same
+    call may already have folded."""
+    import pytest
+
+    store = str(tmp_path / "ix")
+    ix = IncrementalIndexer(store)
+    ix(_docs(spark, 0, 10), 0)
+    ix(_docs(spark, 10, 20), 1)
+    ix(_docs(spark, 20, 30), 2)
+    ix.compact(spark)
+    assert max(folded_bounds(store, "tb").values()) == 2
+
+    with pytest.raises(ValueError, match="behind the fold watermark"):
+        ix(_docs(spark, 0, 10), 0)  # re-keyed stream
+    ix(_docs(spark, 20, 30), 2)  # legit replay of the folded tail batch
+    ix(_docs(spark, 30, 40), 3)  # normal progress
