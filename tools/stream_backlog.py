@@ -78,9 +78,20 @@ def stage(spark, sf_dir: str, store: str, triggers: int, work: str) -> str:
     serialize their mtimes so the file stream replays them in order."""
     stage_dir = os.path.join(work, "staged")
     done = os.path.join(work, ".staged_ok")
+    # The marker records WHAT was staged: a prior run with a different
+    # trigger count or source dir must re-stage, or the file stream
+    # silently replays the stale split (bit us live: a 50-trigger run
+    # reused a 20-trigger staging and measured the wrong split).
+    stamp = f"{sf_dir}\n{triggers}\n"
     if os.path.exists(done):
-        return stage_dir
+        try:
+            if open(done).read() == stamp:
+                return stage_dir
+        except OSError:
+            pass
     shutil.rmtree(stage_dir, ignore_errors=True)
+    if os.path.exists(done):
+        os.remove(done)
     if store == "quantiles":
         df = (
             spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -156,7 +167,8 @@ def stage(spark, sf_dir: str, store: str, triggers: int, work: str) -> str:
     t0 = time.time() - 10 * len(parts)
     for i, f in enumerate(parts):
         os.utime(os.path.join(stage_dir, f), (t0 + 10 * i, t0 + 10 * i))
-    open(done, "w").close()
+    with open(done, "w") as fh:
+        fh.write(stamp)
     return stage_dir
 
 
