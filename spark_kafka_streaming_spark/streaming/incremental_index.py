@@ -193,6 +193,17 @@ class IncrementalIndexer:
                     F.pmod(F.xxhash64("term"), F.lit(self.n_term_buckets)),
                 )
                 .withColumn("batch", F.lit(batch_id))
+                # Co-locate each bucket's rows in one task before the
+                # partitioned write (the vector-store lesson): without
+                # this every task writes a file per bucket it touches —
+                # O(tasks x buckets) leaves per trigger (measured: the
+                # 200-trigger sf100 replay carried ~7,000 live files
+                # between compacts, ~20 per leaf).  One file per
+                # (tb, batch) leaf; the shuffle is the micro-batch
+                # only.  Sorted leaves give parquet min/max pruning on
+                # term, matching the folded runs.
+                .repartition(F.col("tb"))
+                .sortWithinPartitions("term")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("tb", "batch")

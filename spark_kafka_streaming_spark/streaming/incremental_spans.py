@@ -138,6 +138,12 @@ class IncrementalSpanDeduper:
                     "hb", F.pmod(F.xxhash64("h"), F.lit(self.n_hash_buckets))
                 )
                 .withColumn("batch", F.lit(batch_id))
+                # Co-locate by bucket before the partitioned write
+                # (the vector-store lesson): one file per (hb, batch)
+                # leaf instead of O(tasks x buckets); micro-batch-only
+                # shuffle, sorted leaves for row-group pruning on h.
+                .repartition(F.col("hb"))
+                .sortWithinPartitions("h")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("hb", "batch")
