@@ -35,6 +35,8 @@ cnt) — the artifact a tokenizer ships.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -42,6 +44,37 @@ from ..functions import texthash as TH
 
 #: default number of merge steps for the catalog query
 N_MERGES = 12
+
+#: Vocab-size bound for driver-local merge training.  Training is
+#: vocab-sized by design (module note): after the ONE corpus-sized
+#: ``word_freq`` shuffle, the schedule is a pure function of the
+#: (freq, symbols) table.  Below this bound that table is a
+#: driver-scale object (~100 MB at the default), so the per-step
+#: sequential Spark jobs — each a full scheduler round-trip over a
+#: tiny cached table — are replaced by ONE collect plus an exact
+#: local replay of the same schedule (same pair counting, same
+#: (cnt desc, a, b) argmax, same leftmost non-overlapping replace, so
+#: the merge list is bit-identical; pinned in
+#: tests/test_round8_bpe.py::test_local_replay_matches_distributed).
+#: Above the bound the distributed loop runs unchanged — the 100 TB
+#: posture (a 10M-word crawl vocab stays distributed unless the
+#: operator raises the knob).
+BPE_LOCAL_VOCAB_MAX = int(
+    os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB_MAX", "2000000")
+)
+
+
+def _pair_counts_local(vocab: list[tuple[int, str]]) -> dict:
+    """freq-weighted adjacent-pair counts over (freq, syms) rows — the
+    local twin of the explode+groupBy pair job (same per-occurrence
+    counting, overlaps included)."""
+    cnt: dict = {}
+    for freq, s in vocab:
+        parts = s.split(" ")
+        for j in range(len(parts) - 1):
+            p = (parts[j], parts[j + 1])
+            cnt[p] = cnt.get(p, 0) + freq
+    return cnt
 
 _CHARS_SPARK = (
     "array_join(transform(sequence(1, length(word)), "
@@ -77,6 +110,29 @@ def bpe_train(
         )
     )
     merges: list[tuple[int, str, str, str, int]] = []
+    schema = (
+        "rank INT, left_sym STRING, right_sym STRING, merged STRING, "
+        "cnt BIGINT"
+    )
+    if syms.count() <= BPE_LOCAL_VOCAB_MAX:
+        # local replay of the exact schedule (see BPE_LOCAL_VOCAB_MAX):
+        # one collect instead of n_merges scheduler round-trips.
+        vocab = [(int(r["freq"]), r["s"]) for r in syms.collect()]
+        for rank in range(n_merges):
+            cnt = _pair_counts_local(vocab)
+            if not cnt:
+                break
+            # (cnt desc, a, b): Python tuple order on unicode strings
+            # equals Spark/DuckDB binary UTF-8 order (UTF-8 preserves
+            # code-point order), so the argmax tiebreak is identical.
+            (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+            merges.append((rank, a, b, a + b, c))
+            pat, rep = f" {a} {b} ", f" {a}{b} "
+            vocab = [
+                (f, (" " + s + " ").replace(pat, rep).strip(" "))
+                for f, s in vocab
+            ]
+        return spark.createDataFrame(merges, schema)
     for rank in range(n_merges):
         # size >= 2 guard: Spark's sequence(1, 0) counts BACKWARDS
         # (unlike DuckDB's empty list), so single-symbol words must
@@ -113,10 +169,7 @@ def bpe_train(
                 ).alias("s"),
             )
         )
-    return spark.createDataFrame(
-        merges,
-        "rank INT, left_sym STRING, right_sym STRING, merged STRING, cnt BIGINT",
-    )
+    return spark.createDataFrame(merges, schema)
 
 
 def _duck_merge_chain(n_merges: int) -> list[str]:
@@ -212,51 +265,18 @@ def bpe_encode(
     report zeros.
     """
     merges = bpe_train(docs, n_merges, text_col).orderBy("rank").collect()
-    expr = F.expr(_CHARS_SPARK)
-    for m in merges:
-        a, b, ab = m["left_sym"], m["right_sym"], m["merged"]
-        expr = F.trim(
-            F.replace(
-                F.concat(F.lit(" "), expr, F.lit(" ")),
-                F.lit(f" {a} {b} "),
-                F.lit(f" {ab} "),
-            )
-        )
-    vocab = (
-        word_freq(docs, text_col)
-        .select("word", expr.alias("s"))
-        .select("word", F.size(F.split("s", " ")).alias("n_sym"))
-    )
-    toks = docs.select(
-        F.col(id_col),
-        F.explode(F.expr(TH.spark_tokens(text_col))).alias("word"),
-    )
-    per_doc = (
-        toks.join(F.broadcast(vocab), "word")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_words"),
-            F.sum(F.length("word")).alias("n_chars"),
-            F.sum("n_sym").alias("n_bpe"),
-        )
-    )
-    return (
-        docs.select(id_col)
-        .join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_words", F.lit(0)).cast("int").alias("n_words"),
-            F.coalesce("n_chars", F.lit(0)).cast("int").alias("n_chars"),
-            F.coalesce("n_bpe", F.lit(0)).cast("int").alias("n_bpe_tokens"),
-            F.round(
-                F.when(F.coalesce("n_bpe", F.lit(0)) == 0, F.lit(0.0)).otherwise(
-                    F.coalesce("n_chars", F.lit(0)).cast("double")
-                    / F.coalesce("n_bpe", F.lit(1))
-                ),
-                6,
-            ).alias("compression"),
-        )
-    )
+    # Apply the learned merges via the shared constant-depth fold
+    # (:func:`bpe_encode_with_merges`) instead of an n_merges-deep
+    # nested wrap→replace→trim expression: trim-then-rewrap is the
+    # identity on the space-wrapped symbol string (every step's output
+    # is single-space-joined with exactly one wrapping space each
+    # side), so the fold's per-element ``' L R ' → ' LR '`` pass over
+    # the permanently-wrapped string produces the same symbol table —
+    # but the expression tree stops growing with n_merges (measured
+    # ~1.2 s of analysis+codegen per run at 12 merges on a vocab-sized
+    # input, guide §7.3 plan-cost class).
+    elems = [f"{m['left_sym']} {m['right_sym']}" for m in merges]
+    return bpe_encode_with_merges(docs, elems, text_col, id_col)
 
 
 # --------------------------------------------------- batched training
@@ -361,6 +381,39 @@ def bpe_train_batched(
     )
     merges: list[tuple[int, int, str, str, str, int]] = []
     rank = 0
+    schema = (
+        "rank INT, round INT, left_sym STRING, right_sym STRING, "
+        "merged STRING, cnt BIGINT"
+    )
+    if syms.count() <= BPE_LOCAL_VOCAB_MAX:
+        # local replay of the exact batched schedule (see
+        # BPE_LOCAL_VOCAB_MAX): one collect instead of one driver pull
+        # + one eager localCheckpoint per round.  Window ranking,
+        # _select_batch survivor rule, and the in-order fold replace
+        # are the same operations the distributed loop runs.
+        vocab = [(int(r["freq"]), r["s"]) for r in syms.collect()]
+        for rnd in range(n_rounds):
+            cnt = _pair_counts_local(vocab)
+            window = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :window_k
+            ]
+            if not window:
+                break
+            sel = _select_batch([(a, b, c) for (a, b), c in window])
+            for a, b, c in sel:
+                merges.append((rank, rnd, a, b, a + b, c))
+                rank += 1
+            elems = [f"{a} {b}" for a, b, _ in sel]
+            folded_vocab = []
+            for f, s in vocab:
+                t = " " + s + " "
+                for e in elems:
+                    t = t.replace(
+                        " " + e + " ", " " + e.replace(" ", "") + " "
+                    )
+                folded_vocab.append((f, t.strip(" ")))
+            vocab = folded_vocab
+        return spark.createDataFrame(merges, schema)
     for rnd in range(n_rounds):
         pairs = (
             syms.filter(F.expr("size(split(s, ' ')) >= 2")).select(
@@ -397,11 +450,7 @@ def bpe_train_batched(
         # vocab-sized, so this is the bounded-state posture at any
         # corpus scale.
         syms = syms.select("freq", folded.alias("s")).localCheckpoint()
-    return spark.createDataFrame(
-        merges,
-        "rank INT, round INT, left_sym STRING, right_sym STRING, "
-        "merged STRING, cnt BIGINT",
-    )
+    return spark.createDataFrame(merges, schema)
 
 
 def _duck_batched_chain(n_rounds: int, window_k: int) -> list[str]:
