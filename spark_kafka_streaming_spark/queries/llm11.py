@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..functions import texthash as TH
 from ..operators import dedup as D
-from ..sources.batch import load_table
+from ..sources.batch import load_table, table_row_count
 from .registry import register
 
 _OV_THRESHOLD = 0.8
@@ -198,9 +198,8 @@ def minhash_recall_report(
     from pyspark.sql import functions as F
 
     if sample_mod is None:
-        sample_mod = _recall_auto_mod(
-            load_table(spark, sf_dir, "documents").count()
-        )
+        # footer-metadata count: raw table, same integer, no scan job
+        sample_mod = _recall_auto_mod(table_row_count(sf_dir, "documents"))
 
     from ..operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
     from ..operators.signatures import signature_table

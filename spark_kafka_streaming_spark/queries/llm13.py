@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..operators.similarity import duck_ivf_topk_sql, duck_mips_ivf_sql
-from ..sources.batch import load_table
+from ..sources.batch import load_table, table_row_count
 from .registry import register
 
 _LABELED_PRED = "vec_id % 5 <> 0"  # the labeled 80% slice
@@ -221,7 +221,9 @@ def q_knn_propagation_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ivf_topk, knn_classify
 
     emb = load_table(spark, sf_dir, "embeddings")
-    mod = _q_mod(emb.count())
+    # raw-table count from parquet footer metadata (same exact integer,
+    # no scan job) — sources.batch.table_row_count
+    mod = _q_mod(table_row_count(sf_dir, "embeddings"))
     sample = emb.filter(F.col("vec_id") % mod == 0)
     corpus = emb.filter(F.col("vec_id") % 5 != 0)
     ex = knn_classify(sample, corpus, k=5).select(

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.batch import load_table
+from ..sources.batch import load_table, table_row_count
 from .llm13 import auto_cells
 from .registry import register
 
@@ -62,7 +62,8 @@ def q_similarity_ann_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 10),
         emb,
         k=5,
-        n_cells=auto_cells(emb.count()),
+        # footer-metadata count: raw table, same integer, no scan job
+        n_cells=auto_cells(table_row_count(sf_dir, "embeddings")),
     ).orderBy("query_id", "rn")
 
 

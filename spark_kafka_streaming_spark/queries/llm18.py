@@ -20,7 +20,7 @@ from ..operators.quantiles import (
     duck_quantiles_sql,
     quantiles_with_audit,
 )
-from ..sources.batch import load_table
+from ..sources.batch import load_table, table_row_count
 from .registry import register
 
 #: unique lineitem row key (l_linenumber ∈ 1..7, so ×8 is injective)
@@ -252,7 +252,11 @@ def q_ann_recall_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < 10)
     brute = brute_force_topk(q, emb, k=5).select("query_id", "neighbor_id")
     approx = (
-        ivf_topk_imi(q, emb, k=5, n_cells=auto_cells(emb.count()))
+        # footer-metadata count: raw table, same integer, no scan job
+        ivf_topk_imi(
+            q, emb, k=5,
+            n_cells=auto_cells(table_row_count(sf_dir, "embeddings")),
+        )
         .select("query_id", "neighbor_id")
         .withColumn("_hit", F.lit(1))
     )

@@ -24,7 +24,7 @@ from ..functions import texthash as TH
 from ..functions import vectors as V
 from ..operators.kmeans import kmeans_assignments, semantic_dedup
 from ..operators.sharding import global_running_sum
-from ..sources.batch import load_table
+from ..sources.batch import load_table, table_row_count
 from .registry import register
 
 KMEANS_K = 8
@@ -185,8 +185,13 @@ _SEM_CTE, _SEM_FINAL = _duck_kmeans_cte(KMEANS_K, 1, k_auto=True)
     tags=("llm", "dedup", "vectors"),
 )
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kmeans import auto_k
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=None, tau=SEMDEDUP_TAU, iters=1).orderBy(
+    # auto_k from the parquet-footer row count (same integer as
+    # emb.count(), no scan job) — sources.batch.table_row_count
+    k = auto_k(table_row_count(sf_dir, "embeddings"))
+    return semantic_dedup(emb, k=k, tau=SEMDEDUP_TAU, iters=1).orderBy(
         "vec_id"
     )
 

@@ -9,6 +9,8 @@ which is what makes the same queries viable at 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -60,6 +62,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # identity instant mapping.
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count of one table from parquet FOOTER metadata — the
+    statistics read every warehouse engine does instead of scanning.
+
+    Several builders derive plan GEOMETRY (IVF/IMI cell counts, k-means
+    k, LSH plane counts) from the corpus row count; a ``df.count()``
+    there costs one full Spark job per query build.  The footer count
+    is the same exact integer (these are unfiltered single-table
+    scans), read in O(row groups) driver-side metadata — no job, no
+    scan.  Only valid for the RAW table; any filtered/derived frame
+    must keep counting through Spark.
+    """
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        ds = pq.ParquetDataset(path)
+        return sum(
+            frag.metadata.num_rows if frag.metadata is not None
+            else frag.count_rows()
+            for frag in ds.fragments
+        )
+    return pq.ParquetFile(path).metadata.num_rows
 
 
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
