@@ -85,17 +85,33 @@ def _subspace_rows_scaled(
 
 def _nearest_code(sub: DataFrame, cents: DataFrame) -> DataFrame:
     """Per (id, sub_id): the (dist, cell)-argmin codebook entry.
-    ``cents``: (sub_id, cell, cv, cn)."""
-    w = Window.partitionBy("id", "sub_id").orderBy("dist2", "cell")
+    ``cents``: (sub_id, cell, cv, cn).
+
+    The argmin is a ``min_by`` aggregation, not a row_number window:
+    (dist2, cell) is unique within a group (one row per codebook cell),
+    so the selected row is identical, but the aggregate runs as a hash
+    aggregation with a map-side partial over the k-fanned join output
+    — no sort, and the k× candidate blow-up collapses back to one row
+    per (id, sub_id) before any exchange (guide §2.3 "aggregate before
+    you shuffle"; the (id, sub_id) repartition of
+    :func:`_subspace_rows_scaled` is still reused, so the plan keeps a
+    single exchange)."""
+    joined = sub.join(F.broadcast(cents), "sub_id").withColumn(
+        "dist2",
+        F.col("sn") + F.col("cn") - 2 * F.expr(V.spark_dot("sv", "cv")),
+    )
+    others = [c for c in joined.columns if c not in ("id", "sub_id")]
     return (
-        sub.join(F.broadcast(cents), "sub_id")
-        .withColumn(
-            "dist2",
-            F.col("sn") + F.col("cn") - 2 * F.expr(V.spark_dot("sv", "cv")),
+        joined.groupBy("id", "sub_id")
+        .agg(
+            F.min_by(
+                F.struct(*[F.col(c) for c in others]),
+                F.struct(F.col("dist2"), F.col("cell")),
+            ).alias("_best")
         )
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
+        .select(
+            "id", "sub_id", *[F.col(f"_best.{c}").alias(c) for c in others]
+        )
     )
 
 
