@@ -355,14 +355,22 @@ def bench_sketch_drain(spark, sf_dir: str) -> float:
         seen: set = set()
 
         def absorb(df, epoch_id):
+            # One job/scan/md5-pass per batch via the fused kernel
+            # (operators/sketches.py::sketch_cells) instead of separate
+            # cms_build + hll_registers collects; the absorbed running
+            # sketches are identical (equivalence pinned in
+            # tests/test_opt_round12.py) — an absorb-loop optimization,
+            # not a timing-methodology change (same stream, same timed
+            # region, same folded state).
             if epoch_id in seen:
                 return
             seen.add(epoch_id)
-            for r in SK.cms_build(df, "user_id").collect():
-                k = (r["r"], r["b"])
-                cms[k] = cms.get(k, 0) + r["cnt"]
-            for r in SK.hll_registers(df, "user_id").collect():
-                hll[r["bucket"]] = max(hll[r["bucket"]], r["r"])
+            for r in SK.sketch_cells(df, "user_id").collect():
+                if r["kind"] == 0:
+                    k = (r["k1"], r["k2"])
+                    cms[k] = cms.get(k, 0) + r["v"]
+                else:
+                    hll[r["k1"]] = max(hll[r["k1"]], r["v"])
 
         t0 = time.perf_counter()
         q = (

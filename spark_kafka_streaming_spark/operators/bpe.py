@@ -55,13 +55,32 @@ N_MERGES = 12
 #: local replay of the same schedule (same pair counting, same
 #: (cnt desc, a, b) argmax, same leftmost non-overlapping replace, so
 #: the merge list is bit-identical; pinned in
-#: tests/test_round8_bpe.py::test_local_replay_matches_distributed).
+#: tests/test_opt_round11.py::test_bpe_local_replay_matches_distributed
+#: and tests/test_round8_bpe.py's deep-schedule oracle diff).
 #: Above the bound the distributed loop runs unchanged — the 100 TB
 #: posture (a 10M-word crawl vocab stays distributed unless the
-#: operator raises the knob).
+#: operator raises the knob).  Sizing note: the rows cross the
+#: non-Arrow collect path as Python objects (~150–300 B per (freq,
+#: short-string) row, several × the on-wire bytes), so 1M rows is
+#: roughly a few hundred MB of driver heap — the knob's ceiling is a
+#: driver-memory budget, not a wire-format estimate.
 BPE_LOCAL_VOCAB_MAX = int(
-    os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB_MAX", "2000000")
+    os.environ.get("SPARK_GRAFT_BPE_LOCAL_VOCAB_MAX", "1000000")
 )
+
+
+def _local_vocab(syms) -> list[tuple[int, str]] | None:
+    """The (freq, symbols) vocab as driver rows when it fits under
+    :data:`BPE_LOCAL_VOCAB_MAX`, else ``None`` — decided by ONE bounded
+    ``limit(bound + 1).collect()`` instead of a ``count()`` job plus a
+    second full collect (the count was the one Spark job the local
+    path still paid — round-11 verdict minor #5).  ``CollectLimit``
+    scans partitions incrementally, so the over-bound case reads only
+    enough partitions to produce bound + 1 rows."""
+    rows = syms.limit(BPE_LOCAL_VOCAB_MAX + 1).collect()
+    if len(rows) > BPE_LOCAL_VOCAB_MAX:
+        return None
+    return [(int(r["freq"]), r["s"]) for r in rows]
 
 
 def _pair_counts_local(vocab: list[tuple[int, str]]) -> dict:
@@ -114,10 +133,10 @@ def bpe_train(
         "rank INT, left_sym STRING, right_sym STRING, merged STRING, "
         "cnt BIGINT"
     )
-    if syms.count() <= BPE_LOCAL_VOCAB_MAX:
+    vocab = _local_vocab(syms)
+    if vocab is not None:
         # local replay of the exact schedule (see BPE_LOCAL_VOCAB_MAX):
-        # one collect instead of n_merges scheduler round-trips.
-        vocab = [(int(r["freq"]), r["s"]) for r in syms.collect()]
+        # one bounded collect instead of n_merges scheduler round-trips.
         for rank in range(n_merges):
             cnt = _pair_counts_local(vocab)
             if not cnt:
@@ -385,13 +404,13 @@ def bpe_train_batched(
         "rank INT, round INT, left_sym STRING, right_sym STRING, "
         "merged STRING, cnt BIGINT"
     )
-    if syms.count() <= BPE_LOCAL_VOCAB_MAX:
+    vocab = _local_vocab(syms)
+    if vocab is not None:
         # local replay of the exact batched schedule (see
-        # BPE_LOCAL_VOCAB_MAX): one collect instead of one driver pull
-        # + one eager localCheckpoint per round.  Window ranking,
-        # _select_batch survivor rule, and the in-order fold replace
-        # are the same operations the distributed loop runs.
-        vocab = [(int(r["freq"]), r["s"]) for r in syms.collect()]
+        # BPE_LOCAL_VOCAB_MAX): one bounded collect instead of one
+        # driver pull + one eager localCheckpoint per round.  Window
+        # ranking, _select_batch survivor rule, and the in-order fold
+        # replace are the same operations the distributed loop runs.
         for rnd in range(n_rounds):
             cnt = _pair_counts_local(vocab)
             window = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[

@@ -172,6 +172,69 @@ def hll_registers(keyed: DataFrame, key_col: str) -> DataFrame:
     )
 
 
+def sketch_cells(keyed: DataFrame, key_col: str) -> DataFrame:
+    """CMS cells AND touched HLL registers of a batch in ONE pass:
+    ``(kind, k1, k2, v)`` — kind 0 rows are Count-Min cells
+    (r = k1, b = k2, cnt = v), kind 1 rows are touched HyperLogLog
+    registers (bucket = k1, k2 = 0, r = v).
+
+    The streaming absorb loop previously ran :func:`cms_build` and
+    :func:`hll_registers` as two jobs per micro-batch, each re-scanning
+    the batch and re-hashing every key.  Both sketches derive from the
+    same 60-bit md5 prefix (``spark_str_hash`` is that prefix mod P),
+    so one scan computes the base hash once per row, fans out
+    ``CMS_D + 1`` cells map-side, and ONE map-side-combinable
+    aggregation (sum for counters, max for registers — selected per
+    kind) returns both sketches: one job, one scan, one md5 per key.
+    Untouched HLL buckets are simply absent (the absorber's running
+    registers start at 0, and ``max(0, ·)`` of an absent bucket is a
+    no-op) — equivalence with the two-job form is pinned in
+    tests/test_opt_round12.py.
+    """
+    base = keyed.select(
+        F.expr(
+            TH.spark_str_hash_raw(f"CAST({key_col} AS STRING)")
+        ).alias("hr")
+    ).withColumn("h", F.expr(f"hr % {P}"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(0).alias("kind"),
+                F.lit(i).alias("k1"),
+                F.expr(_cms_bucket_sql(i, "h")).cast("int").alias("k2"),
+                F.lit(1).cast("int").alias("v"),
+            )
+            for i in range(CMS_D)
+        ],
+        F.struct(
+            F.lit(1).alias("kind"),
+            F.expr(f"CAST(hr DIV {1 << HLL_WBITS} AS INT)").alias("k1"),
+            F.lit(0).cast("int").alias("k2"),
+            F.expr(hll_rank_sql(f"(hr % {1 << HLL_WBITS})"))
+            .cast("int")
+            .alias("v"),
+        ),
+    )
+    return (
+        base.select(F.explode(cells).alias("c"))
+        .groupBy(
+            F.col("c.kind").alias("kind"),
+            F.col("c.k1").alias("k1"),
+            F.col("c.k2").alias("k2"),
+        )
+        .agg(F.sum("c.v").alias("sv"), F.max("c.v").alias("mv"))
+        .select(
+            "kind",
+            "k1",
+            "k2",
+            F.when(F.col("kind") == 0, F.col("sv"))
+            .otherwise(F.col("mv"))
+            .cast("bigint")
+            .alias("v"),
+        )
+    )
+
+
 #: The rank expression is engine-portable verbatim (bin() behaves the
 #: same in Spark and DuckDB), so the oracle side is the SAME function —
 #: an alias, not a copy, so the two engines cannot silently diverge.

@@ -91,10 +91,14 @@ _SLIDE_HOURS = 2
     "in {w} windows); the sketch path aggregates keys ONCE into "
     "O(hours·m) register rows and the rolling merge runs entirely on "
     "those — at 100 TB the merge input is KB-sized however many "
-    "events each hour holds. The hour spine is a broadcast band join; "
-    "empty registers are accounted arithmetically (no spine×bucket "
-    "fill). Exact rolling distinct returned beside the estimate as "
-    "the test-scale comparator.".format(m=SK.HLL_M, w=_SLIDE_HOURS + 1),
+    "events each hour holds. The rolling fan is a map-side explode of "
+    "each hour's (slide+1) window offsets + a broadcast semi-join "
+    "against the hour spine (an equi-join — never a nested-loop band "
+    "join); empty registers are accounted arithmetically (no "
+    "spine×bucket fill). Exact rolling distinct returned beside the "
+    "estimate as the test-scale comparator.".format(
+        m=SK.HLL_M, w=_SLIDE_HOURS + 1
+    ),
     tags=("sketch", "window", "events", "llm"),
 )
 def q_sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,15 +120,23 @@ def q_sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("rank").alias("r"))
     )
     spine = hashed.select("hidx").distinct()
-    merged = (
-        F.broadcast(spine.alias("s"))
-        .join(
-            perhour.alias("p"),
-            F.expr(f"p.hidx BETWEEN s.hidx - {_SLIDE_HOURS} AND s.hidx"),
-        )
-        .groupBy(F.col("s.hidx").alias("hidx"), "bucket")
-        .agg(F.max("r").alias("r"))
-    )
+    # The rolling merge fans each row to the window positions it feeds
+    # via a MAP-SIDE explode of the offset sequence (hour h lands in
+    # windows [h, h + slide]) and keeps only positions that exist in
+    # the data with a broadcast hash semi-join against the hour spine
+    # — identical rows to the oracle's band join, without the
+    # broadcast nested-loop join that tested every row against every
+    # spine hour (guide §3: the band predicate is not an equi-join,
+    # so Spark ran it as BroadcastNestedLoopJoin — |rows|·|hours|
+    # comparisons; the explode is |rows|·(slide+1) emitted rows).
+    fan = perhour.select(
+        F.explode(
+            F.expr(f"sequence(hidx, hidx + {_SLIDE_HOURS})")
+        ).alias("hidx"),
+        "bucket",
+        "r",
+    ).join(F.broadcast(spine), "hidx", "left_semi")
+    merged = fan.groupBy("hidx", "bucket").agg(F.max("r").alias("r"))
     summary = merged.groupBy("hidx").agg(
         F.expr(
             f"CAST(({SK.HLL_M} - COUNT(*)) * {1 << SK.HLL_SHIFT} "
@@ -132,13 +144,20 @@ def q_sketch_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"AS BIGINT)"
         ).alias("sum_scaled")
     )
+    # exact comparator leg: reduce to per-hour DISTINCT users first
+    # (the union of per-hour distinct sets is the window's distinct
+    # set), then the same map-side offset fan + spine semi-join.
     truth = (
-        F.broadcast(spine.alias("s"))
-        .join(
-            hashed.alias("h"),
-            F.expr(f"h.hidx BETWEEN s.hidx - {_SLIDE_HOURS} AND s.hidx"),
+        hashed.select("hidx", "user_id")
+        .distinct()
+        .select(
+            F.explode(
+                F.expr(f"sequence(hidx, hidx + {_SLIDE_HOURS})")
+            ).alias("hidx"),
+            "user_id",
         )
-        .groupBy(F.col("s.hidx").alias("hidx"))
+        .join(F.broadcast(spine), "hidx", "left_semi")
+        .groupBy("hidx")
         .agg(F.countDistinct("user_id").alias("true_distinct"))
     )
     return (

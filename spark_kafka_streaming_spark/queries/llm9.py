@@ -396,52 +396,90 @@ _MAD_K = "3.0"
     "data elements, no interpolation — so every compared double is a "
     "raw input value and the result is bit-identical cross-engine "
     "(interpolated percentiles hide engine-specific arithmetic "
-    "order). Per-group sorts are window row_numbers partitioned by "
-    "type — parallel across groups; at 100 TB the same screen runs "
-    "on the mergeable log-histogram sketch's quantile estimates "
-    "(q_sketch_quantile_hist) instead of exact ranks, trading the "
-    "documented bucket-width error for a shuffle of O(sketch).".format(
-        k=_MAD_K
-    ),
+    "order). The rank selection runs on the exact value histogram "
+    "(map-side-combined groupBy (type, value) + cumulative count — "
+    "the k-th order statistic is tie-break-independent, so the "
+    "selected double is identical), never a full-table sort: the "
+    "shuffle and the per-type window carry distinct values, not "
+    "rows, with full map-side parallelism at any group count; at "
+    "100 TB the same screen runs on the mergeable log-histogram "
+    "sketch's quantile estimates (q_sketch_quantile_hist) instead "
+    "of exact ranks, trading the documented bucket-width error for "
+    "a shuffle of O(sketch).".format(k=_MAD_K),
     tags=("events", "stats", "quality"),
 )
 def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The rank-selected medians are computed over the VALUE HISTOGRAM
+    # (groupBy (event_type, value) + cumulative count), not via
+    # row_number windows over the full events table: the k-th order
+    # statistic of a multiset is the smallest value whose cumulative
+    # multiplicity reaches k, independent of the (value, event_id)
+    # tie-break — ties share one value, so the selected double is
+    # identical to the oracle's rank-selected row.  The window row
+    # count drops from |events| to |distinct (type, value)| (bounded
+    # by the value domain after the map-side combine), removing the
+    # full per-type sort that serialized one event_type per task —
+    # the q_events_anomaly_mad_hist plan shape (guide §2.4/§2.2),
+    # here exact for ARBITRARY doubles because nothing quantizes.
+    from ..functions.caching import track_persist
+
     v = (
         load_table(spark, sf_dir, "events")
         .where("value IS NOT NULL")
-        .select("event_type", "event_id", "value")
+        .select("event_type", "value")
     )
-    cnt = v.groupBy("event_type").agg(F.count("*").alias("n"))
-    wv = Window.partitionBy("event_type").orderBy("value", "event_id")
+    h = v.groupBy("event_type", "value").agg(F.count("*").alias("cnt"))
+    # The cached copy is coalesced: the aggregation itself keeps full
+    # map-side parallelism, but the RESULT is histogram-sized by
+    # construction, and every downstream pass otherwise pays one task
+    # per shuffle partition of pure overhead (measured 0.3–0.4 s per
+    # 32-task stage over a 10k-row cache).  4 partitions bounds that
+    # while leaving room for multi-GB histograms at the top decades.
+    h = track_persist(h.coalesce(4))
+    # materialize the histogram once: its consumers (n, med, devh)
+    # otherwise race to fill the lazy cache from concurrent AQE
+    # broadcast-build stages, each re-running the events scan
+    h.count()
+    n = h.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
+    wc = Window.partitionBy("event_type").orderBy("value")
+    cum = h.withColumn("cm", F.sum("cnt").over(wc))
     med = (
-        v.withColumn("rn", F.row_number().over(wv))
-        .join(F.broadcast(cnt), "event_type")
-        .where(F.expr("rn = (n + 1) DIV 2"))
-        .select("event_type", F.col("value").alias("med"))
+        cum.join(F.broadcast(n), "event_type")
+        .where(F.expr("cm >= (n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(F.min("value").alias("med"))
     )
-    dev = v.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "event_id",
-        F.expr("abs(value - med)").alias("dev"),
-        "med",
+    # deviation histogram: a regroup of the value histogram (dev is a
+    # function of (value, med) — the same double the row form computes)
+    devh = (
+        h.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.expr("abs(value - med)").alias("dev"))
+        .agg(F.sum("cnt").alias("cnt"))
     )
-    wd = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    devh = track_persist(devh.coalesce(4))
+    devh.count()
+    wd = Window.partitionBy("event_type").orderBy("dev")
+    dcum = devh.withColumn("cm", F.sum("cnt").over(wd))
     mad = (
-        dev.withColumn("rn", F.row_number().over(wd))
-        .join(F.broadcast(cnt), "event_type")
-        .where(F.expr("rn = (n + 1) DIV 2"))
-        .select("event_type", F.col("dev").alias("mad"))
+        dcum.join(F.broadcast(n), "event_type")
+        .where(F.expr("cm >= (n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad"))
     )
-    return (
-        dev.join(F.broadcast(mad), "event_type")
-        .join(F.broadcast(cnt), "event_type")
-        .groupBy("event_type", "n", "med", "mad")
+    outl = (
+        devh.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
         .agg(
             F.expr(
-                f"CAST(SUM(CASE WHEN dev > {_MAD_K} * mad THEN 1 ELSE 0 "
-                f"END) AS BIGINT)"
+                f"CAST(SUM(CASE WHEN dev > {_MAD_K} * mad THEN cnt "
+                f"ELSE 0 END) AS BIGINT)"
             ).alias("n_outliers")
         )
+    )
+    return (
+        n.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(outl), "event_type")
         .select("event_type", "n", "med", "mad", "n_outliers")
         .orderBy("event_type")
     )
@@ -535,7 +573,13 @@ def q_events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.caching import track_persist
 
-    h = track_persist(h)
+    # coalesce the histogram-sized cache (downstream passes otherwise
+    # pay one task per shuffle partition of pure overhead) and
+    # materialize it once — the n/med/devh consumers otherwise race to
+    # fill the lazy cache from concurrent AQE broadcast-build stages,
+    # each re-running the events scan (same fixes as the exact form)
+    h = track_persist(h.coalesce(4))
+    h.count()
     n = h.groupBy("event_type").agg(F.sum("cnt").cast("bigint").alias("n"))
     wc = Window.partitionBy("event_type").orderBy("c")
     cum = h.withColumn("cm", F.sum("cnt").over(wc))
@@ -550,7 +594,8 @@ def q_events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.expr("abs(c - med_c)").alias("d"))
         .agg(F.sum("cnt").cast("bigint").alias("cnt"))
     )
-    devh = track_persist(devh)
+    devh = track_persist(devh.coalesce(4))
+    devh.count()
     wd = Window.partitionBy("event_type").orderBy("d")
     dcum = devh.withColumn("cm", F.sum("cnt").over(wd))
     mad = (
@@ -570,9 +615,9 @@ def q_events_anomaly_mad_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        n.join(med, "event_type")
-        .join(mad, "event_type")
-        .join(outl, "event_type")
+        n.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .join(F.broadcast(outl), "event_type")
         .select(
             "event_type",
             "n",

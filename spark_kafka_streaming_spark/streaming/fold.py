@@ -353,8 +353,16 @@ def compact_tiered(
             out = out.unionByName(p)
         tmp = store_path + BUCKET_TMP_SUFFIX
         shutil.rmtree(tmp, ignore_errors=True)
+        # Explicit partition count: a keyed repartition without one is
+        # AQE-coalescible, and the fold's output is small enough that
+        # AQE collapses it to ONE task which then creates every
+        # (bucket, batch) leaf serially — measured 1.5 s of a vector
+        # compact's 1.52 s write stage (plans/r12/jobs_*_before.txt).
+        # Pinning the count keeps bucket co-location (one file per
+        # leaf) while spreading leaf creation across the cluster.
+        npart = spark.sparkContext.defaultParallelism
         (
-            out.repartition(F.col(bucket_col))
+            out.repartition(npart, F.col(bucket_col))
             .sortWithinPartitions(sort_col)
             .write.mode("overwrite")
             .partitionBy(bucket_col, "batch")

@@ -78,11 +78,21 @@ N_KEY_BUCKETS = 64
 
 
 def signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, hs, sig) for a batch of documents (no shuffle; map-only)."""
+    """(id, hs, sig) for a batch of documents (no shuffle; map-only).
+
+    The no-shingles guard filters on the TOKEN count, not on the
+    shingle array: ``size(sh) > 0`` holds exactly when the doc has ≥ 3
+    tokens (``spark_shingles_from_tokens`` emits ``[]`` below that),
+    but a ``size(sh)`` predicate is pushed below any upstream exchange
+    by Catalyst and re-evaluates the whole shingling expression in the
+    (single-split) scan task — measured as a ~1 s one-task stage per
+    trigger (plans/r12/jobs_stream_dedup_store_drain_before.txt).  The
+    token-count form keeps the pushed copy to one split+filter pass.
+    """
     return (
         docs.select(F.col(id_col), F.expr(TH.spark_tokens(text_col)).alias("toks"))
+        .filter(F.size("toks") >= 3)
         .select(id_col, F.expr(TH.spark_shingles_from_tokens("toks")).alias("sh"))
-        .filter(F.size("sh") > 0)
         .select(
             id_col,
             F.expr(
@@ -337,12 +347,26 @@ class IncrementalDeduper:
         guard_batch_id(self.hashes_path, "hb", batch_id)
         spark = batch.sparkSession
         id_c = self.id_col
+        # A micro-batch arrives as O(1) source splits (one file/offset
+        # range per trigger), so the MinHash chain below would run as
+        # ONE task; spread it over the cluster first — the shuffle is
+        # the raw micro-batch only.
+        batch = batch.repartition(spark.sparkContext.defaultParallelism)
         # sigs (one row per doc) is persisted alongside the exploded
         # band keys: the per-doc hash table the probe's verify leg and
         # the hashes/ subtree write both need falls straight out of it
         # — no dedup shuffle over the 8x-exploded band rows.
         sigs = signatures(batch, id_c, self.text_col).persist()
         keys = band_keys(sigs, id_c, self.n_key_buckets).persist()
+        # Materialize BOTH caches with one action before anything
+        # branches: the probe/intra/write legs reference these frames
+        # from up to four concurrent AQE query stages (broadcast
+        # builds run in parallel), and a lazy cache loses that race —
+        # each stage recomputed the full signature chain (measured:
+        # 4 × 1.13 s single-task jobs in one trigger,
+        # plans/r12/jobs_stream_dedup_store_drain_before.txt).  The
+        # keys scan fills the sigs cache on the way.
+        keys.count()
 
         dup_vs_store = None
         store_keys = self._store_keys(spark)
@@ -395,7 +419,11 @@ class IncrementalDeduper:
             # repartition every task writes a file per bucket it
             # touches — O(tasks × buckets) leaves per trigger — and
             # the dynamic-partition commit move is driver-side
-            # O(files).  The shuffle is the micro-batch only.
+            # O(files).  The shuffle is the micro-batch only.  The
+            # explicit partition count stops AQE coalescing the tiny
+            # shuffle to one task that would create every bucket leaf
+            # serially (the vector store's measured write-stage wall).
+            npart = spark.sparkContext.defaultParallelism
             (
                 sigs.join(accepted.select(id_c), id_c, "left_semi")
                 .select(id_c, "hs")
@@ -404,7 +432,7 @@ class IncrementalDeduper:
                     F.pmod(F.xxhash64(id_c), F.lit(self.n_key_buckets)),
                 )
                 .withColumn("batch", F.lit(batch_id))
-                .repartition(F.col("hb"))
+                .repartition(npart, F.col("hb"))
                 .sortWithinPartitions(id_c)
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
@@ -414,7 +442,7 @@ class IncrementalDeduper:
             (
                 accepted_keys.select(id_c, "band", "key", "kb")
                 .withColumn("batch", F.lit(batch_id))
-                .repartition(F.col("kb"))
+                .repartition(npart, F.col("kb"))
                 .sortWithinPartitions("key")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -201,8 +201,15 @@ class IncrementalIndexer:
                 # between compacts, ~20 per leaf).  One file per
                 # (tb, batch) leaf; the shuffle is the micro-batch
                 # only.  Sorted leaves give parquet min/max pruning on
-                # term, matching the folded runs.
-                .repartition(F.col("tb"))
+                # term, matching the folded runs.  Explicit partition
+                # count so AQE cannot coalesce the tiny micro-batch
+                # shuffle to one task that creates every bucket leaf
+                # serially (the measured write-stage wall —
+                # plans/r12/jobs_stream_index_store_drain_before.txt).
+                .repartition(
+                    batch.sparkSession.sparkContext.defaultParallelism,
+                    F.col("tb"),
+                )
                 .sortWithinPartitions("term")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -168,7 +168,11 @@ class IncrementalMerger:
         tmp = f"{self.store_path}.merge.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         (
-            merged.repartition(F.col("kb"))
+            # explicit count: keep bucket co-location but stop AQE
+            # coalescing the small shuffle to one serial-leaf-write task
+            merged.repartition(
+                spark.sparkContext.defaultParallelism, F.col("kb")
+            )
             .sortWithinPartitions(k)
             .write.mode("overwrite")
             .partitionBy("kb")

@@ -142,7 +142,12 @@ class IncrementalSpanDeduper:
                 # (the vector-store lesson): one file per (hb, batch)
                 # leaf instead of O(tasks x buckets); micro-batch-only
                 # shuffle, sorted leaves for row-group pruning on h.
-                .repartition(F.col("hb"))
+                # Explicit count: AQE would coalesce the tiny shuffle
+                # to one task creating every bucket leaf serially.
+                .repartition(
+                    batch.sparkSession.sparkContext.defaultParallelism,
+                    F.col("hb"),
+                )
                 .sortWithinPartitions("h")
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -79,6 +79,11 @@ class IncrementalVectorIndexer:
         self.id_col = id_col
         self.vec_col = vec_col
         self.compact_every = compact_every
+        # The centroid snapshot is immutable once trained (a snapshot
+        # swap is an explicit re-assignment operator, never an implicit
+        # ingest-path event), so the bounded k×(d+1)-int model pull
+        # happens once per indexer, not once per trigger.
+        self._cent_model: tuple | None = None
 
     # -- model ---------------------------------------------------------
 
@@ -117,12 +122,16 @@ class IncrementalVectorIndexer:
         # kernel is bit-identical to nearest_cells_sql (the ivf_topk
         # dual-impl pin), and the centroid pull is the bounded
         # k×(d+1)-int model-pull posture ivf_topk already uses.
-        rows = cents.orderBy("cell").collect()
-        import numpy as np
+        if self._cent_model is None:
+            rows = cents.orderBy("cell").collect()
+            import numpy as np
 
-        cent_ids = np.array([r["cell"] for r in rows], dtype="int64")
-        cent_m = np.array([r["cent_v"] for r in rows], dtype="int64")
-        cent_n = np.array([r["cent_n"] for r in rows], dtype="int64")
+            self._cent_model = (
+                np.array([r["cell"] for r in rows], dtype="int64"),
+                np.array([r["cent_v"] for r in rows], dtype="int64"),
+                np.array([r["cent_n"] for r in rows], dtype="int64"),
+            )
+        cent_ids, cent_m, cent_n = self._cent_model
         assigned = _cells_arrow(
             scaled, "c", self.n_assign, cent_ids, cent_m, cent_n
         )
@@ -143,8 +152,16 @@ class IncrementalVectorIndexer:
                 # at 1,414 cells; the commit move is driver-side
                 # O(files)).  Hashing by cell makes it exactly one
                 # file per touched (cell, batch) leaf; the shuffle is
-                # the micro-batch only, never the store.
-                .repartition(F.col("cell"))
+                # the micro-batch only, never the store.  The explicit
+                # partition count stops AQE coalescing the tiny
+                # micro-batch shuffle to ONE task that would create
+                # every cell leaf serially (measured: 1.48 s of a
+                # 1.64 s trigger write was that single write task —
+                # plans/r12/jobs_stream_vector_store_drain_before.txt).
+                .repartition(
+                    batch.sparkSession.sparkContext.defaultParallelism,
+                    F.col("cell"),
+                )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("cell", "batch")
