@@ -35,6 +35,8 @@ dedup signature table; encoding is then embarrassingly parallel.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -44,6 +46,93 @@ from ..functions.caching import track_persist
 M_SUBS = 8  # subspaces
 SUB_DIM = 8  # dims per subspace (M_SUBS * SUB_DIM = embedding dim)
 K_CODES = 16  # centroids per subspace codebook
+
+#: Codebook training happens DRIVER-SIDE below this many (vector,
+#: subspace) training rows — the BPE local-replay boundary argument
+#: (round 11): the training set is sample-sized by design (Jégou 2011
+#: trains on a held-out learning set; FAISS defaults to ~256·k points
+#: per codebook), and each Lloyd iteration otherwise pays an
+#: assignment join + two aggregations of scheduler round-trips over
+#: it.  The local replay runs the SAME seed rule, the same exact
+#: int64 distances, the same (dist2, cell) argmin tiebreak, and the
+#: same round-half-away-from-zero centroid update, so the returned
+#: codebooks are bit-identical (pinned in tests/test_opt_round12.py
+#: against the distributed loop, and end-to-end by the five PQ/IVF
+#: DuckDB oracles).  Above the bound the distributed loop runs
+#: unchanged — a billion-vector corpus with train_sample_mod still
+#: trains distributed unless the operator raises the knob.  Sizing:
+#: rows are (id, sub_id, 8×int64, int64) — 1M rows is a few hundred
+#: MB of driver heap on the non-Arrow collect path.
+PQ_LOCAL_TRAIN_MAX = int(
+    os.environ.get("SPARK_GRAFT_PQ_LOCAL_TRAIN_MAX", "1000000")
+)
+
+
+def _codebooks_local(rows, iters: int) -> list[tuple]:
+    """Driver-side replay of the distributed codebook schedule over
+    collected (id, sub_id, sv, sn) training rows; returns
+    (sub_id, cell, cv, cn) tuples.  Exactness contract:
+
+    * distances are exact int64 ``sn + cn − 2·(sv·cv)`` (numpy int64
+      matmul — |component| ≤ SCALE=1e7, so every intermediate is
+      ≪ 2^63);
+    * the argmin tiebreak is (dist2, cell) — cells are kept sorted
+      ascending and ``argmin`` returns the first minimum;
+    * the centroid update replicates Spark/DuckDB
+      ``round(CAST(s AS DOUBLE) / m)`` half-away-from-zero on the
+      exact double quotient (the ``floor/ceil ± 0.5`` comparison form
+      shared with operators/vector_agg.py's Arrow kernel);
+    * cells that attract no rows disappear, exactly as the
+      distributed groupBy drops them.
+    """
+    import numpy as np
+    from collections import defaultdict
+
+    ids = sorted({r["id"] for r in rows})
+    seed_set = set(ids[:K_CODES])
+    groups = defaultdict(list)
+    for r in rows:
+        groups[r["sub_id"]].append(r)
+    out: list[tuple] = []
+    for sub_id in sorted(groups):
+        g = groups[sub_id]
+        X = np.array([r["sv"] for r in g], dtype="int64")
+        sn = np.array([r["sn"] for r in g], dtype="int64")
+        seed_rows = {int(r["id"]): r["sv"] for r in g if r["id"] in seed_set}
+        cells = np.array(sorted(seed_rows), dtype="int64")
+        C = np.array(
+            [seed_rows[int(c)] for c in cells], dtype="int64"
+        ).reshape(len(cells), -1)
+        cn = (C * C).sum(axis=1)
+        for _ in range(iters):
+            d2 = sn[:, None] + cn[None, :] - 2 * (X @ C.T)
+            best = d2.argmin(axis=1)
+            new_cells, new_C = [], []
+            for j in range(len(cells)):
+                mask = best == j
+                m = int(mask.sum())
+                if m == 0:
+                    continue
+                s = X[mask].sum(axis=0)
+                q = s.astype("float64") / m
+                fq, cq = np.floor(q), np.ceil(q)
+                cv = np.where(
+                    q >= 0, fq + (q - fq >= 0.5), cq - (cq - q >= 0.5)
+                ).astype("int64")
+                new_cells.append(int(cells[j]))
+                new_C.append(cv)
+            cells = np.array(new_cells, dtype="int64")
+            C = (
+                np.vstack(new_C)
+                if new_C
+                else np.zeros((0, X.shape[1]), dtype="int64")
+            )
+            cn = (C * C).sum(axis=1)
+        for cell, cv, n2 in zip(cells, C, cn):
+            out.append(
+                (int(sub_id), int(cell), [int(x) for x in cv], int(n2))
+            )
+    return out
 
 
 def _subspace_rows(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -121,7 +210,23 @@ def pq_codebooks(
 ) -> DataFrame:
     """Train the M codebooks over subspace rows: k lowest-id seed
     slices + ``iters`` Lloyd refinements.  Returns (sub_id, cell, cv,
-    cn); ``cell`` is the seed vector's id (stable label, like IVF)."""
+    cn); ``cell`` is the seed vector's id (stable label, like IVF).
+
+    Below :data:`PQ_LOCAL_TRAIN_MAX` training rows the Lloyd schedule
+    replays driver-side from ONE bounded collect (see the knob's
+    docstring) — identical codebooks, none of the per-iteration
+    assignment-join/update-aggregation plan; above it the distributed
+    loop below runs unchanged."""
+    probe = (
+        sub.select("id", "sub_id", "sv", "sn")
+        .limit(PQ_LOCAL_TRAIN_MAX + 1)
+        .collect()
+    )
+    if len(probe) <= PQ_LOCAL_TRAIN_MAX:
+        return sub.sparkSession.createDataFrame(
+            _codebooks_local(probe, iters),
+            "sub_id INT, cell BIGINT, cv ARRAY<BIGINT>, cn BIGINT",
+        )
     seed_ids = sub.select("id").distinct().orderBy("id").limit(K_CODES)
     cents = (
         sub.join(F.broadcast(seed_ids), "id")
@@ -454,14 +559,37 @@ def ivfpq_topk(
     )
 
     def _assign(side: DataFrame, rank_max: int) -> DataFrame:
+        joined = side.join(F.broadcast(cents), F.lit(True)).withColumn(
+            "celldist",
+            F.col("n") + F.col("cent_n") - 2 * F.expr(V.spark_dot("v", "cent_v")),
+        )
+        if rank_max == 1:
+            # Nearest-cell assignment is an argmin: (celldist, ivf_cell)
+            # is unique per id (one row per cell), so min_by selects the
+            # identical row as rank-1 of the window — as a hash
+            # aggregation whose map-side partial collapses the n_cells×
+            # fan-out in the same stage as the join, no per-id sort
+            # (the round-11 _nearest_code move, applied to the coarse
+            # IVF assignment that still ran a full-corpus Sort+Window).
+            return (
+                joined.groupBy("id")
+                .agg(
+                    F.min_by(
+                        F.struct("ivf_cell", "v", "cent_v"),
+                        F.struct(F.col("celldist"), F.col("ivf_cell")),
+                    ).alias("_best")
+                )
+                .select(
+                    "id",
+                    F.col("_best.ivf_cell").alias("ivf_cell"),
+                    F.expr(
+                        "zip_with(_best.v, _best.cent_v, (x, y) -> x - y)"
+                    ).alias("r"),
+                )
+            )
         w = Window.partitionBy("id").orderBy("celldist", "ivf_cell")
         return (
-            side.join(F.broadcast(cents), F.lit(True))
-            .withColumn(
-                "celldist",
-                F.col("n") + F.col("cent_n") - 2 * F.expr(V.spark_dot("v", "cent_v")),
-            )
-            .withColumn("crk", F.row_number().over(w))
+            joined.withColumn("crk", F.row_number().over(w))
             .filter(F.col("crk") <= rank_max)
             .withColumn("r", F.expr("zip_with(v, cent_v, (x, y) -> x - y)"))
             .select("id", "ivf_cell", "r")

@@ -1026,13 +1026,29 @@ def kmeans_refine(
 
     for _ in range(iters):
         cos = F.expr(V.spark_cosine(V.spark_dot("c_v", "cent_v"), "c_n", "cent_n"))
-        w = W.partitionBy("c_id").orderBy(F.desc("cell_cos"), "cell")
+        # Rank-1 of the (cos desc, cell) window is an argmax with a
+        # unique ordering key per (c_id, cell) pair, so min_by over
+        # (-cos, cell) selects the identical row (double negation is
+        # exact; -0.0 and 0.0 compare equal in both forms) — a hash
+        # aggregation whose map-side partial collapses the k× centroid
+        # fan-out in the join stage, no per-id sort (the round-11
+        # _nearest_code move; equivalence pinned in
+        # tests/test_opt_round12.py).
         assigned = (
             scaled.join(F.broadcast(cents), F.lit(True))
             .withColumn("cell_cos", cos)
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("c_id", "c_v", "cell")
+            .groupBy("c_id")
+            .agg(
+                F.min_by(
+                    F.struct("c_v", "cell"),
+                    F.struct(-F.col("cell_cos"), F.col("cell")),
+                ).alias("_best")
+            )
+            .select(
+                "c_id",
+                F.col("_best.c_v").alias("c_v"),
+                F.col("_best.cell").alias("cell"),
+            )
         )
         cents = (
             centroid_partial_sums(
