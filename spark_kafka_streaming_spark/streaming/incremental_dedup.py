@@ -401,13 +401,33 @@ class IncrementalDeduper:
         dups = intra_dups if dup_vs_store is None else dup_vs_store.union(
             intra_dups
         ).distinct()
-        accepted = batch.join(dups, id_c, "left_anti").persist()
+        # Fold the dup-id set to the driver: it is bounded by the
+        # micro-batch (every dup id IS a batch doc id), so below the
+        # literal bound the three downstream writes filter on an IN
+        # list instead of each carrying a join against the whole
+        # probe/verify subtree — one dup computation, three small
+        # write plans (driver analysis per trigger was the wall after
+        # the cache fixes).  A skew-hot batch past the bound keeps the
+        # join form; accept decisions are identical either way.
+        dup_rows = dups.collect()
+        if len(dup_rows) <= 10_000:
+            dup_ids = [r[0] for r in dup_rows]
+            keep = ~F.col(id_c).isin(dup_ids) if dup_ids else F.lit(True)
+            accepted = batch.filter(keep)
+            accepted_sigs = sigs.filter(keep)
+            accepted_keys = keys.filter(keep)
+        else:
+            dup_df = F.broadcast(
+                spark.createDataFrame(dup_rows, dups.schema)
+            )
+            accepted = batch.join(dup_df, id_c, "left_anti")
+            accepted_sigs = sigs.join(dup_df, id_c, "left_anti")
+            accepted_keys = keys.join(dup_df, id_c, "left_anti")
 
         # idempotent per-epoch writes: replaying batch_id overwrites
         accepted.write.mode("overwrite").parquet(
             f"{self.accepted_path}/batch={batch_id}"
         )
-        accepted_keys = keys.join(accepted.select(id_c), id_c, "left_semi")
         # Lock spans both signature leaf writes so an external reader of
         # the store tree never pins a half-committed leaf.  Hashes land
         # FIRST: an orphan hash row (crash before the key write) is
@@ -425,7 +445,7 @@ class IncrementalDeduper:
             # serially (the vector store's measured write-stage wall).
             npart = spark.sparkContext.defaultParallelism
             (
-                sigs.join(accepted.select(id_c), id_c, "left_semi")
+                accepted_sigs
                 .select(id_c, "hs")
                 .withColumn(
                     "hb",
@@ -451,6 +471,5 @@ class IncrementalDeduper:
             )
         sigs.unpersist()
         keys.unpersist()
-        accepted.unpersist()
         if self.compact_every and batch_id > 0 and batch_id % self.compact_every == 0:
             self.compact(spark)
