@@ -668,6 +668,74 @@ _ROUND11_WINDOW = [
     "q_pack_sequences",
 ]
 _reorder(_ROUND11_WINDOW[:50])
+# Round-12 sample window.  Freshness rules unchanged: (a) no new
+# registrations (catalog holds at 200); (b) every oracle-bearing query
+# whose code path round 12 touched — the MAD pair (histogram
+# rank-select rewrite), the sliding HLL (explode + semi-join fan), the
+# PQ/IVF family (driver-side codebook training + min_by coarse
+# assignment), the kmeans_refine consumers (min_by assignment), and
+# the BPE four (bounded-probe local-path decision); then (c) staleness
+# backfill from CORRECTNESS_r01-r11 latest-green rounds: ALL 13
+# leftover r7-era rows lead (three of them — mips_ivf and the two
+# unbatched BPE entries — are also touched), then the oldest r8-era
+# rows.  The two rows-only-by-design entries were re-sampled in r11.
+_ROUND12_WINDOW = [
+    # (b) touched this round + (c) last sampled round 7 (overlap first)
+    "q_similarity_mips_ivf",
+    "q_text_bpe_train",
+    "q_text_bpe_encode",
+    # (c) last sampled round 7 — the other 10
+    "q_setops_customer_segments",
+    "q_setops_intersect_active_both_years",
+    "q_similarity_filtered_ann",
+    "q_sort_limit_top_lineitems",
+    "q_subquery_correlated_above_avg",
+    "q_unpivot_part_metrics",
+    "q_window_market_share",
+    "q_window_rank_dense_rank",
+    "q_window_running_total",
+    "q_window_topk_orders_per_customer",
+    # (b) touched this round
+    "q_events_anomaly_mad",
+    "q_events_anomaly_mad_hist",
+    "q_sketch_hll_sliding",
+    "q_vector_pq_encode",
+    "q_similarity_pq_adc",
+    "q_similarity_ivfpq",
+    "q_ann_recall_ivfpq",
+    "q_cluster_kmeans",
+    "q_dedup_semantic",
+    "q_similarity_ann_ivf_refined",
+    "q_text_bpe_train_batched",
+    "q_text_bpe_encode_batched",
+    "q_quantile_windowed_hourly",
+    "q_quantile_sketch_doclen_by_lang",
+    # (c) freshness backfill: last sampled round 8
+    "q_agg_salted_skew",
+    "q_ann_recall_imi",
+    "q_array_hof_stats",
+    "q_csv_line_roundtrip",
+    "q_decontaminate_bloom",
+    "q_decontaminate_ngram",
+    "q_dedup_cross_source_chunks",
+    "q_events_session_duration_quantiles",
+    "q_join_band_broadcast",
+    "q_json_line_roundtrip",
+    "q_knn_label_propagation_ann",
+    "q_knn_propagation_agreement",
+    "q_ngram_novelty",
+    "q_pack_length_buckets",
+    "q_pipeline_quality_filter",
+    "q_quantile_sketch_prices",
+    "q_sample_balanced_label",
+    "q_sample_stratified_hash",
+    "q_shard_token_budget",
+    "q_similarity_ann_imi",
+    "q_text_fingerprint",
+    "q_text_heavy_hitters",
+    "q_text_heavy_hitters_by_lang",
+]
+_reorder(_ROUND12_WINDOW[:50])
 
 
 def queries():
