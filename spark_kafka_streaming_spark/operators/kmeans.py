@@ -294,6 +294,15 @@ def assign_clusters_join(
 #: assignment).
 ARROW_ASSIGN_MIN_K = 64
 
+#: Small-k dispatch bound for the SemDeDup Arrow drop kernel: the
+#: per-cluster matmul is used below :data:`ARROW_ASSIGN_MIN_K` only
+#: when NO cluster exceeds this many rows (verified by one count over
+#: the persisted assignment).  The kernel holds one (2048 × m) float64
+#: cosine panel per block — m = 8192 is ≈ 128 MB plus the m×d matrix —
+#: so the bound is a per-task memory envelope, not a heuristic; larger
+#: clusters keep the cell-decomposed, skew-guarded SQL pair stage.
+ARROW_DROPS_MAX_CLUSTER = 8192
+
 
 def assign_clusters_arrow(
     sv: DataFrame,
@@ -806,6 +815,22 @@ def semantic_dedup(
         # corpus-scaled k: clusters are ~n/k rows, one int64 matmul per
         # cluster replaces ~n²/k interpreted HOF cosines (bit-identical
         # drop set — see _semantic_drops_arrow)
+        drops = _semantic_drops_arrow(a, tau).distinct()
+    elif (
+        a.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
+        or 0
+    ) <= ARROW_DROPS_MAX_CLUSTER:
+        # Small-k corpora reach the same kernel through an EXACT bound
+        # instead of the k-proxy: one cheap count over the (persisted)
+        # assignment proves no cluster exceeds the kernel's documented
+        # memory envelope (block × m cosine panel), so the per-cluster
+        # matmul is safe — replacing the interpreted per-pair HOF
+        # cosines that dominated this stage at small k (measured: a
+        # 1.30 s two-task pair stage at k=8 / 2k vectors).  The count
+        # job doubles as the eager materialization of the assignment
+        # cache (its consumers otherwise race to fill it).  Giant
+        # clusters past the bound keep the cell-decomposed SQL stage
+        # below — the adversarial-skew posture is unchanged.
         drops = _semantic_drops_arrow(a, tau).distinct()
     else:
         # zero-norm convention: cosine with a zero vector is undefined
