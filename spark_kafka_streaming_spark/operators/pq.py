@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions import vectors as V
 from ..functions.caching import track_persist
+from .similarity import spread_degenerate_scan
 
 M_SUBS = 8  # subspaces
 SUB_DIM = 8  # dims per subspace (M_SUBS * SUB_DIM = embedding dim)
@@ -283,6 +284,9 @@ def pq_encode(
     sampled trajectory is replayed exactly by an oracle that applies
     the same id filter.
     """
+    # spread a degenerate (fewer-splits-than-cores) corpus scan before
+    # the wide scaling/reshape expressions (guide §2.5; no-op at scale)
+    df = spread_degenerate_scan(df)
     sub = track_persist(_subspace_rows(df, id_col, vec_col))
     train = (
         sub
@@ -323,6 +327,7 @@ def pq_adc_topk(
     Approximate by construction (quantization error), but fully
     deterministic: codes, LUT entries, and sums are exact int64.
     """
+    corpus = spread_degenerate_scan(corpus)
     sub = track_persist(_subspace_rows(corpus, id_col, vec_col))
     train = (
         sub
@@ -544,7 +549,7 @@ def ivfpq_topk(
     |Q|·n_probe·M·k entries and shuffles slim (q, n, partial) rows —
     only vectors in probed cells ever score, and no raw vectors move.
     """
-    scaled = corpus.select(
+    scaled = spread_degenerate_scan(corpus).select(
         F.col(id_col).alias("id"),
         F.expr(V.spark_scaled(vec_col)).alias("v"),
     ).withColumn("n", F.expr(V.spark_dot("v", "v")))
