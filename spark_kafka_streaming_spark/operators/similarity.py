@@ -121,8 +121,14 @@ def brute_force_topk(
     """
     if impl not in ("arrow", "sql"):
         raise ValueError(f"unknown impl: {impl!r} (want 'arrow' or 'sql')")
+    # NOTE: no degenerate-scan spread here — "zero shuffle of the
+    # corpus" is this operator's pinned scale contract
+    # (tests/test_plans.py::test_similarity_corpus_not_shuffled), and
+    # the Arrow scorer already vectorizes each corpus batch as one
+    # int64 matmul, so a one-split corpus costs one matmul, not an
+    # interpreted per-row chain.
     q = _scaled(queries, id_col, vec_col, "q")
-    c = _scaled(spread_degenerate_scan(corpus), id_col, vec_col, "c")
+    c = _scaled(corpus, id_col, vec_col, "c")
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     if impl == "arrow":
         pairs = _bounded_q_topk_arrow(q, c, k, metric="cosine")
